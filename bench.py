@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once after a warm-up of the input file listing; the
+timed section includes planning + execution + collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from solana_etl_spark.session import get_spark  # noqa: E402
+from solana_etl_spark import queries as _q  # noqa: E402
+
+# headline set: every operator family, weighted toward the scale-critical
+# paths (joins, window, dedup LSH, similarity, sessionize)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_revenue_by_nation",
+    "a9_conditional_rollup",
+    "m1_balance_modes",
+    "j2_full_outer_coalesce",
+    "w1_topk_per_group",
+    "set_ops",
+    "x1_semantic_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_neardup_pairs",
+    "text_quality",
+    "text_fingerprint",
+    "st_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM / codegen / parquet footers — not part of any query's time
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    qs = _q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if name != "sim_cosine_topk" else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        del n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Driver-style correctness harness: run every queries() entry on Spark AND
+its oracle_sql() on DuckDB over the same sf dir; compare row count, column
+names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from solana_etl_spark.queries import queries, oracle_sql  # noqa: E402
+from solana_etl_spark.session import get_spark  # noqa: E402
+from solana_etl_spark.sources.tables import TESTDATA_TABLES  # noqa: E402
+
+
+def normalize(rows, cols):
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if v is None:
+            return "\0NULL"
+        if isinstance(v, bool):
+            return f"b:{v}"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "f:nan"
+            return f"f:{v:.9g}"
+        if isinstance(v, int):
+            return f"i:{v}"
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return f"f:{float(v):.9g}"
+        return f"s:{v}"
+
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = queries(), oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only check, {len(spark_rows)} rows "
+                  f"({time.time() - t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        if not problems:
+            a = normalize(spark_rows, spark_cols)
+            b = normalize(duck_rows, duck_cols)
+            if a != b:
+                diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+                problems.append(
+                    f"values differ at {len(diffs)}/{len(a)} rows; first: "
+                    f"{a[diffs[0]] if diffs else '?'} vs {b[diffs[0]] if diffs else '?'}"
+                )
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(spark_rows)} rows ({time.time() - t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

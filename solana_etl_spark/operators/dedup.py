@@ -1,0 +1,244 @@
+"""Deduplication operators over the ``documents`` table (charter §2.11):
+exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design (the point of each implementation):
+
+* **exact** — one hash-aggregate on a 60-bit content hash; at 100 TB this is
+  a single shuffle of (hash, doc_id) pairs, with map-side partial aggs.
+* **minhash LSH** — signatures are per-row array expressions (no shuffle);
+  candidate pairs come from a self-join on (band, band-signature) buckets,
+  so the shuffle is keyed by bucket, never all-pairs. Bucket-key join is the
+  standard sub-quadratic near-dup path.
+* **simhash** — per-row bit signature; pairs restricted to equal high-byte
+  buckets (hamming-LSH), again a bucket-keyed join, then exact hamming
+  verification with ``bit_count(xor)``.
+* **ngram jaccard** — inverted-index join (explode distinct ngrams, join on
+  ngram), bounded per group; the classic exact-verification path after LSH.
+
+All hashes are the cross-engine-deterministic family in functions/hashing.py,
+so every operator has a value-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solana_etl_spark.functions.hashing import (
+    hash32,
+    hash64,
+    hashes_expr,
+    minhash_from_hashes,
+)
+from solana_etl_spark.operators.text import NGRAM_N, char_ngrams, tokens
+
+MINHASH_K = 8  # signature length
+# rows per band: 4 bands of 2. Bands of a single hash degenerate on
+# shared-vocabulary corpora (the global min shingle hash collides across
+# most documents → near-all-pairs candidates); two rows per band keeps the
+# candidate set sub-quadratic.
+LSH_BAND_ROWS = 2
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def normalized_text() -> Column:
+    """Normalization for exact dedup: lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """One row per distinct normalized content: keeper doc_id (min), dup count.
+
+    Spark shape: single hash aggregate; ``hash64`` keeps the shuffle narrow
+    (16 bytes/row) regardless of document size.
+    """
+    return (
+        documents.select(
+            hash64(normalized_text()).alias("content_hash"), "doc_id"
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str = "text") -> Column:
+    """Distinct 2-word shingles (SQL-expressed for non-literal indexing)."""
+    w = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({w}) - 1, 1) ),"
+            f" i -> concat_ws(' ', element_at({w}, i), element_at({w}, least(i + 1, size({w})))))"
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id + k minhash columns (h0..h{k-1}) over 2-word shingles —
+    per-row expressions only, zero shuffle.
+
+    Perf: the md5 token hash is materialized ONCE per shingle in its own
+    projection (`_hashes` is referenced k times, so CollapseProject keeps the
+    boundary); the k permutations are then plain int64 mul/add/mod passes.
+    """
+    with_hashes = documents.select(
+        "doc_id", hashes_expr(word_shingles()).alias("_hashes")
+    )
+    return with_hashes.select(
+        "doc_id",
+        *[minhash_from_hashes(F.col("_hashes"), i).alias(f"h{i}") for i in range(k)],
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) that collide in ≥1 LSH
+    band. Join is keyed by (band, band signature) — sub-quadratic."""
+    sigs = minhash_signatures(documents, k)
+    n_bands = k // band_rows
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * band_rows + r}").cast("string")
+                                for r in range(band_rows)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.sig")
+    # keep the pair-expansion parallel (AQE would coalesce the small input
+    # to one partition — the expansion is the expensive part, not the input)
+    parallelism = bands.sparkSession.sparkContext.defaultParallelism
+    a = bands.repartition(parallelism, "band", "sig").alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """doc_id + simhash: bit b is the sign of Σ_tokens (bit_b(h(token))·2−1)
+    over distinct word tokens. Pure per-row expressions."""
+    toks = F.array_distinct(tokens(F.col("text")))
+    # materialize token hashes once; 16 bit-sum passes reuse the array
+    with_hashes = documents.select(
+        "doc_id", F.transform(toks, hash32).alias("_hashes")
+    )
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            F.col("_hashes"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sim = None
+    for b in range(bits):
+        contrib = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = contrib if sim is None else sim + contrib
+    return with_hashes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs: equal high byte (hamming-LSH bucket) + exact hamming
+    ≤ max_hamming via bit_count(xor)."""
+    s = simhash(documents, bits)
+    s = s.withColumn("bucket", F.shiftright("simhash", bits // 2))
+    a, b = s.alias("a"), s.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact Jaccard over distinct char n-gram sets via an inverted-index
+    join (explode → join on ngram → count per pair), restricted to pairs
+    sharing (lang, source) to bound the candidate space."""
+    grams = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(char_ngrams("text", NGRAM_N)).alias("ngram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # The inverted-index join multiplies rows ~|docs-per-gram|×: its INPUT is
+    # small, so AQE would coalesce the probe side to one partition and
+    # serialize the whole pair-expansion. An explicit repartition (exempt
+    # from AQE coalescing) keeps the expansion parallel.
+    # NOTE: no derived-column prefilters inside the join condition — Catalyst
+    # inlines single-use aliases into the condition, re-evaluating them per
+    # candidate pair (measured 20×+ slowdown with size(char_ngrams()) there).
+    parallelism = grams.sparkSession.sparkContext.defaultParallelism
+    a = grams.repartition(parallelism, "ngram").alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.ngram") == F.col("b.ngram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "grams_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "grams_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (``embeddings(vec_id,
+embedding float[], label)``) — charter §2.11.
+
+Scale design:
+
+* **brute-force cosine top-k** — the correctness baseline: one pass computing
+  dot(query, v) per row with ``zip_with``+``aggregate`` (JVM, no UDF), then a
+  global top-k. The query vector is a broadcast-sized literal; the scan is
+  embarrassingly parallel. This is the right plan up to ~10^8 vectors.
+* **bucketed near-dup / LSH** — pair generation keyed by bucket (label or a
+  deterministic sign-projection signature), never all-pairs; the standard
+  sub-quadratic path at 100 TB. IVF-style: probe only matching buckets.
+
+Floating point: dot products are folded sequentially over the array in BOTH
+engines (Spark ``aggregate``, DuckDB ``list_reduce``-equivalent comprehension
+sum), and inputs are float32 upcast to float64, so scores are bit-identical
+and safe to compare at 6 decimals against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+COSINE_NEARDUP_THRESHOLD = 0.95
+TOPK = 10
+LSH_SIGN_BITS = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def normalized(embeddings: DataFrame) -> DataFrame:
+    """Pre-normalize embeddings once (÷ L2 norm) so pairwise cosine becomes
+    a single dot product — norms are NOT recomputed per pair. The oracle
+    mirrors this exact normalize-then-dot formula (float division order
+    matters bit-for-bit)."""
+    emb = F.col("embedding")
+    return embeddings.withColumn(
+        "_nemb",
+        F.transform(emb, lambda x: x.cast("double") / _norm(emb)),
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
+    """Top-k most-similar vectors to the corpus's min-vec_id query vector
+    (deterministic choice), ties broken by vec_id.
+
+    Plan: broadcast the 1-row query side (cross join with a literal-sized
+    dim), score per row, global top-k via sort+limit (Spark runs this as
+    TakeOrderedAndProject — no full sort materialization)."""
+    nemb = normalized(embeddings)
+    q = nemb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("_nemb").alias("q_vec")
+    )
+    scored = nemb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    return (
+        scored.select(
+            "vec_id",
+            F.round(_dot(F.col("_nemb"), F.col("q_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Near-duplicate vector pairs within equal-label buckets (bucket-keyed
+    join, sub-quadratic when labels partition the space). Embeddings are
+    pre-normalized so the per-pair cost is one dot product."""
+    nemb = normalized(embeddings).select("vec_id", "label", "_nemb")
+    a, b = nemb.alias("a"), nemb.alias("b")
+    sim = F.round(_dot(F.col("a._nemb"), F.col("b._nemb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def lsh_sign_buckets(embeddings: DataFrame, bits: int = LSH_SIGN_BITS) -> DataFrame:
+    """Deterministic sign-projection LSH bucket per vector: bit j compares
+    coordinate j against coordinate j+bits (a fixed, data-independent
+    hyperplane family). Bucket-equal vectors are ANN candidates; at scale
+    this is the IVF/LSH partitioning key."""
+    emb = F.col("embedding")
+    bucket = None
+    for j in range(bits):
+        bit = F.when(
+            F.element_at(emb, j + 1).cast("double")
+            > F.element_at(emb, j + 1 + bits).cast("double"),
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(
+        "vec_id", "label", bucket.cast("long").alias("bucket")
+    )

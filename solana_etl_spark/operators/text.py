@@ -1,0 +1,127 @@
+"""Text-analysis operators over a ``documents(doc_id, text, lang, source,
+n_chars)`` table — the LLM-data-pipeline surface (charter §2.11).
+
+All operators are pure column expressions (JVM-side, whole-stage codegen);
+tokenization is a regex split, no Python UDFs. Each has a DuckDB oracle in
+the query registry built from the SAME constants below, so semantics are
+pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solana_etl_spark.functions.hashing import hash32, perm_hash, MINHASH_PERMS
+
+# fixed stopword lists for the language-ID heuristic (order = tie preference)
+LANG_STOPWORDS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "of", "and", "to", "in")),
+    ("es", ("el", "la", "de", "que", "los", "una")),
+    ("de", ("der", "die", "das", "und", "ist", "ein")),
+    ("fr", ("le", "les", "des", "et", "une", "est")),
+]
+
+EN_STOPWORDS = LANG_STOPWORDS[0][1]
+
+NGRAM_N = 3  # char n-grams for fingerprint / jaccard
+FINGERPRINT_K = 4  # k-min sketch size
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def char_ngrams(text_col: str, n: int = NGRAM_N) -> Column:
+    """Distinct character n-grams of lowercased, trimmed text. Expressed as a
+    SQL string because ``substring``'s position must be an expression (the
+    DataFrame API only accepts literals)."""
+    s = f"lower(trim({text_col}))"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({s}) - {n - 1}, 0)),"
+            f" i -> substring({s}, i, {n}))"
+        )
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_uniq_tokens, avg_token_len (rounded)."""
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(total_len / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / digit / stopword heuristics with a boolean
+    quality flag (typical pre-training quality filter shape)."""
+    s = F.trim(F.col("text"))
+    toks = tokens(F.col("text"))
+    n_chars = F.length(s)
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    digit_ratio = F.round(n_digit / n_chars, 6)
+    stop_ratio = F.round(stop_hits / F.size(toks), 6)
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_trim"),
+        F.size(toks).alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (F.size(toks) >= 10)
+            & (punct_ratio <= 0.2)
+            & (digit_ratio <= 0.3)
+        ).alias("is_quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language ID; ties break by list order, zero hits → unk."""
+    toks = tokens(F.col("text"))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        for lang, words in LANG_STOPWORDS
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang, _ in LANG_STOPWORDS])
+    pred = F.lit("unk")
+    # build reversed so earlier languages win ties
+    for lang, _ in reversed(LANG_STOPWORDS):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """k-min-sketch document fingerprint: the FINGERPRINT_K smallest distinct
+    char-ngram hashes, comma-joined (stable, order-insensitive to text
+    permutation-free edits)."""
+    s = F.lower(F.trim(F.col("text")))
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(lower(trim(text))) - {NGRAM_N - 1}, 0)),"
+            f" i -> substring(lower(trim(text)), i, {NGRAM_N}))"
+        )
+    )
+    a, b = MINHASH_PERMS[0]
+    hashes = F.transform(grams, lambda g: perm_hash(hash32(g), a, b))
+    kmin = F.slice(F.array_sort(hashes), 1, FINGERPRINT_K)
+    return documents.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(kmin, lambda h: h.cast("string"))).alias(
+            "fingerprint"
+        ),
+    )

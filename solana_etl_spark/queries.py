@@ -1,0 +1,873 @@
+"""Query registry: every operator family from SURVEY §2 plus the charter's
+LLM-data-pipeline extensions, each as a (Spark builder, DuckDB oracle SQL)
+pair over the synthetic testdata tables.
+
+Contract (driver verify): for each name, the Spark DataFrame and the oracle
+SQL must agree on row count, schema column names, and order-insensitive
+value hashes at sf=0.01. Conventions that make that hold:
+
+* money aggregates go through DECIMAL(18,4) (exact in both engines), final
+  values cast to DOUBLE (deterministic conversion) — no float-sum drift;
+* float folds (cosine) run sequentially over arrays in both engines
+  (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) → bit-identical doubles;
+* every hash is the md5-based family in functions/hashing.py, defined to be
+  bit-identical in both engines;
+* every aggregate/computed column is aliased identically on both sides;
+* deterministic tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solana_etl_spark.functions.hashing import (
+    MINHASH_PERMS,
+    hash32_sql,
+    hash64_sql,
+    minhash_sql,
+    perm_hash_sql,
+)
+from solana_etl_spark.operators import dedup, similarity, text as text_ops
+from solana_etl_spark.operators.sessionize import sessionize, SESSION_GAP_SECONDS
+from solana_etl_spark.operators.multimodal import binary_metadata
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+        # type for: read the raw int64 nanos, then truncate to a micros
+        # timestamp — exactly what DuckDB's reader does, so oracle
+        # comparisons stay value-identical.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+DEC = "decimal(18,4)"
+
+# ---------------------------------------------------------------------------
+# 1. Reference-surface operator families on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A4 analog: the reference's hash-style aggregations as one wide
+    hash-aggregate (partial aggregation map-side; one small shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - F.col("l_discount")).cast(DEC))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "q3_topk_revenue",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           YEAR(o.o_orderdate) AS order_year
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, YEAR(o.o_orderdate)
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + global top-k. customer is broadcast (small dim); top-k
+    runs as TakeOrderedAndProject — no full sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "order_year")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join: all dims broadcast; the only shuffle is the final small
+    group-by. Catalyst reorders the join chain; AQE coalesces."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_register(
+    "f1_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS price_cents,
+           YEAR(o_orderdate) AS order_year
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def f1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 analog: predicate filter + projection with a fixed-point value
+    column (NumberWithScale M2/M9 shape: unscaled int + implied scale 2).
+    Filters and the 5-column projection push into the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("price_cents"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+
+
+@_register(
+    "f4_exists_semijoin",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderstatus
+    """,
+)
+def f4_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 analog (`votes`: has-any-matching-child): left-semi join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "f6_anti_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def f6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (absent in the reference, free in Spark — SURVEY §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_register(
+    "a9_conditional_rollup",
+    """
+    SELECT YEAR(o_orderdate) AS order_year,
+           COUNT(*) AS num_orders,
+           COUNT_IF(o_orderstatus = 'F') AS num_finished,
+           COUNT_IF(o_orderstatus = 'O') AS num_open,
+           COUNT_IF(o_orderpriority = '1-URGENT') AS num_urgent,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS finished_value,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY YEAR(o_orderdate)
+    """,
+)
+def a9_conditional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 analog (block_info): one group-by with conditional aggregates over
+    partitions of the data — exactly the blocks-task shape."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("num_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("num_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("num_open"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("num_urgent"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "F", F.col("o_totalprice").cast(DEC)
+            ).otherwise(F.lit(0).cast(DEC))
+        )
+        .cast("double")
+        .alias("finished_value"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@_register(
+    "m1_balance_modes",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS net_change,
+           CAST(SUM(CASE WHEN value > 0 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS change_in,
+           CAST(SUM(CASE WHEN value < 0 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS change_out,
+           CAST(SUM(CAST(ABS(value) AS DECIMAL(18,4))) AS DOUBLE) AS change_abs
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def m1_balance_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/A3: the BalanceChangeAgg ALL/IN/OUT/ABS modes as one aggregate."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return e.groupBy("user_id").agg(
+        F.sum(v).cast("double").alias("net_change"),
+        F.sum(F.when(F.col("value") > 0, v).otherwise(zero))
+        .cast("double")
+        .alias("change_in"),
+        F.sum(F.when(F.col("value") < 0, v).otherwise(zero))
+        .cast("double")
+        .alias("change_out"),
+        F.sum(F.abs(F.col("value")).cast(DEC)).cast("double").alias("change_abs"),
+    )
+
+
+@_register(
+    "j2_full_outer_coalesce",
+    """
+    WITH pre AS (SELECT user_id, COUNT(*) AS n_pre,
+                        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_pre
+                 FROM events WHERE event_type = 'view' GROUP BY user_id),
+         post AS (SELECT user_id, COUNT(*) AS n_post,
+                         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_post
+                  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(pre.user_id, post.user_id) AS user_id,
+           COALESCE(n_pre, 0) AS n_pre,
+           COALESCE(n_post, 0) AS n_post,
+           COALESCE(v_post, v_pre) AS primary_value,
+           (post.user_id IS NOT NULL) AS has_post
+    FROM pre FULL OUTER JOIN post ON pre.user_id = post.user_id
+    """,
+)
+def j2_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog: the token pre/post full-outer join with missing-side zero
+    fill and post-precedence coalesce."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC)
+    pre = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pre"), F.sum(v).cast("double").alias("v_pre"))
+    )
+    post = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_post"), F.sum(v).cast("double").alias("v_post"))
+    )
+    p, q = pre.alias("pre"), post.alias("post")
+    return p.join(q, F.col("pre.user_id") == F.col("post.user_id"), "full_outer").select(
+        F.coalesce(F.col("pre.user_id"), F.col("post.user_id")).alias("user_id"),
+        F.coalesce(F.col("n_pre"), F.lit(0)).alias("n_pre"),
+        F.coalesce(F.col("n_post"), F.lit(0)).alias("n_post"),
+        F.coalesce(F.col("v_post"), F.col("v_pre")).alias("primary_value"),
+        F.col("post.user_id").isNotNull().alias("has_post"),
+    )
+
+
+@_register(
+    "m8_bucket_rollup",
+    """
+    SELECT (event_id // 1000) * 1000 AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def m8_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8/S5: slot-bucketing (`slot // N * N`) as a group key."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.floor(F.col("event_id") / 1000) * 1000).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+@_register(
+    "w1_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice_cents, rk FROM (
+        SELECT c.c_mktsegment, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS o_totalprice_cents,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (SURVEY §2.8 extension surface)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("o_totalprice_cents"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@_register(
+    "w2_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def w2_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative aggregate (windowed prefix sum), exact decimals."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@_register(
+    "set_ops",
+    """
+    SELECT custkey, 'both' AS tag FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT custkey, 'building_only' AS tag FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (absent in reference, SURVEY §2.8)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent).select(
+        "custkey", F.lit("both").alias("tag")
+    ).unionAll(
+        building.exceptAll(urgent).distinct().select(
+            "custkey", F.lit("building_only").alias("tag")
+        )
+    )
+
+
+@_register(
+    "t3_explode_json",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT)
+    """,
+)
+def t3_explode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/T3 analog: JSON-in-string column parsed and grouped (the reference
+    serializes nested values to JSON strings; here we read them back)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "x1_semantic_extract",
+    """
+    SELECT event_id, user_id AS source,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS destination,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+           CAST(2 AS TINYINT) AS scale
+    FROM events
+    WHERE event_type = 'purchase' AND value > 0
+    """,
+)
+def x1_semantic_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1–X3 analog: filter a typed event stream and project a transfer-shaped
+    record (source, destination, fixed-point value at scale 2)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "purchase") & (F.col("value") > 0)).select(
+        "event_id",
+        F.col("user_id").alias("source"),
+        F.get_json_object("props", "$.k").cast("long").alias("destination"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        F.lit(2).cast("tinyint").alias("scale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Dedup family (charter §2.11)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_WS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = (
+    f"list_distinct([ {_WS}[i] || ' ' || {_WS}[least(i + 1, len({_WS}))] "
+    f"for i in generate_series(1, greatest(len({_WS}) - 1, 1)) ])"
+)
+_NGRAMS_SQL = (
+    "list_distinct([ substr(lower(trim(text)), i, 3) "
+    "for i in generate_series(1, greatest(length(lower(trim(text))) - 2, 1)) ])"
+)
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT {hash64_sql(_NORM_SQL)} AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(k: int) -> str:
+    cols = ",\n           ".join(
+        f"{minhash_sql(_SHINGLES_SQL, i)} AS h{i}" for i in range(k)
+    )
+    return f"SELECT doc_id,\n           {cols}\n    FROM documents"
+
+
+@_register("dedup_minhash_signatures", _minhash_oracle(dedup.MINHASH_K))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _lsh_pairs_oracle(k: int, band_rows: int) -> str:
+    n_bands = k // band_rows
+    sig_cols = ",\n               ".join(
+        f"{minhash_sql(_SHINGLES_SQL, i)} AS h{i}" for i in range(k)
+    )
+    band_rows_sql = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(h{b * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM documents
+    ),
+    bands AS ({band_rows_sql})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+
+
+@_register(
+    "dedup_minhash_lsh_pairs",
+    _lsh_pairs_oracle(dedup.MINHASH_K, dedup.LSH_BAND_ROWS),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_expr_sql(bits: int) -> str:
+    h = hash32_sql("t")
+    terms = []
+    for b in range(bits):
+        bit_sum = (
+            f"list_sum(list_transform(list_distinct({_TOKENS_SQL}), "
+            f"t -> (({h} >> {b}) & 1) * 2 - 1))"
+        )
+        terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    SELECT doc_id, CAST({_simhash_expr_sql(dedup.SIMHASH_BITS)} AS BIGINT) AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST({_simhash_expr_sql(dedup.SIMHASH_BITS)} AS BIGINT) AS simhash
+        FROM documents
+    ),
+    sb AS (SELECT doc_id, simhash, simhash >> {dedup.SIMHASH_BITS // 2} AS bucket FROM s)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, lang, source, unnest({_NGRAMS_SQL}) AS ngram
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM grams a JOIN grams b
+          ON a.ngram = b.ngram AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= {dedup.JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# 3. Similarity search (charter §2.11)
+# ---------------------------------------------------------------------------
+
+# normalize-then-dot, mirroring operators/similarity.py bit-for-bit:
+# fold left with 0.0 seed (list_reduce starts at the first element; x+0.0==x
+# exactly, so prepending is unnecessary), divide each element by the L2 norm.
+_NEMB_CTE = """
+    nemb AS (
+        SELECT vec_id, label,
+               [x::DOUBLE / sqrt(list_reduce(
+                    [y::DOUBLE * y::DOUBLE for y in embedding], (p, q) -> p + q))
+                for x in embedding] AS v
+        FROM embeddings
+    )
+"""
+_NDOT_SQL = (
+    "list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))], "
+    "(x, y) -> x + y)"
+)
+
+
+@_register(
+    "sim_cosine_topk",
+    f"""
+    WITH {_NEMB_CTE},
+    q AS (SELECT vec_id AS q_id, v FROM nemb ORDER BY vec_id LIMIT 1)
+    SELECT a.vec_id, ROUND({_NDOT_SQL}, 6) AS cosine_sim
+    FROM nemb a, q b
+    WHERE a.vec_id <> b.q_id
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT {similarity.TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "sim_neardup_pairs",
+    f"""
+    WITH {_NEMB_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_NDOT_SQL}, 6) AS cosine_sim
+    FROM nemb a JOIN nemb b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_NDOT_SQL}, 6) >= {similarity.COSINE_NEARDUP_THRESHOLD}
+    """,
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def _lsh_bucket_sql(bits: int) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{j + 1}]::DOUBLE > embedding[{j + 1 + bits}]::DOUBLE"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+@_register(
+    "sim_lsh_buckets",
+    f"""
+    SELECT vec_id, label,
+           CAST({_lsh_bucket_sql(similarity.LSH_SIGN_BITS)} AS BIGINT) AS bucket
+    FROM embeddings
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_sign_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# 4. Text analysis (charter §2.11)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_tokens,
+           len(list_distinct({_TOKENS_SQL})) AS n_uniq_tokens,
+           ROUND(list_sum(list_transform({_TOKENS_SQL}, t -> length(t)))
+                 / len({_TOKENS_SQL}), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_EN_STOP_IN = ", ".join(f"'{w}'" for w in text_ops.EN_STOPWORDS)
+
+
+@_register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(trim(text)) AS n_chars_trim,
+           len({_TOKENS_SQL}) AS n_tokens,
+           ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[^\\w\\s]', '', 'g'))) / length(trim(text)), 6) AS punct_ratio,
+           ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[0-9]', '', 'g'))) / length(trim(text)), 6) AS digit_ratio,
+           ROUND(len(list_filter({_TOKENS_SQL}, t -> t IN ({_EN_STOP_IN}))) / len({_TOKENS_SQL}), 6) AS stopword_ratio,
+           (len({_TOKENS_SQL}) >= 10
+            AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[^\\w\\s]', '', 'g'))) / length(trim(text)), 6) <= 0.2
+            AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[0-9]', '', 'g'))) / length(trim(text)), 6) <= 0.3)
+           AS is_quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    score = lambda words: (  # noqa: E731
+        "len(list_filter("
+        + _TOKENS_SQL
+        + ", t -> t IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + ")))"
+    )
+    scores = {lang: score(words) for lang, words in text_ops.LANG_STOPWORDS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    pred = "'unk'"
+    for lang, _ in reversed(text_ops.LANG_STOPWORDS):
+        pred = (
+            f"CASE WHEN {scores[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+    SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang
+    FROM documents
+    """
+
+
+@_register("text_lang_id", _lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _fingerprint_oracle() -> str:
+    a, b = MINHASH_PERMS[0]
+    hashes = (
+        f"list_transform({_NGRAMS_SQL}, g -> {perm_hash_sql(hash32_sql('g'), a, b)})"
+    )
+    return f"""
+    SELECT doc_id,
+           array_to_string(list_transform(
+               (list_sort({hashes}))[1:{text_ops.FINGERPRINT_K}],
+               h -> CAST(h AS VARCHAR)), ',') AS fingerprint
+    FROM documents
+    """
+
+
+@_register("text_fingerprint", _fingerprint_oracle())
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# 5. Multimodal + sessionization (charter §2.11 / §2.10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id AS media_id, 'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return binary_metadata(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "st_sessionize",
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    ),
+    p AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+    FROM p GROUP BY user_id
+    """,
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+# mapInPandas media features: no SQL equivalent (Python kernel) — rows-only check
+@_register("mm_extract_features", None)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_etl_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    return extract_features(documents_as_media(_t(spark, sf_dir, "documents")))

@@ -25,6 +25,9 @@ SEMANTIC_CONFS = {
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
+    # Spark has no TIMESTAMP(NANOS) type: read raw int64 nanos (testdata
+    # events.ts), converted downstream via timestamp_micros(ns div 1000)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Scale-oriented: these are safe on local[32] and what we would run with on a
