@@ -1,0 +1,87 @@
+"""File sinks with reference-parity layout semantics.
+
+Reference behaviors reproduced (file:line into /root/reference):
+* CSV batch sink, single file with header — src/load/FileOutput.py:173-175
+  (dask ``to_csv(single_file=True)``) → ``coalesce(1)`` at small scale; at
+  large scale pass ``single_file=False`` (documented divergence, SURVEY §7.5)
+* Parquet sink — src/load/FileOutput.py:176-178
+* CSV streaming append with header-only-on-create —
+  src/extract/ExtractStreaming.py:28-33
+* gzip-JSON block files bucketed by ``slot // N * N`` —
+  src/extract/ExtractBatch.py:16-23
+* errors table written alongside as ``{name}_errors`` —
+  src/load/FileOutput.py:157-166
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SLOTS_PER_BUCKET = 10_000  # reference default (ExtractBatch.py:45)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = True, mode: str = "overwrite") -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def append_csv(df: DataFrame, path: str) -> None:
+    """Append semantics with header-only-on-create (streaming CSV sink,
+    ExtractStreaming.py:28-33): Spark writes header per file; on append we
+    only add headerless part files if data already exists."""
+    exists = os.path.isdir(path) and any(
+        f.endswith(".csv") for f in os.listdir(path)
+    )
+    df.coalesce(1).write.mode("append").option("header", not exists).csv(path)
+
+
+def write_blocks_json(
+    blocks_raw: DataFrame, path: str, slots_per_bucket: int = SLOTS_PER_BUCKET
+) -> None:
+    """Raw block documents re-emitted as gzip JSON partitioned by slot
+    bucket (M8: ``slot // N * N``) — the extract-batch file layout. The
+    many-file layout is deliberate: gzip is non-splittable, so file count =
+    read parallelism downstream."""
+    with_bucket = blocks_raw.withColumn(
+        "slot_bucket",
+        (
+            F.floor(
+                F.regexp_extract(F.col("path"), r"(\d+)\.json", 1).cast("long")
+                / slots_per_bucket
+            )
+            * slots_per_bucket
+        ).cast("long"),
+    )
+    (
+        with_bucket.select("slot_bucket", F.to_json(F.struct("result")).alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("slot_bucket")
+        .option("compression", "gzip")
+        .text(path)
+    )
+
+
+def write_task_outputs(
+    outputs: dict[str, DataFrame],
+    destination_dir: str,
+    fmt: str = "csv",
+    single_file: bool = True,
+) -> None:
+    """Write the three task tables + errors — the ``solana-load-file``
+    output contract (FileOutput.py:157-183): each task to
+    ``{dest}/{task}`` and errors to ``{dest}/errors``."""
+    for name, df in outputs.items():
+        path = os.path.join(destination_dir, name)
+        if fmt == "csv":
+            write_csv(df, path, single_file=single_file)
+        elif fmt == "parquet":
+            write_parquet(df, path)
+        else:
+            raise ValueError(f"unknown format: {fmt}")

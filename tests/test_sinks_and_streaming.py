@@ -1,0 +1,112 @@
+"""Sinks (CSV append header semantics, task-output writing) and the
+streaming pipeline (foreachBatch reuse of batch tasks) + stateful
+sessionization."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from solana_etl_spark.sinks import append_csv, write_task_outputs
+from tests.conftest import BLOCK_110130000
+
+
+def _csv_rows(path):
+    rows = []
+    for f in sorted(glob.glob(os.path.join(path, "*.csv"))):
+        with open(f) as fh:
+            rows.extend(line.rstrip("\n") for line in fh if line.strip())
+    return rows
+
+
+def test_append_csv_header_only_on_create(spark, tmp_path):
+    path = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    append_csv(df, path)
+    append_csv(spark.createDataFrame([(2, "b")], ["id", "v"]), path)
+    rows = _csv_rows(path)
+    # exactly one header line despite two appends (ExtractStreaming.py:28-33)
+    assert sum(1 for r in rows if r == "id,v") == 1
+    assert len(rows) == 3
+
+
+def test_write_task_outputs_csv(spark, tmp_path, blocks_raw):
+    from solana_etl_spark.plans.tasks import run_all_tasks
+
+    out = run_all_tasks(blocks_raw)
+    write_task_outputs(out, str(tmp_path), fmt="csv")
+    for name in ("transactions", "transfers", "blocks", "errors"):
+        assert glob.glob(str(tmp_path / name / "*.csv")), name
+    # e2e shape parity: 394+194 transfer rows + 1 header
+    assert len(_csv_rows(str(tmp_path / "transfers"))) == 588 + 1
+
+
+def test_streaming_load_matches_batch(spark, tmp_path):
+    """ST2 parity: the streaming path produces the same rows as batch."""
+    import shutil
+
+    from solana_etl_spark.streaming.pipeline import start_streaming_load
+
+    blocks_dir = tmp_path / "blocks"
+    blocks_dir.mkdir()
+    shutil.copy(BLOCK_110130000, blocks_dir / "110130000.json.gz")
+
+    dest = str(tmp_path / "dest")
+    q = start_streaming_load(spark, str(blocks_dir), dest)
+    q.awaitTermination(120)
+    assert not q.isActive or q.awaitTermination(60)
+
+    transfers = _csv_rows(os.path.join(dest, "transfers"))
+    assert len(transfers) == 394 + 1
+    transactions = _csv_rows(os.path.join(dest, "transactions"))
+    assert len(transactions) == 3439 + 1
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization over a rate-limited file stream:
+    closed sessions are emitted with correct event counts."""
+    import pandas as pd
+
+    from solana_etl_spark.streaming.sessionize_stream import sessionize_stateful
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # user 1: two sessions (gap 1h between event 2 and 3); user 2: one session
+    for uid, offsets in ((1, [0, 60, 7200, 7260]), (2, [0, 30])):
+        for off in offsets:
+            rows.append(
+                {
+                    "user_id": uid,
+                    "ts": (base + pd.Timedelta(seconds=off)).isoformat(),
+                }
+            )
+    pd.DataFrame(rows).to_json(src / "events.json", orient="records", lines=True)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .json(str(src))
+    )
+    sessions = sessionize_stateful(stream, gap_seconds=1800)
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # only user 1's FIRST session closes within the batch (second stays open
+    # in state awaiting timeout; user 2's single session also stays open)
+    assert (1, 2) in got
