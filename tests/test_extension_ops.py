@@ -1,0 +1,130 @@
+"""Semantic unit tests for the LLM-pipeline extension operators on
+constructed inputs (the oracle harness checks cross-engine equality; these
+check the *semantics* — dups found, near-dups ranked, quality flagged)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+import pyspark.sql.functions as F
+
+DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),  # exact dup
+    (2, "the quick brown fox jumps over the lazy cat", "en", "s0", 44),  # near dup
+    (3, "completely different content about spark engines", "en", "s0", 48),
+    (4, "el zorro marron salta sobre el perro perezoso que duerme", "es", "s0", 56),
+    (5, "THE  Quick   Brown Fox Jumps Over the Lazy Dog  ", "en", "s0", 49),  # ws/case dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).cache()
+
+
+def test_exact_dedup_normalization(docs_df):
+    from solana_etl_spark.operators.dedup import exact_dedup
+
+    groups = {r.keeper_doc_id: r.n_copies for r in exact_dedup(docs_df).collect()}
+    # 0, 1, and 5 (case/whitespace variants) collapse to keeper 0
+    assert groups[0] == 3
+    assert groups[2] == 1
+
+
+def test_minhash_identical_and_near(docs_df):
+    from solana_etl_spark.operators.dedup import minhash_signatures
+
+    sigs = {r.doc_id: [r[f"h{i}"] for i in range(8)] for r in
+            minhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    overlap_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    overlap_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert overlap_near > overlap_far  # near dup shares more minhashes
+
+
+def test_minhash_lsh_finds_dup_pair(docs_df):
+    from solana_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs_df).collect()}
+    assert (0, 1) in pairs
+
+
+def test_simhash_hamming_ranks_similarity(docs_df):
+    from solana_etl_spark.operators.dedup import simhash
+
+    s = {r.doc_id: r.simhash for r in simhash(docs_df).collect()}
+    assert s[0] == s[1]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(s[0], s[2]) < ham(s[0], s[3])
+
+
+def test_ngram_jaccard_scores(docs_df):
+    from solana_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_quality_and_lang(docs_df):
+    from solana_etl_spark.operators.text import lang_id, quality_score
+
+    q = {r.doc_id: r for r in quality_score(docs_df).collect()}
+    assert q[0].stopword_ratio > 0  # 'the' hits
+    langs = {r.doc_id: r.predicted_lang for r in lang_id(docs_df).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "es"
+
+
+def test_fingerprint_stability(docs_df):
+    from solana_etl_spark.operators.text import fingerprint
+
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs_df).collect()}
+    assert fp[0] == fp[1] and fp[0] == fp[5]  # normalization-stable
+    assert fp[0] != fp[3]
+
+
+def test_similarity_constructed(spark):
+    from solana_etl_spark.operators.similarity import (
+        cosine_topk,
+        embedding_neardup_pairs,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.04, 0.0, 0.0], 0),  # nearly identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),  # orthogonal
+        (3, [0.7, 0.7, 0.0, 0.0], 1),  # diagonal, other label
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    top = cosine_topk(emb, k=2).collect()
+    assert [r.vec_id for r in top] == [1, 3]  # nearest first, by cosine to vec 0
+    pairs = {(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(emb, 0.9).collect()}
+    assert pairs == {(0, 1)}  # same-label near dup only
+
+
+def test_multimodal_features(spark):
+    from solana_etl_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello", "en", "s0", 5), (1, "wörld", "de", "s0", 5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    feats = {r.media_id: r for r in extract_features(documents_as_media(docs)).collect()}
+    assert feats[0].content_md5 == hashlib.md5(b"hello").hexdigest()
+    assert feats[1].n_bytes == len("wörld".encode())  # utf-8 bytes, not chars
+    assert feats[0].width > 0 and feats[0].height > 0
