@@ -30,6 +30,7 @@ from solana_etl_spark.functions.hashing import (
     hashes_expr,
     minhash_from_hashes,
 )
+from solana_etl_spark.functions.parallelism import ensure_compute_parallelism
 from solana_etl_spark.operators.text import NGRAM_N, char_ngrams, tokens
 
 MINHASH_K = 8  # signature length
@@ -85,7 +86,7 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     projection (`_hashes` is referenced k times, so CollapseProject keeps the
     boundary); the k permutations are then plain int64 mul/add/mod passes.
     """
-    with_hashes = documents.select(
+    with_hashes = ensure_compute_parallelism(documents).select(
         "doc_id", hashes_expr(word_shingles()).alias("_hashes")
     )
     return with_hashes.select(
@@ -121,16 +122,29 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.sig")
-    # keep the pair-expansion parallel (AQE would coalesce the small input
-    # to one partition — the expansion is the expensive part, not the input)
+    # Two scale measures on the pair-expansion self-join:
+    # 1. explicit repartition — AQE would coalesce the small INPUT to one
+    #    partition even though the join OUTPUT explodes;
+    # 2. salting — popular signatures form giant buckets whose quadratic
+    #    expansion would otherwise serialize in one task. The probe side is
+    #    salted by doc_id; the build side replicates each row across all
+    #    salts, splitting every bucket's expansion N_SALTS ways.
+    n_salts = 8
     parallelism = bands.sparkSession.sparkContext.defaultParallelism
-    a = bands.repartition(parallelism, "band", "sig").alias("a")
-    b = bands.alias("b")
+    a = (
+        bands.withColumn("salt", (F.col("doc_id") % n_salts).cast("int"))
+        .repartition(parallelism, "band", "sig", "salt")
+        .alias("a")
+    )
+    b = bands.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -145,7 +159,7 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     over distinct word tokens. Pure per-row expressions."""
     toks = F.array_distinct(tokens(F.col("text")))
     # materialize token hashes once; 16 bit-sum passes reuse the array
-    with_hashes = documents.select(
+    with_hashes = ensure_compute_parallelism(documents).select(
         "doc_id", F.transform(toks, hash32).alias("_hashes")
     )
 
@@ -198,7 +212,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct char n-gram sets via an inverted-index
     join (explode → join on ngram → count per pair), restricted to pairs
     sharing (lang, source) to bound the candidate space."""
-    grams = documents.select(
+    grams = ensure_compute_parallelism(documents).select(
         "doc_id",
         "lang",
         "source",

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from solana_etl_spark.functions.parallelism import ensure_compute_parallelism
+
 COSINE_NEARDUP_THRESHOLD = 0.95
 TOPK = 10
 LSH_SIGN_BITS = 8
@@ -55,7 +57,7 @@ def normalized(embeddings: DataFrame) -> DataFrame:
     mirrors this exact normalize-then-dot formula (float division order
     matters bit-for-bit)."""
     emb = F.col("embedding")
-    return embeddings.withColumn(
+    return ensure_compute_parallelism(embeddings).withColumn(
         "_nemb",
         F.transform(emb, lambda x: x.cast("double") / _norm(emb)),
     )
