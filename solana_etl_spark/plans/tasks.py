@@ -44,7 +44,9 @@ def _json_int_map(txs: DataFrame, mode_expr) -> Column:
     def per_mint(m: Column) -> Column:
         changes_m = F.filter(F.col("token_changes"), lambda c: c["mint"] == m)
         total = F.aggregate(
-            changes_m, F.lit(0).cast("long"), lambda acc, c: acc + mode_expr(c["change"])
+            changes_m,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, c: acc + mode_expr(c["change"]),
         )
         scale = F.element_at(changes_m, 1)["scale"]
         return F.struct(m.alias("key"), (total / F.pow(F.lit(10.0), scale)).alias("value"))

@@ -159,7 +159,9 @@ def transactions_view(blocks_raw: DataFrame) -> DataFrame:
             F.coalesce(post_b["mint"], pre_b["mint"]).alias("mint"),
             pre_amt.alias("pre"),
             post_amt.alias("post"),
-            (post_amt - pre_amt).cast("long").alias("change"),
+            # u64 − u64 spans ±2^64: decimal(21,0) keeps it exact (a long
+            # would wrap — found by the hypothesis model-equivalence test)
+            (post_amt - pre_amt).alias("change"),
             F.coalesce(
                 post_b["uiTokenAmount"]["decimals"], pre_b["uiTokenAmount"]["decimals"]
             )

@@ -68,7 +68,7 @@ def test_token_balance_changes_map(txs_110130000):
         .select("c.pubkey", "c.change", "c.scale")
         .collect()
     )
-    got = {r.pubkey: r.change / 10**r.scale for r in rows}
+    got = {r.pubkey: float(r.change) / 10**r.scale for r in rows}
     assert got == pytest.approx(
         {
             "5cR1yJcjMaHLAPMqXEZc6zaTazn1fiDctXG39crTUfq3": 0.284203,
@@ -102,7 +102,7 @@ def _token_totals(txs, signature, mode):
         )
         .collect()
     )
-    return {r.mint: r.v / 10**r.scale for r in rows}
+    return {r.mint: float(r.v) / 10**r.scale for r in rows}
 
 
 def test_total_token_changes_modes(txs_110130000):
