@@ -212,6 +212,14 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct char n-gram sets via an inverted-index
     join (explode → join on ngram → count per pair), restricted to pairs
     sharing (lang, source) to bound the candidate space."""
+    # Inverted-index join + per-pair shared-gram count. The (pairs ×
+    # shared-grams) intermediate never materializes: the groupBy partial-
+    # aggregates it map-side inside the join stage. (A candidates-then-
+    # array_intersect variant was measured 2× slower — the distinct shuffle
+    # costs more than the fused partial aggregation.)
+    # NOTE: no derived-column prefilters inside the join condition — Catalyst
+    # inlines single-use aliases into the condition, re-evaluating them per
+    # candidate pair (measured 20×+ slowdown with size(char_ngrams()) there).
     grams = ensure_compute_parallelism(documents).select(
         "doc_id",
         "lang",
@@ -219,13 +227,8 @@ def ngram_jaccard_pairs(
         F.explode(char_ngrams("text", NGRAM_N)).alias("ngram"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    # The inverted-index join multiplies rows ~|docs-per-gram|×: its INPUT is
-    # small, so AQE would coalesce the probe side to one partition and
-    # serialize the whole pair-expansion. An explicit repartition (exempt
-    # from AQE coalescing) keeps the expansion parallel.
-    # NOTE: no derived-column prefilters inside the join condition — Catalyst
-    # inlines single-use aliases into the condition, re-evaluating them per
-    # candidate pair (measured 20×+ slowdown with size(char_ngrams()) there).
+    # explicit repartition: AQE would coalesce the small probe input to one
+    # partition even though the join output explodes
     parallelism = grams.sparkSession.sparkContext.defaultParallelism
     a = grams.repartition(parallelism, "ngram").alias("a")
     b = grams.alias("b")
@@ -242,9 +245,11 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "grams_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "grams_b"), "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
