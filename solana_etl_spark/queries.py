@@ -465,6 +465,30 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a12_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grouping_level
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (grouping sets family — absent in the
+    reference, free in Spark; SURVEY §2.4 'absent' row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("grouping_level"),
+    )
+
+
+@_register(
     "t3_explode_json",
     """
     SELECT event_type,
