@@ -59,6 +59,7 @@ def cmd_load_file(argv: list[str]) -> int:
         args.destination_dir,
         fmt=args.destination_format,
         single_file=args.single_file,
+        keep_subdirs=args.keep_subdirs,
     )
     spark.stop()
     return 0

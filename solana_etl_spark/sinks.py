@@ -68,17 +68,47 @@ def write_blocks_json(
     )
 
 
+def _slot_bucket(path_col, slots_per_bucket: int = SLOTS_PER_BUCKET):
+    return (
+        F.floor(
+            F.regexp_extract(path_col, r"(\d+)\.json", 1).cast("long")
+            / slots_per_bucket
+        )
+        * slots_per_bucket
+    ).cast("long")
+
+
 def write_task_outputs(
     outputs: dict[str, DataFrame],
     destination_dir: str,
     fmt: str = "csv",
     single_file: bool = True,
+    keep_subdirs: bool = False,
 ) -> None:
     """Write the three task tables + errors — the ``solana-load-file``
     output contract (FileOutput.py:157-183): each task to
-    ``{dest}/{task}`` and errors to ``{dest}/errors``."""
+    ``{dest}/{task}`` and errors to ``{dest}/errors``.
+
+    ``keep_subdirs`` mirrors the reference's one-output-per-source-subdir
+    mode (FileOutput.py:93-126): outputs are partitioned by the slot bucket
+    derived from the block-file name. At scale this is also the right
+    physical layout — time/slot-range queries prune whole partitions.
+    """
     for name, df in outputs.items():
         path = os.path.join(destination_dir, name)
+        if keep_subdirs:
+            src = df["block"] if "block" in df.columns else df["path"]
+            partitioned = df.withColumn("slot_bucket", _slot_bucket(src))
+            if fmt == "csv":
+                (
+                    partitioned.write.mode("overwrite")
+                    .partitionBy("slot_bucket")
+                    .option("header", True)
+                    .csv(path)
+                )
+            else:
+                partitioned.write.mode("overwrite").partitionBy("slot_bucket").parquet(path)
+            continue
         if fmt == "csv":
             write_csv(df, path, single_file=single_file)
         elif fmt == "parquet":
