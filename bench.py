@@ -25,6 +25,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_revenue_by_nation",
+    "q6_forecast_revenue",
     "a9_conditional_rollup",
     "m1_balance_modes",
     "j2_full_outer_coalesce",
@@ -40,6 +41,7 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "st_sessionize",
+    "pipeline_clean_corpus",
 ]
 
 

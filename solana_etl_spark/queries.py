@@ -183,6 +183,36 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate pushes into the parquet scan; the
+    aggregate is a single map-side-combined global sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_register(
     "f1_filter_project",
     """
     SELECT o_orderkey, o_custkey, o_orderpriority,
@@ -677,6 +707,63 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _clean_corpus_oracle() -> str:
+    k, band_rows = dedup.MINHASH_K, dedup.LSH_BAND_ROWS
+    n_bands = k // band_rows
+    sig_cols = ",\n               ".join(
+        f"{minhash_sql(_SHINGLES_SQL, i)} AS h{i}" for i in range(k)
+    )
+    band_rows_sql = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(h{b * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    quality_cond = (
+        f"len({_TOKENS_SQL}) >= 10"
+        " AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[^\\w\\s]', '', 'g'))) / length(trim(text)), 6) <= 0.2"
+        " AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[0-9]', '', 'g'))) / length(trim(text)), 6) <= 0.3"
+    )
+    return f"""
+    WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+    bands AS ({band_rows_sql}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                GROUP BY {hash64_sql(_NORM_SQL)}),
+    quality AS (SELECT doc_id FROM documents WHERE {quality_cond})
+    SELECT q.doc_id FROM quality q
+    WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+      AND q.doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+
+
+@_register("pipeline_clean_corpus", _clean_corpus_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline: quality filter →
+    exact-dedup keepers → near-dup (MinHash LSH) removal. One declarative
+    plan; every stage is the operator validated individually above."""
+    from solana_etl_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from solana_etl_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ids = quality_score(docs).filter("is_quality").select("doc_id")
+    keepers = exact_dedup(docs).select(F.col("keeper_doc_id").alias("doc_id"))
+    drops = minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    return quality_ids.join(keepers, "doc_id", "left_semi").join(
+        drops, "doc_id", "left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------
