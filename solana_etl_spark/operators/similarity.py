@@ -109,6 +109,37 @@ def embedding_neardup_pairs(
     )
 
 
+def ann_bucketed_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket (IVF-style
+    probe). At scale the bucket column is the partition key, so a probe
+    reads one partition instead of the corpus; recall is traded for a
+    ~2^bits scan reduction. Same deterministic scoring as the exact path."""
+    nemb = normalized(embeddings)
+    buckets = lsh_sign_buckets(embeddings, LSH_SIGN_BITS).select("vec_id", "bucket")
+    scored_space = nemb.join(buckets, "vec_id")
+    q = (
+        scored_space.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("_nemb").alias("q_vec"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    candidates = scored_space.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            F.round(_dot(F.col("_nemb"), F.col("q_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_sign_buckets(embeddings: DataFrame, bits: int = LSH_SIGN_BITS) -> DataFrame:
     """Deterministic sign-projection LSH bucket per vector: bit j compares
     coordinate j against coordinate j+bits (a fixed, data-independent

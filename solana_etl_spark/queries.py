@@ -819,7 +819,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
-def _lsh_bucket_sql(bits: int) -> str:
+def _lsh_bucket_sql_expr(bits: int) -> str:
     terms = [
         f"(CASE WHEN embedding[{j + 1}]::DOUBLE > embedding[{j + 1 + bits}]::DOUBLE"
         f" THEN {1 << j} ELSE 0 END)"
@@ -829,10 +829,31 @@ def _lsh_bucket_sql(bits: int) -> str:
 
 
 @_register(
+    "sim_ann_bucketed",
+    f"""
+    WITH {_NEMB_CTE},
+    buckets AS (
+        SELECT vec_id, CAST({_lsh_bucket_sql_expr(similarity.LSH_SIGN_BITS)} AS BIGINT) AS bucket FROM embeddings
+    ),
+    space AS (SELECT n.vec_id, n.v, b.bucket FROM nemb n JOIN buckets b USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, v AS q_v, bucket AS q_bucket FROM space ORDER BY vec_id LIMIT 1)
+    SELECT a.vec_id,
+           ROUND(list_reduce([a.v[i] * b.q_v[i] for i in generate_series(1, len(a.v))], (x, y) -> x + y), 6) AS cosine_sim
+    FROM space a, q b
+    WHERE a.bucket = b.q_bucket AND a.vec_id <> b.q_id
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT {similarity.TOPK}
+    """,
+)
+def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_bucketed_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
     "sim_lsh_buckets",
     f"""
     SELECT vec_id, label,
-           CAST({_lsh_bucket_sql(similarity.LSH_SIGN_BITS)} AS BIGINT) AS bucket
+           CAST({_lsh_bucket_sql_expr(similarity.LSH_SIGN_BITS)} AS BIGINT) AS bucket
     FROM embeddings
     """,
 )
