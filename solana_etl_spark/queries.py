@@ -562,6 +562,80 @@ def x1_semantic_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a13_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           ROUND(MIN(o_totalprice), 6) AS min_price,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — identical definition in
+    both engines). The approx_percentile variant exists for the 100 TB path
+    but can't be oracle-matched, so the exact form is the checked one."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+
+
+@_register(
+    "m11_string_funcs",
+    """
+    SELECT upper(substr(p_type, 1, 5)) AS type_prefix,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           COUNT(*) AS n_parts,
+           MAX(length(p_name)) AS max_name_len
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def m11_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (upper/substring/regexp_extract/length) —
+    'free in Spark' per SURVEY §2.7 'absent' row."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy(
+        F.upper(F.substring("p_type", 1, 5)).alias("type_prefix"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max(F.length("p_name")).alias("max_name_len"),
+    )
+
+
+@_register(
+    "m12_date_funcs",
+    """
+    SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+           CAST(isodow(o_orderdate) AS INT) AS first_seen_dow,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate = date_trunc('month', o_orderdate)
+    GROUP BY 1, 2, 3
+    """,
+)
+def m12_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: trunc comparison + ISO day-of-week
+    (Spark weekday()+1 ≡ DuckDB isodow)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") == F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            (F.weekday("o_orderdate") + 1).cast("int").alias("first_seen_dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. Dedup family (charter §2.11)
 # ---------------------------------------------------------------------------
