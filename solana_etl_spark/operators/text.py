@@ -105,6 +105,58 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return scored.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, ASCII simplification kept
+# identical across Java/RE2 regex engines): contractions, space-prefixed
+# letter runs, space-prefixed digit runs, punctuation runs
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+WINNOW_K = 5  # char-gram length for winnowing
+WINNOW_W = 4  # window of consecutive gram hashes
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Token counts under a BPE-ish regex pre-tokenizer vs whitespace —
+    the cost estimator every training-data pipeline runs before a real
+    tokenizer pass."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    ws = tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(F.size(toks) / F.size(ws), 6).alias("bpe_per_word"),
+    )
+
+
+def winnow_fingerprint(documents: DataFrame) -> DataFrame:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken, MOSS): rolling
+    k-gram hashes, minimum per sliding window of w, distinct minima as the
+    document's fingerprint set. Robust to local edits; the standard
+    plagiarism/near-dup sketch."""
+    s = "lower(trim(text))"
+    a, b = MINHASH_PERMS[1]
+    hashes = (
+        f"transform(sequence(1, greatest(length({s}) - {WINNOW_K - 1}, 1)),"
+        f" i -> (cast(conv(substring(md5(substring({s}, i, {WINNOW_K})), 1, 8), 16, 10) as bigint)"
+        f" * {a}L + {b}L) % 4294967291L)"
+    )
+    # materialize the hash sequence once (`_hs` referenced twice below keeps
+    # the projection boundary — otherwise the md5 chain re-evaluates per
+    # window)
+    with_hashes = documents.select("doc_id", F.expr(hashes).alias("_hs"))
+    mins = (
+        f"transform(sequence(1, greatest(size(_hs) - {WINNOW_W - 1}, 1)),"
+        f" j -> array_min(slice(_hs, j, {WINNOW_W})))"
+    )
+    return with_hashes.select(
+        "doc_id",
+        F.expr(
+            f"concat_ws(',', transform(array_sort(array_distinct({mins})),"
+            " h -> cast(h as string)))"
+        ).alias("winnow_fp"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """k-min-sketch document fingerprint: the FINGERPRINT_K smallest distinct
     char-ngram hashes, comma-joined (stable, order-insensitive to text

@@ -1024,6 +1024,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+_BPE_SQL = text_ops.BPE_PATTERN.replace("'", "''")
+
+
+@_register(
+    "text_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           len({_TOKENS_SQL}) AS n_ws_tokens,
+           ROUND(len(regexp_extract_all(text, '{_BPE_SQL}'))
+                 / len({_TOKENS_SQL}), 6) AS bpe_per_word
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _winnow_oracle() -> str:
+    s = "lower(trim(text))"
+    a, b = MINHASH_PERMS[1]
+    k, w = text_ops.WINNOW_K, text_ops.WINNOW_W
+    hashes = (
+        f"[({hash32_sql(f'substr({s}, i, {k})')} * {a} + {b}) % 4294967291 "
+        f"for i in generate_series(1, greatest(length({s}) - {k - 1}, 1))]"
+    )
+    return f"""
+    WITH hs AS (SELECT doc_id, {hashes} AS h FROM documents)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+               [list_min(h[j:j+{w - 1}]) for j in generate_series(1, greatest(len(h) - {w - 1}, 1))]
+           )), ',') AS winnow_fp
+    FROM hs
+    """
+
+
+@_register("text_winnow_fingerprint", _winnow_oracle())
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.winnow_fingerprint(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # 5. Multimodal + sessionization (charter §2.11 / §2.10)
 # ---------------------------------------------------------------------------
