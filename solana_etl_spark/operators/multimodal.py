@@ -78,6 +78,110 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     return (len(payload) % 640 + 1, len(payload) % 480 + 1)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("src_width", LongType()),
+        StructField("src_height", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+FRAME_SIZE = 64
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel: decode is faked (`_decode_stub`), the "resized
+    image" is the payload cyclically resampled to exactly width*height
+    bytes — deterministic, size-correct, and cheap. A real deployment
+    replaces this with PIL `Image.resize`.
+    """
+    if payload is None:
+        raise NotImplementedError("no payload")
+    n = width * height
+    if len(payload) == 0:
+        return b"\x00" * n
+    reps = n // len(payload) + 1
+    return (payload * reps)[:n]
+
+
+def resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Arrow-batched resize stage via ``mapInPandas`` (charter: decode /
+    feature-extract / **resize** / frame-sample). Decode+resample are
+    stubbed (no codecs in-container) but the Spark plumbing is real:
+    binary in, fixed-size binary out, declared schema, batch streaming.
+    Emits the resized content hash rather than the raw bytes so results
+    stay comparable across engines.
+    """
+    import hashlib
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_stub(p) for p in pdf["payload"]]
+            resized = [_resize_stub(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "src_width": [d[0] for d in dims],
+                    "src_height": [d[1] for d in dims],
+                    "width": width,
+                    "height": height,
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame sampling as a one-to-many ``mapInPandas`` stage (charter:
+    decode / feature-extract / resize / **frame-sample**): the payload is
+    treated as a frame container of fixed ``frame_size``-byte frames and
+    every ``stride``-th frame is emitted as its own row. This is the UDTF
+    batch shape (rows out > rows in) a video frame sampler uses; only the
+    container parsing is simplified — positional chunking — which keeps the
+    kernel SQL-expressible and therefore oracle-checkable end to end.
+    """
+    import hashlib
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(0, (len(payload) + frame_size - 1) // frame_size, stride):
+                    frame = payload[i * frame_size : (i + 1) * frame_size]
+                    ids.append(media_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Arrow-batched decode/feature stage via ``mapInPandas`` — the canonical
     shape for Python-side media kernels: batches stream through Arrow, rows

@@ -1118,3 +1118,43 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_features(documents_as_media(_t(spark, sf_dir, "documents")))
+
+
+# mapInPandas resize: decode stub is Python-only — rows-only check
+@_register("mm_resize", None)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_etl_spark.operators.multimodal import documents_as_media, resize
+
+    return resize(documents_as_media(_t(spark, sf_dir, "documents")))
+
+
+# Frame sampling is positional chunking → fully SQL-expressible, so the
+# one-to-many mapInPandas kernel gets a real value-hash oracle (documents
+# are ASCII, so VARCHAR substring/md5 == byte-wise slicing/md5).
+@_register(
+    "mm_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT media_id, text, n_bytes,
+               unnest(generate_series(
+                   0, CAST(floor((n_bytes - 1) / 64.0) AS BIGINT), 4
+               )) AS frame_idx
+        FROM m
+    )
+    SELECT media_id, frame_idx,
+           CAST(least(64, n_bytes - frame_idx * 64) AS BIGINT) AS frame_len,
+           md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_etl_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    return sample_frames(documents_as_media(_t(spark, sf_dir, "documents")))

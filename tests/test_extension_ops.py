@@ -128,3 +128,41 @@ def test_multimodal_features(spark):
     assert feats[0].content_md5 == hashlib.md5(b"hello").hexdigest()
     assert feats[1].n_bytes == len("wörld".encode())  # utf-8 bytes, not chars
     assert feats[0].width > 0 and feats[0].height > 0
+
+
+def test_multimodal_resize_and_frames(spark):
+    from solana_etl_spark.operators.multimodal import (
+        documents_as_media,
+        resize,
+        sample_frames,
+    )
+
+    long_text = "abcdefgh" * 40  # 320 bytes → frames 0..4, sampled {0, 4}
+    docs = spark.createDataFrame(
+        [(0, "hello", "en", "s0", 5), (1, long_text, "en", "s0", 320)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = documents_as_media(docs)
+
+    rs = {r.media_id: r for r in resize(media, width=8, height=4).collect()}
+    # resized hash = payload cyclically resampled to exactly 8*4 bytes
+    expect = hashlib.md5((b"hello" * 7)[:32]).hexdigest()
+    assert rs[0].resized_md5 == expect
+    assert (rs[0].width, rs[0].height) == (8, 4)
+    assert rs[0].src_width > 0 and rs[0].src_height > 0
+
+    frames = sorted(
+        sample_frames(media, frame_size=64, stride=4).collect(),
+        key=lambda r: (r.media_id, r.frame_idx),
+    )
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.media_id, []).append(r)
+    # 5-byte doc → one partial frame; 320-byte doc → frames {0, 4} of 0..4
+    assert [r.frame_idx for r in by_doc[0]] == [0]
+    assert by_doc[0][0].frame_len == 5
+    assert [r.frame_idx for r in by_doc[1]] == [0, 4]
+    assert by_doc[1][1].frame_len == 64  # 320 - 4*64 = 64 exactly
+    payload = long_text.encode()
+    assert by_doc[1][0].frame_md5 == hashlib.md5(payload[:64]).hexdigest()
+    assert by_doc[1][1].frame_md5 == hashlib.md5(payload[256:320]).hexdigest()
