@@ -386,6 +386,51 @@ def j2_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j6_asof_join",
+    """
+    WITH v AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id AS click_id, c.user_id, v.view_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent in reference and in Spark's join types — SURVEY
+    §2.3): attribute each click to the user's most recent earlier-or-equal
+    view. Union + running-window formulation (operators/asof.py): one
+    shuffle by user_id, linear in input — vs the quadratic range-join
+    naive form. Views pre-deduped to one per (user, ts) so the tie-break
+    is deterministic in both engines; oracle is DuckDB's native ASOF JOIN.
+    """
+    from solana_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return asof_join(
+        clicks, views, keys=["user_id"], left_ts="ts", right_ts="ts"
+    ).select(
+        "click_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+@_register(
     "m8_bucket_rollup",
     """
     SELECT (event_id // 1000) * 1000 AS bucket,

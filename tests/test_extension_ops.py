@@ -166,3 +166,42 @@ def test_multimodal_resize_and_frames(spark):
     payload = long_text.encode()
     assert by_doc[1][0].frame_md5 == hashlib.md5(payload[:64]).hexdigest()
     assert by_doc[1][1].frame_md5 == hashlib.md5(payload[256:320]).hexdigest()
+
+
+def test_asof_join_semantics(spark):
+    from solana_etl_spark.operators.asof import asof_join
+
+    mk_ts = F.to_timestamp
+    quotes = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:00", 100.0),
+            ("A", "2024-01-01 10:05:00", 101.0),
+            ("B", "2024-01-01 10:02:00", 50.0),
+        ],
+        ["sym", "qts", "price"],
+    ).withColumn("qts", mk_ts("qts"))
+    trades = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 10:03:00"),  # → 10:00 quote
+            (2, "A", "2024-01-01 10:05:00"),  # equal ts is inclusive → 10:05
+            (3, "B", "2024-01-01 10:01:00"),  # before any quote → unmatched
+            (4, "C", "2024-01-01 10:00:00"),  # key never quoted → unmatched
+        ],
+        ["trade_id", "sym", "tts"],
+    ).withColumn("tts", mk_ts("tts"))
+
+    inner = {
+        r.trade_id: r.price
+        for r in asof_join(trades, quotes, ["sym"], "tts", "qts").collect()
+    }
+    assert inner == {1: 100.0, 2: 101.0}
+
+    left = {
+        r.trade_id: r.price
+        for r in asof_join(trades, quotes, ["sym"], "tts", "qts", how="left").collect()
+    }
+    assert left == {1: 100.0, 2: 101.0, 3: None, 4: None}
+
+    with pytest.raises(ValueError):
+        # right payload column collides with a left column name
+        asof_join(trades.withColumn("price", F.lit(0.0)), quotes, ["sym"], "tts", "qts")
