@@ -431,6 +431,56 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j7_range_join",
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    ),
+    iv AS (
+        SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM s GROUP BY user_id, session_id
+    ),
+    err AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+    SELECT err.event_id, COUNT(*) AS n_active_sessions
+    FROM err JOIN iv ON err.ts >= iv.start_ts AND err.ts <= iv.end_ts
+    GROUP BY err.event_id
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (absent in reference — SURVEY §2.3): for each
+    error event, how many sessions (any user) were active at that instant.
+    Spark side uses the bucketized equi-join (operators/rangejoin.py) —
+    hash join on time bucket + exact containment filter — where the naive
+    BETWEEN join would be a cartesian BNLJ. Oracle: DuckDB's native
+    inequality (IE) join.
+    """
+    from solana_etl_spark.operators.rangejoin import interval_point_join
+    from solana_etl_spark.operators.sessionize import session_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = session_intervals(ev).select(
+        F.col("user_id").alias("s_user"), "session_id", "start_ts", "end_ts"
+    )
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    return (
+        interval_point_join(err, iv, "ts", "start_ts", "end_ts", bucket_seconds=3600)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_active_sessions"))
+    )
+
+
+@_register(
     "m8_bucket_rollup",
     """
     SELECT (event_id // 1000) * 1000 AS bucket,

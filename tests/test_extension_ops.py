@@ -205,3 +205,36 @@ def test_asof_join_semantics(spark):
     with pytest.raises(ValueError):
         # right payload column collides with a left column name
         asof_join(trades.withColumn("price", F.lit(0.0)), quotes, ["sym"], "tts", "qts")
+
+
+def test_interval_point_join_semantics(spark):
+    from solana_etl_spark.operators.rangejoin import interval_point_join
+
+    iv = spark.createDataFrame(
+        [
+            (10, "2024-01-01 10:00:00", "2024-01-01 13:30:00"),  # spans 4 buckets
+            (11, "2024-01-01 11:00:00", "2024-01-01 11:00:00"),  # zero-length
+        ],
+        ["iv_id", "start_ts", "end_ts"],
+    ).select("iv_id", F.to_timestamp("start_ts").alias("start_ts"),
+             F.to_timestamp("end_ts").alias("end_ts"))
+    pts = spark.createDataFrame(
+        [
+            (1, "2024-01-01 11:00:00"),  # inside both (inclusive bounds)
+            (2, "2024-01-01 13:30:00"),  # exactly at end → inside iv 10
+            (3, "2024-01-01 09:59:59"),  # just before → no match
+            (4, "2024-01-01 14:00:00"),  # after → no match
+        ],
+        ["pt_id", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = sorted(
+        (r.pt_id, r.iv_id)
+        for r in interval_point_join(pts, iv, "ts", "start_ts", "end_ts", 3600).collect()
+    )
+    # each qualifying pair exactly once, even though iv 10 spans 4 buckets
+    assert got == [(1, 10), (1, 11), (2, 10)]
+
+    with pytest.raises(ValueError):
+        interval_point_join(pts.withColumnRenamed("pt_id", "iv_id"), iv,
+                            "ts", "start_ts", "end_ts")
