@@ -1,0 +1,96 @@
+"""Deterministic sampling and sketching for training-data pipelines
+(charter §2.11) — the operations a 100 TB corpus build runs constantly:
+reproducible held-out splits, per-stratum data mixing, and cheap
+cardinality estimates.
+
+Everything here is keyed on the cross-engine hash family
+(functions/hashing.py), NOT on ``rand()``:
+
+* re-running the pipeline (or re-running one failed partition — Spark task
+  retries!) selects the SAME rows; ``rand()``-based sampling silently
+  breaks exactly-once semantics under retries;
+* train/held-out membership is a pure function of the row key, so
+  downstream jobs can recompute it without a membership table;
+* every operator is value-checkable against DuckDB (same md5 math).
+
+Scale shapes: hash_sample is a stateless per-row filter (pushdown-friendly,
+zero shuffle). stratified_sample is one window per stratum key (single
+shuffle). kmv_distinct is a distinct + global top-k (TakeOrdered — partial
+per-partition top-k, no full sort), the classic KMV sketch [Bar-Yossef et
+al. 2002] whose estimate, unlike HLL implementations, is bit-reproducible
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solana_etl_spark.functions.hashing import hash64
+
+# hash_sample buckets: rate is expressed in 1/10000ths for exact integer
+# comparison (no float thresholds)
+SAMPLE_DENOM = 10000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Stable bucket in [0, SAMPLE_DENOM) for a row key (any type — hashed
+    via its canonical string form, identical in DuckDB)."""
+    return hash64(key.cast("string")) % SAMPLE_DENOM
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_bp: int) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes into the
+    first ``rate_bp`` of SAMPLE_DENOM buckets (rate_bp=500 → 5%). Stateless
+    per-row predicate — no shuffle, survives task retries, and the same
+    key always lands on the same side of a train/eval split."""
+    return df.filter(sample_bucket(F.col(key_col)) < rate_bp)
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum — the data-mixing
+    primitive (e.g. equal documents per language/source). Selection order
+    is the hash of the key → reproducible, unbiased within stratum, and
+    one window (single shuffle on the strata key)."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash64(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch: keep the k smallest distinct
+    60-bit hashes of ``col``; estimate = (k−1) / (kth_min / 2^60).
+
+    Scale shape: one distinct shuffle on the hash, then TakeOrdered (each
+    partition contributes its local k smallest — never a global sort).
+    Returns one row: (n_hashes, kth_hash, est_distinct). When the true
+    cardinality is < k the estimate is exact (= n_hashes).
+    """
+    hashes = df.select(hash64(F.col(col).cast("string")).alias("h")).distinct()
+    kmin = hashes.orderBy("h").limit(k)
+    return kmin.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "n_hashes",
+        "kth_hash",
+        F.when(
+            F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+        )
+        .otherwise(
+            F.round(
+                (F.lit(k) - 1)
+                / (F.col("kth_hash").cast("double") / F.lit(2.0 ** 60)),
+                4,
+            )
+        )
+        .alias("est_distinct"),
+    )

@@ -1161,6 +1161,78 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 4b. Deterministic sampling + sketching (charter: training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s1_hash_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {hash64_sql("CAST(doc_id AS VARCHAR)")} % 10000 < 500
+    """,
+)
+def s1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% Bernoulli sample keyed on doc_id hash — the
+    reproducible train/eval-split primitive (operators/sampling.py):
+    stateless per-row filter, no shuffle, retry-safe (vs rand())."""
+    from solana_etl_spark.operators.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 500).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register(
+    "s2_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def s2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per (lang, source) stratum, selected by key hash —
+    the data-mixing primitive; one window = one shuffle on the strata key."""
+    from solana_etl_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id", 20
+    ).select("doc_id", "lang", "source")
+
+
+@_register(
+    "a14_kmv_distinct",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT {hash64_sql("CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders
+    ),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT COUNT(*) AS n_hashes, MAX(h) AS kth_hash,
+           CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ROUND(255 / (CAST(MAX(h) AS DOUBLE) / POWER(2, 60)), 4)
+           END AS est_distinct
+    FROM k
+    """,
+)
+def a14_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (SURVEY §2.4 'approx aggregates: absent in
+    reference'). Unlike approx_count_distinct's HLL, the KMV estimate is
+    bit-reproducible cross-engine, so it keeps the value-hash oracle.
+    Plan: distinct shuffle on the 60-bit hash + TakeOrdered (per-partition
+    partial top-k — no global sort)."""
+    from solana_etl_spark.operators.sampling import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "orders"), "o_custkey", 256)
+
+
+# ---------------------------------------------------------------------------
 # 5. Multimodal + sessionization (charter §2.11 / §2.10)
 # ---------------------------------------------------------------------------
 

@@ -238,3 +238,32 @@ def test_interval_point_join_semantics(spark):
     with pytest.raises(ValueError):
         interval_point_join(pts.withColumnRenamed("pt_id", "iv_id"), iv,
                             "ts", "start_ts", "end_ts")
+
+
+def test_sampling_and_kmv(spark):
+    from solana_etl_spark.operators.sampling import (
+        hash_sample,
+        kmv_distinct,
+        stratified_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    s1 = sorted(r.k for r in hash_sample(df, "k", 1000).collect())  # 10%
+    s2 = sorted(r.k for r in hash_sample(df, "k", 1000).collect())
+    assert s1 == s2  # deterministic across runs
+    assert 100 < len(s1) < 300  # ~200 expected
+    wider = {r.k for r in hash_sample(df, "k", 2000).collect()}
+    assert set(s1) <= wider  # nested: raising the rate only adds rows
+
+    strat = stratified_sample(df, ["g"], "k", 5).groupBy("g").count().collect()
+    assert {r["count"] for r in strat} == {5}
+    small = stratified_sample(df.filter(F.col("k") < 2), ["g"], "k", 5)
+    assert small.count() == 2  # min(n, |stratum|)
+
+    # true cardinality below k → exact count, estimate == n
+    exact = kmv_distinct(df.filter(F.col("k") < 100), "k", k=256).collect()[0]
+    assert exact.n_hashes == 100 and exact.est_distinct == 100.0
+    est = kmv_distinct(df, "k", k=256).collect()[0].est_distinct
+    assert 1400 < est < 2600  # KMV error ~1/sqrt(k) ≈ 6%; generous bound
