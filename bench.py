@@ -42,6 +42,11 @@ HEADLINE = [
     "text_fingerprint",
     "st_sessionize",
     "pipeline_clean_corpus",
+    "j6_asof_join",
+    "j7_range_join",
+    "s2_stratified_sample",
+    "a14_kmv_distinct",
+    "mm_frame_sample",
 ]
 
 

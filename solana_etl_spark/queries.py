@@ -1160,6 +1160,47 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.winnow_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "a15_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation — §2.8 'free in Spark'): order
+    counts and money totals by priority × status. Explicit pivot values
+    skip the extra distinct-values job Spark otherwise runs; money goes
+    through DECIMAL(18,4) per the cross-engine float discipline."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("F"),
+        F.col("O_n").alias("O"),
+        F.col("P_n").alias("P"),
+        F.col("F_total"),
+        F.col("O_total"),
+        F.col("P_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4b. Deterministic sampling + sketching (charter: training-data pipeline)
 # ---------------------------------------------------------------------------
