@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from solana_etl_spark.functions.hashing import (
     hash32,
@@ -95,14 +96,14 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def lsh_bands(
     documents: DataFrame, k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (doc_a < doc_b) that collide in ≥1 LSH
-    band. Join is keyed by (band, band signature) — sub-quadratic."""
+    """(doc_id, band, sig): one row per document per LSH band — the banded
+    minhash signature. Per-row expressions only, zero shuffle."""
     sigs = minhash_signatures(documents, k)
     n_bands = k // band_rows
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -122,34 +123,58 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.sig")
-    # Two scale measures on the pair-expansion self-join:
-    # 1. explicit repartition — AQE would coalesce the small INPUT to one
-    #    partition even though the join OUTPUT explodes;
-    # 2. salting — popular signatures form giant buckets whose quadratic
-    #    expansion would otherwise serialize in one task. The probe side is
-    #    salted by doc_id; the build side replicates each row across all
-    #    salts, splitting every bucket's expansion N_SALTS ways.
-    n_salts = 8
-    parallelism = bands.sparkSession.sparkContext.defaultParallelism
-    a = (
-        bands.withColumn("salt", (F.col("doc_id") % n_salts).cast("int"))
-        .repartition(parallelism, "band", "sig", "salt")
-        .alias("a")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) that collide in ≥1 LSH
+    band.
+
+    Spark shape: ONE shuffle — group band rows by (band, sig), expand each
+    bucket's sorted doc list into its pairs per-row, distinct. This computes
+    the (md5-per-shingle) signatures once; the previous salted self-join
+    formulation computed them twice (once per join side) and shuffled three
+    times — measured 2.5× slower at sf0.1. Bucket pair expansion is
+    inherently quadratic in bucket size for ANY formulation that emits all
+    pairs; for dedup at scale use :func:`lsh_duplicate_ids`, which is linear.
+    """
+    bucket_docs = (
+        lsh_bands(documents, k, band_rows)
+        .groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_docs"))
+        .filter(F.size("_docs") > 1)
     )
-    b = bands.withColumn(
-        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
-    ).alias("b")
+    pairs = F.expr(
+        "flatten(transform(_docs, (x, i) -> "
+        "transform(slice(_docs, i + 2, size(_docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bucket_docs.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def lsh_duplicate_ids(
+    documents: DataFrame, k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
+) -> DataFrame:
+    """doc_ids to DROP under LSH near-dedup: every document that shares some
+    band bucket with a smaller doc_id (i.e. ``doc_b`` of at least one
+    candidate pair — exactly the pairs-based drop set, without materializing
+    pairs).
+
+    Scale shape: min-per-bucket + filter = linear in band rows, one shuffle,
+    no quadratic bucket expansion — safe even on degenerate buckets holding
+    millions of documents.
+    """
+    bands = lsh_bands(documents, k, band_rows)
+    bucket_min = F.min("doc_id").over(Window.partitionBy("band", "sig"))
+    return (
+        bands.withColumn("_min", bucket_min)
+        .filter(F.col("doc_id") > F.col("_min"))
+        .select("doc_id")
         .distinct()
     )
 
@@ -221,14 +246,14 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct char n-gram sets via an inverted-index
     join (explode → join on ngram → count per pair), restricted to pairs
     sharing (lang, source) to bound the candidate space."""
-    # Inverted-index join + per-pair shared-gram count. The (pairs ×
-    # shared-grams) intermediate never materializes: the groupBy partial-
-    # aggregates it map-side inside the join stage. (A candidates-then-
-    # array_intersect variant was measured 2× slower — the distinct shuffle
-    # costs more than the fused partial aggregation.)
-    # NOTE: no derived-column prefilters inside the join condition — Catalyst
-    # inlines single-use aliases into the condition, re-evaluating them per
-    # candidate pair (measured 20×+ slowdown with size(char_ngrams()) there).
+    # Inverted index as ONE scan: group postings by (ngram, lang, source),
+    # expand each posting list's sorted doc pairs per-row, then count per
+    # pair — the (pairs × shared-grams) stream partial-aggregates map-side in
+    # the same stage as the explode. The previous self-join formulation
+    # computed the n-gram explode twice (once per join side); this computes
+    # it once and shuffles postings once. (A candidates-then-array_intersect
+    # variant was measured 2× slower — the distinct shuffle costs more than
+    # the fused partial aggregation.)
     grams = ensure_compute_parallelism(documents).select(
         "doc_id",
         "lang",
@@ -236,22 +261,19 @@ def ngram_jaccard_pairs(
         F.explode(char_ngrams("text", NGRAM_N)).alias("ngram"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    # explicit repartition: AQE would coalesce the small probe input to one
-    # partition even though the join output explodes
-    parallelism = grams.sparkSession.sparkContext.defaultParallelism
-    a = grams.repartition(parallelism, "ngram").alias("a")
-    b = grams.alias("b")
+    postings = (
+        grams.groupBy("ngram", "lang", "source")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_docs"))
+        .filter(F.size("_docs") > 1)
+    )
+    pair_expand = F.expr(
+        "flatten(transform(_docs, (x, i) -> "
+        "transform(slice(_docs, i + 2, size(_docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.ngram") == F.col("b.ngram"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        postings.select(F.explode(pair_expand).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))

@@ -614,6 +614,109 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a16_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grouping_level
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^n grouping sets in ONE pass —
+    Spark expands the sets before the exchange, so it stays a single shuffle
+    (vs. n separate group-bys + union)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_value"),
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("long")
+        .alias("grouping_level"),
+    )
+
+
+@_register(
+    "w3_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           DATEDIFF('day',
+                    LAG(o_orderdate) OVER w,
+                    o_orderdate) AS days_since_prev
+    FROM orders WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offset functions (lag/lead — SURVEY §2.8 'absent in ref').
+    One window spec → one sort within one shuffle; the day-diff on the
+    lagged date is the sessionize-adjacent 'time since previous event'
+    pattern."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+@_register(
+    "q17_small_qty_revenue",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_qty_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN part_avg a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 2 * a.cnt < a.sum_qty
+    GROUP BY p.p_brand
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: scalar correlated subquery ('quantity below half this
+    part's average') decorrelated into a join against a per-part aggregate —
+    the Spark-first form (Catalyst decorrelates to exactly this). The
+    threshold test is decimal-exact (qty·2·cnt < Σqty) so both engines agree
+    on boundary rows; the per-part aggregate is a partial-agg shuffle on the
+    same key as the join, and at scale the part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast(DEC)
+    part_avg = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(part_avg.withColumnRenamed("l_partkey", "pa_key"),
+                F.col("l_partkey") == F.col("pa_key"))
+        .filter(qty * 2 * F.col("cnt") < F.col("sum_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
     "t3_explode_json",
     """
     SELECT event_type,
@@ -920,16 +1023,15 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pipeline: quality filter →
     exact-dedup keepers → near-dup (MinHash LSH) removal. One declarative
     plan; every stage is the operator validated individually above."""
-    from solana_etl_spark.operators.dedup import (
-        exact_dedup,
-        minhash_lsh_pairs,
-    )
+    from solana_etl_spark.operators.dedup import exact_dedup, lsh_duplicate_ids
     from solana_etl_spark.operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
     quality_ids = quality_score(docs).filter("is_quality").select("doc_id")
     keepers = exact_dedup(docs).select(F.col("keeper_doc_id").alias("doc_id"))
-    drops = minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    # near-dup drop set via the linear min-per-bucket path (lsh_duplicate_ids
+    # == the doc_b set of minhash_lsh_pairs, without pair materialization)
+    drops = lsh_duplicate_ids(docs)
     return quality_ids.join(keepers, "doc_id", "left_semi").join(
         drops, "doc_id", "left_anti"
     )

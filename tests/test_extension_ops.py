@@ -54,6 +54,17 @@ def test_minhash_lsh_finds_dup_pair(docs_df):
     assert (0, 1) in pairs
 
 
+def test_lsh_duplicate_ids_equals_pairs_drop_set(docs_df):
+    """The linear (min-per-bucket) drop set must equal the doc_b set of the
+    pairs formulation — they are the same semantics at different scale cost."""
+    from solana_etl_spark.operators.dedup import lsh_duplicate_ids, minhash_lsh_pairs
+
+    from_pairs = {r.doc_b for r in minhash_lsh_pairs(docs_df).collect()}
+    linear = {r.doc_id for r in lsh_duplicate_ids(docs_df).collect()}
+    assert linear == from_pairs
+    assert linear  # the constructed dups guarantee a non-empty drop set
+
+
 def test_simhash_hamming_ranks_similarity(docs_df):
     from solana_etl_spark.operators.dedup import simhash
 
