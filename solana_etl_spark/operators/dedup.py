@@ -9,9 +9,14 @@ Scale design (the point of each implementation):
   candidate pairs come from a self-join on (band, band-signature) buckets,
   so the shuffle is keyed by bucket, never all-pairs. Bucket-key join is the
   standard sub-quadratic near-dup path.
-* **simhash** — per-row bit signature; pairs restricted to equal high-byte
-  buckets (hamming-LSH), again a bucket-keyed join, then exact hamming
-  verification with ``bit_count(xor)``.
+* **simhash** — per-row 60-bit signature; pairs restricted to buckets that
+  share one of SIMHASH_BANDS equal-width bit-bands (hamming-LSH), then exact
+  hamming verification with ``bit_count(xor)``. Because
+  SIMHASH_BANDS > SIMHASH_MAX_HAMMING, the band filter has perfect recall
+  (pigeonhole: ≤3 differing bits cannot touch all 4 bands), so the banded
+  plan returns EXACTLY the all-pairs answer while shuffling only bucket keys
+  — bucket count grows with corpus size (2^15 values per band), unlike the
+  r1 fixed-256-bucket scheme that degenerated to ~N²/256 at scale.
 * **ngram jaccard** — inverted-index join (explode distinct ngrams, join on
   ngram), bounded per group; the classic exact-verification path after LSH.
 
@@ -26,7 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from solana_etl_spark.functions.hashing import (
-    hash32,
     hash64,
     hashes_expr,
     minhash_from_hashes,
@@ -40,8 +44,9 @@ MINHASH_K = 8  # signature length
 # most documents → near-all-pairs candidates); two rows per band keeps the
 # candidate set sub-quadratic.
 LSH_BAND_ROWS = 2
-SIMHASH_BITS = 16
-SIMHASH_MAX_HAMMING = 3
+SIMHASH_BITS = 60  # 60-bit signature (15 hex chars of md5 per token hash)
+SIMHASH_BANDS = 4  # bands of SIMHASH_BITS // SIMHASH_BANDS = 15 bits each
+SIMHASH_MAX_HAMMING = 3  # < SIMHASH_BANDS → banded LSH is exact (pigeonhole)
 JACCARD_THRESHOLD = 0.5
 
 
@@ -181,7 +186,8 @@ def lsh_duplicate_ids(
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """doc_id + simhash: bit b is the sign of Σ_tokens (bit_b(h(token))·2−1)
-    over distinct word tokens. Pure per-row expressions.
+    over distinct word tokens, h = the 60-bit cross-engine md5 hash. Pure
+    per-row expressions.
 
     Perf shape: ONE pass over the token-hash array accumulating all `bits`
     signed bit-counts via zip_with (measured 2× faster at sf0.1 than `bits`
@@ -192,7 +198,7 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     toks = F.array_distinct(tokens(F.col("text")))
     # materialize token hashes once; the single accumulator pass reads them
     with_hashes = ensure_compute_parallelism(documents).select(
-        "doc_id", F.transform(toks, hash32).alias("_hashes")
+        "doc_id", F.transform(toks, hash64).alias("_hashes")
     )
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     counts = F.aggregate(
@@ -215,28 +221,60 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 def simhash_pairs(
     documents: DataFrame,
     bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
     max_hamming: int = SIMHASH_MAX_HAMMING,
 ) -> DataFrame:
-    """Near-dup pairs: equal high byte (hamming-LSH bucket) + exact hamming
-    ≤ max_hamming via bit_count(xor)."""
+    """Near-dup pairs (doc_a < doc_b, hamming ≤ max_hamming) via multi-band
+    hamming-LSH: two docs are candidates iff some (band_idx, band_bits)
+    key matches; exact ``bit_count(xor)`` verification follows.
+
+    Since max_hamming < bands, ≤max_hamming differing bits leave at least
+    one band untouched, so the candidate set provably contains every
+    qualifying pair — the result is EXACTLY the quadratic all-pairs answer
+    (the oracle is the brute-force definition), at bucket-join cost.
+
+    Spark shape: one shuffle keyed by (band_idx, band_bits) — 2^(bits/bands)
+    distinct values per band, so buckets shrink as the corpus grows; pair
+    expansion per bucket + distinct. Same single-shuffle bucket-expansion
+    form as :func:`minhash_lsh_pairs`.
+    """
+    assert max_hamming < bands, "banded hamming-LSH is exact only if bands > max_hamming"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
     s = simhash(documents, bits)
-    s = s.withColumn("bucket", F.shiftright("simhash", bits // 2))
-    a, b = s.alias("a"), s.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    band_rows = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+        F.struct("doc_id", "simhash").alias("ds"),
+    ).select("bb.band", "bb.band_val", "ds")
+    bucket_docs = (
+        band_rows.groupBy("band", "band_val")
+        .agg(F.array_sort(F.collect_list("ds")).alias("_docs"))
+        .filter(F.size("_docs") > 1)
     )
+    pairs = F.expr(
+        "flatten(transform(_docs, (x, i) -> "
+        "transform(slice(_docs, i + 2, size(_docs)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS sim_a, y.simhash AS sim_b))))"
+    )
+    hamming = F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bucket_docs.select(F.explode(pairs).alias("p"))
         .filter(hamming <= max_hamming)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        .select("p.doc_a", "p.doc_b", hamming.alias("hamming"))
+        .distinct()
     )
 
 

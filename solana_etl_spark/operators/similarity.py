@@ -88,16 +88,27 @@ def cosine_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
 ) -> DataFrame:
-    """Near-duplicate vector pairs within equal-label buckets (bucket-keyed
-    join, sub-quadratic when labels partition the space). Embeddings are
-    pre-normalized so the per-pair cost is one dot product."""
-    nemb = normalized(embeddings).select("vec_id", "label", "_nemb")
-    a, b = nemb.alias("a"), nemb.alias("b")
+    """Near-duplicate vector pairs: candidates share a sign-projection LSH
+    bucket (:func:`lsh_sign_buckets`), then each candidate pair is verified
+    exactly with one dot product over pre-normalized embeddings.
+
+    Scale shape: the join is keyed by the 2^LSH_SIGN_BITS-value bucket
+    column, so the candidate count is Σ_buckets n_b², sub-quadratic whenever
+    the projection spreads the corpus — vs the r1 label-bucket form, which
+    degenerated to all-pairs-per-label with O(1) labels. Near-identical
+    vectors agree on sign comparisons except at coordinates near the
+    hyperplane, so recall is high by construction; the oracle mirrors the
+    same candidate definition, making the operator deterministic
+    (approximate-by-definition, not approximate-by-race)."""
+    nemb = normalized(embeddings).select("vec_id", "_nemb")
+    buckets = lsh_sign_buckets(embeddings).select("vec_id", "bucket")
+    space = nemb.join(buckets, "vec_id")
+    a, b = space.alias("a"), space.alias("b")
     sim = F.round(_dot(F.col("a._nemb"), F.col("b._nemb")), 6)
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
