@@ -38,7 +38,13 @@ def cmd_load_file(argv: list[str]) -> int:
     p.add_argument("--destination_format", choices=("csv", "parquet"), default="csv")
     p.add_argument("--keep_subdirs", action="store_true",
                    help="partition outputs by slot bucket instead of one output")
-    p.add_argument("--single_file", action="store_true", default=True)
+    p.add_argument(
+        "--single_file",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="coalesce each output to one file (--no-single_file for "
+        "many-file parallel writes)",
+    )
     args = p.parse_args(argv)
 
     from solana_etl_spark.session import get_spark

@@ -298,7 +298,13 @@ def ngram_jaccard_pairs(
         "source",
         F.explode(char_ngrams("text", NGRAM_N)).alias("ngram"),
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # per-doc set size from the (already-distinct) gram array BEFORE the
+    # explode: a per-row projection over the narrow documents scan, instead
+    # of re-aggregating the exploded gram stream (removes one shuffle over
+    # the widest intermediate — the r1 plan's biggest cost).
+    sizes = documents.select(
+        "doc_id", F.size(char_ngrams("text", NGRAM_N)).alias("n_grams")
+    )
     postings = (
         grams.groupBy("ngram", "lang", "source")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("_docs"))

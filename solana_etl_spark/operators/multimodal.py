@@ -182,6 +182,53 @@ def sample_frames(
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
+DECODE_REPORT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("src_width", LongType()),
+        StructField("src_height", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def decode_report(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Decode + feature-extract + resize in ONE Arrow-batched ``mapInPandas``
+    pass — the fused form of :func:`extract_features` and :func:`resize`
+    (one batch stream instead of two over the same payloads). Both kernels
+    are deterministic functions of the payload (md5 / len arithmetic /
+    cyclic resample), so this whole Python-kernel surface carries a DuckDB
+    value-hash oracle in the registry."""
+    import hashlib
+
+    def report_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_stub(p) for p in pdf["payload"]]
+            resized = [_resize_stub(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "content_md5": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "src_width": [d[0] for d in dims],
+                    "src_height": [d[1] for d in dims],
+                    "width": width,
+                    "height": height,
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return media.mapInPandas(report_batches, schema=DECODE_REPORT_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Arrow-batched decode/feature stage via ``mapInPandas`` — the canonical
     shape for Python-side media kernels: batches stream through Arrow, rows

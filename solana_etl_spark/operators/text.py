@@ -128,6 +128,25 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_report(documents: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token statistics in ONE per-row projection —
+    the combined form of :func:`token_stats` and :func:`bpe_token_stats`
+    (same scan, zero shuffle); the registry checks this merged surface."""
+    toks = tokens(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(total_len / F.size(toks), 6).alias("avg_token_len"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe) / F.size(toks), 6).alias("bpe_per_word"),
+    )
+
+
 def winnow_fingerprint(documents: DataFrame) -> DataFrame:
     """Winnowing fingerprint (Schleimer/Wilkerson/Aiken, MOSS): rolling
     k-gram hashes, minimum per sliding window of w, distinct minima as the

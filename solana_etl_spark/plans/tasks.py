@@ -71,7 +71,7 @@ def transactions_task(txs: DataFrame) -> DataFrame:
         lambda a: a["pubkey"],
     )
 
-    return txs.select(
+    return txs.filter(F.col("tx_error").isNull()).select(
         F.col("block_time").alias("time"),
         "signature",
         "fee",
@@ -95,6 +95,18 @@ def transactions_task(txs: DataFrame) -> DataFrame:
         _json_int_map(txs, in_mode).alias("tokensIn"),
         "blockhash",
         _source(F.col("path")).alias("path"),
+    )
+
+
+def transaction_errors(txs: DataFrame) -> DataFrame:
+    """Per-row failures inside otherwise-good blocks → error rows (reference
+    wraps each transactions-row build in try/except —
+    src/load/TransformTask.py:24-50; row shape mirrors
+    src/load/FileOutput.py:157-166)."""
+    return txs.filter(F.col("tx_error").isNotNull()).select(
+        F.lit("blocks_to_transactions").alias("name"),
+        _source(F.col("path")).alias("block"),
+        F.col("tx_error").alias("message"),
     )
 
 
@@ -165,7 +177,12 @@ def blocks_task(txs: DataFrame, blocks_raw: DataFrame) -> DataFrame:
         ]
 
     ok = F.col("is_successful")
-    agg = per_tx.groupBy("path", "block_time", "blockhash").agg(
+    # group by path ONLY (unique per block): getBlock may return a null
+    # blockTime, and null join keys never match — grouping on (path,
+    # block_time, blockhash) made such blocks emit a zero-filled row even
+    # though their transactions were aggregated. block_time/blockhash come
+    # from the roster side.
+    agg = per_tx.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("numTransactions"),
         *partition_aggs(ok, "successful", "numSuccessful"),
         *partition_aggs(~ok, "error", "numErrors"),
@@ -177,8 +194,8 @@ def blocks_task(txs: DataFrame, blocks_raw: DataFrame) -> DataFrame:
         F.col("result.blockTime").alias("block_time"),
         F.col("result.blockhash").alias("blockhash"),
     )
-    joined = roster.join(agg, ["path", "block_time", "blockhash"], "left")
-    measures = [c for c in agg.columns if c not in ("path", "block_time", "blockhash")]
+    joined = roster.join(agg, ["path"], "left")
+    measures = [c for c in agg.columns if c != "path"]
     joined = joined.select(
         F.col("block_time").alias("time"),
         F.col("blockhash").alias("hash"),
@@ -202,18 +219,30 @@ def ingest_errors(blocks_raw: DataFrame) -> DataFrame:
     )
 
 
-def run_all_tasks(blocks_raw: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
+def run_all_tasks_with_handle(
+    blocks_raw: DataFrame, persist: bool = True
+) -> tuple[dict[str, DataFrame], DataFrame | None]:
     """All three task tables + the errors table from one pass over the raw
-    blocks. Persisting the transactions view mirrors the reference's
-    compute-once fan-out (src/load/FileOutput.py:167-169)."""
+    blocks, plus the persisted transactions view (or None) so long-running
+    callers (streaming micro-batches) can unpersist after their writes.
+    Persisting the transactions view mirrors the reference's compute-once
+    fan-out (src/load/FileOutput.py:167-169)."""
     good_blocks = blocks_raw.filter(F.col("_corrupt_record").isNull())
     txs = transactions_view(good_blocks)
     if persist:
         txs = txs.persist()
     transfers, transfer_errors = transfers_task(txs)
-    return {
+    outputs = {
         "transactions": transactions_task(txs),
         "transfers": transfers,
         "blocks": blocks_task(txs, blocks_raw),
-        "errors": ingest_errors(blocks_raw).unionByName(transfer_errors),
+        "errors": ingest_errors(blocks_raw)
+        .unionByName(transaction_errors(txs))
+        .unionByName(transfer_errors),
     }
+    return outputs, (txs if persist else None)
+
+
+def run_all_tasks(blocks_raw: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
+    outputs, _ = run_all_tasks_with_handle(blocks_raw, persist)
+    return outputs

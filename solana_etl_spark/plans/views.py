@@ -275,6 +275,22 @@ def transactions_view(blocks_raw: DataFrame) -> DataFrame:
         )
         # only_fee / more_than_fee (reference src/transform/Transactions.py:63-71)
         .withColumn("is_only_fee", F.col("net_balance_change") == -F.col("fee"))
+        # per-row validity (reference wraps EVERY row build in try/except —
+        # src/load/TransformTask.py:24-50; a malformed tx becomes an error
+        # row, never a null-poisoned output row). Each branch mirrors the
+        # exception the reference would raise while building the row.
+        .withColumn(
+            "tx_error",
+            F.when(
+                F.col("signature").isNull(),
+                F.lit("transaction has no signatures"),
+            )
+            .when(F.col("fee").isNull(), F.lit("transaction has no meta fee"))
+            .when(
+                F.col("accounts").isNull() | F.exists("accounts", lambda a: a["pubkey"].isNull()),
+                F.lit("transaction has malformed account keys"),
+            ),
+        )
     )
 
     return txs.drop(
@@ -450,12 +466,18 @@ def transfers_view(txs: DataFrame) -> DataFrame:
                 F.coalesce(src_info["mint"], dst_info["mint"])
             ),
         )
+        # amounts are u64 decimal-strings: parse through decimal(20,0) (full
+        # u64 range) and only then narrow to the reference's declared int64.
+        # A value that parses but exceeds int64 must NOT silently become NULL
+        # in the good output (the reference raises and routes to errors).
         .withColumn(
-            "value",
+            "_value_raw",
             F.when(
-                is_coin, F.get_json_object("i.parsed", "$.info.lamports").cast("long")
-            ).otherwise(F.get_json_object("i.parsed", "$.info.amount").cast("long")),
+                is_coin, F.get_json_object("i.parsed", "$.info.lamports")
+            ).otherwise(F.get_json_object("i.parsed", "$.info.amount")),
         )
+        .withColumn("_value_dec", F.col("_value_raw").cast("decimal(20,0)"))
+        .withColumn("value", F.col("_value_dec").cast("long"))
         .withColumn(
             "scale",
             F.when(is_coin, F.lit(LAMPORT_SCALE)).otherwise(
@@ -478,6 +500,15 @@ def transfers_view(txs: DataFrame) -> DataFrame:
             F.when(
                 F.col("source").isNull() | F.col("destination").isNull(),
                 F.lit("info account not in transaction accounts"),
+            ).when(
+                # non-numeric (decimal cast nulls) OR beyond int64 (non-ANSI
+                # decimal→long WRAPS, so detect via decimal != narrowed value)
+                F.col("_value_raw").isNotNull()
+                & (
+                    F.col("_value_dec").isNull()
+                    | (F.col("_value_dec") != F.col("value"))
+                ),
+                F.lit("transfer amount not int64-representable"),
             ).when(
                 ~is_coin & F.col("mint").isNull(),
                 F.lit("no token balance change for source or destination"),

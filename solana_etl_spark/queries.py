@@ -1170,12 +1170,17 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            len({_TOKENS_SQL}) AS n_tokens,
            len(list_distinct({_TOKENS_SQL})) AS n_uniq_tokens,
            ROUND(list_sum(list_transform({_TOKENS_SQL}, t -> length(t)))
-                 / len({_TOKENS_SQL}), 6) AS avg_token_len
+                 / len({_TOKENS_SQL}), 6) AS avg_token_len,
+           len(regexp_extract_all(text, '{text_ops.BPE_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+           ROUND(len(regexp_extract_all(text, '{text_ops.BPE_PATTERN.replace("'", "''")}'))
+                 / len({_TOKENS_SQL}), 6) AS bpe_per_word
     FROM documents
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.token_stats(_t(spark, sf_dir, "documents"))
+    """Whitespace + BPE-ish token stats merged into one per-row query (the
+    two r1 queries text_token_stats / text_bpe_tokens — same scan)."""
+    return text_ops.token_report(_t(spark, sf_dir, "documents"))
 
 
 _EN_STOP_IN = ", ".join(f"'{w}'" for w in text_ops.EN_STOPWORDS)
@@ -1245,24 +1250,6 @@ def _fingerprint_oracle() -> str:
 @_register("text_fingerprint", _fingerprint_oracle())
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(_t(spark, sf_dir, "documents"))
-
-
-_BPE_SQL = text_ops.BPE_PATTERN.replace("'", "''")
-
-
-@_register(
-    "text_bpe_tokens",
-    f"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
-           len({_TOKENS_SQL}) AS n_ws_tokens,
-           ROUND(len(regexp_extract_all(text, '{_BPE_SQL}'))
-                 / len({_TOKENS_SQL}), 6) AS bpe_per_word
-    FROM documents
-    """,
-)
-def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
 def _winnow_oracle() -> str:
@@ -1445,23 +1432,34 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"))
 
 
-# mapInPandas media features: no SQL equivalent (Python kernel) — rows-only check
-@_register("mm_extract_features", None)
-def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Fused decode/feature/resize mapInPandas surface. Every kernel output is a
+# deterministic function of the payload (md5, len%640+1 fake decode, cyclic
+# repeat-resample resize), and documents are ASCII (bytes==chars), so the
+# whole Python-kernel stage gets a value-hash oracle — no rows-only checks
+# left on the §2.9 UDTF surface.
+@_register(
+    "mm_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           octet_length(encode(text)) % 640 + 1 AS src_width,
+           octet_length(encode(text)) % 480 + 1 AS src_height,
+           CAST(32 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           md5(substring(repeat(text, CAST(1024 // octet_length(encode(text)) AS INT) + 1),
+                         1, 1024)) AS resized_md5
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_etl_spark.operators.multimodal import (
+        decode_report,
         documents_as_media,
-        extract_features,
     )
 
-    return extract_features(documents_as_media(_t(spark, sf_dir, "documents")))
-
-
-# mapInPandas resize: decode stub is Python-only — rows-only check
-@_register("mm_resize", None)
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solana_etl_spark.operators.multimodal import documents_as_media, resize
-
-    return resize(documents_as_media(_t(spark, sf_dir, "documents")))
+    return decode_report(documents_as_media(_t(spark, sf_dir, "documents")))
 
 
 # Frame sampling is positional chunking → fully SQL-expressible, so the

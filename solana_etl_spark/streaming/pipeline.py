@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from solana_etl_spark.schemas import block_schema
-from solana_etl_spark.plans.tasks import run_all_tasks
+from solana_etl_spark.plans.tasks import run_all_tasks_with_handle
 from solana_etl_spark.sinks import append_csv
 
 
@@ -58,9 +58,15 @@ def start_streaming_load(
     stream = read_block_stream(spark, blocks_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        outputs = run_all_tasks(batch_df, persist=True)
-        for name, df in outputs.items():
-            append_csv(df, os.path.join(destination_dir, name))
+        # unpersist after the per-task writes: a long-running stream would
+        # otherwise accumulate one cached transactions view per micro-batch
+        outputs, persisted = run_all_tasks_with_handle(batch_df, persist=True)
+        try:
+            for name, df in outputs.items():
+                append_csv(df, os.path.join(destination_dir, name))
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)
