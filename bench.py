@@ -47,6 +47,7 @@ HEADLINE = [
     "s2_stratified_sample",
     "a14_kmv_distinct",
     "mm_frame_sample",
+    "solana_e2e",
 ]
 
 
@@ -89,6 +90,26 @@ def main() -> None:
         timings["solana_e2e_2blocks"] = round(time.time() - t0, 3)
     except Exception:
         timings["solana_e2e_2blocks"] = -1.0
+
+    # many-block corpus through ALL four outputs (read parallelism +
+    # persist fan-out at a scale the 2-block fixture can't exercise)
+    try:
+        from solana_etl_spark.sources import read_blocks
+        from solana_etl_spark.plans.tasks import run_all_tasks_with_handle
+        from solana_etl_spark.sources.synth import ensure_e2e_corpus
+
+        corpus = ensure_e2e_corpus()
+        t0 = time.time()
+        outs, persisted = run_all_tasks_with_handle(
+            read_blocks(spark, f"{corpus}/*/*.json.gz")
+        )
+        for df in outs.values():
+            df.count()
+        if persisted is not None:
+            persisted.unpersist()
+        timings["solana_e2e_corpus_all_tasks"] = round(time.time() - t0, 3)
+    except Exception:
+        timings["solana_e2e_corpus_all_tasks"] = -1.0
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(

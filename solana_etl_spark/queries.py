@@ -68,6 +68,12 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the solana_e2e oracle reads the generated corpus directly; make sure it
+    # exists even if the caller runs oracles before Spark queries (idempotent,
+    # ~0.1s on first call)
+    from solana_etl_spark.sources.synth import ensure_e2e_corpus
+
+    ensure_e2e_corpus()
     return dict(_ORACLES)
 
 
@@ -1460,6 +1466,69 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_report(documents_as_media(_t(spark, sf_dir, "documents")))
+
+
+def _e2e_oracle() -> str:
+    from solana_etl_spark.sources.synth import _default_root, CORPUS_VERSION, N_BLOCKS
+
+    d = f"{_default_root()}/v{CORPUS_VERSION}_{N_BLOCKS}"
+    delta = "t.meta.postBalances[i] - t.meta.preBalances[i]"
+    series = "generate_series(1, len(t.meta.preBalances))"
+    return f"""
+    WITH b AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS path,
+               result.blockTime AS time, result.blockhash AS blockhash,
+               unnest(result.transactions) AS t
+        FROM read_json('{d}/*/*.json.gz', filename=true, ignore_errors=true)
+        WHERE result IS NOT NULL AND result.transactions IS NOT NULL
+    )
+    SELECT path,
+           t.transaction.signatures[1] AS signature,
+           time,
+           t.meta.fee AS fee,
+           t.meta.err IS NULL AS isSuccessful,
+           len(t.transaction.message.instructions)
+             + coalesce(list_sum([len(x.instructions) for x in t.meta.innerInstructions]), 0) AS numInstructions,
+           len(t.transaction.message.accountKeys) AS numAccounts,
+           coalesce(list_sum([CASE WHEN {delta} < 0 THEN {delta} ELSE 0 END
+                              for i in {series}]), 0) AS lamportsOut,
+           coalesce(list_sum([CASE WHEN {delta} > 0 THEN {delta} ELSE 0 END
+                              for i in {series}]), 0) AS lamportsIn,
+           blockhash
+    FROM b
+    """
+
+
+@_register("solana_e2e", _e2e_oracle())
+def solana_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ETL pipeline over the 240-block synthetic corpus (read →
+    normalize → transactions task), checked column-by-column against an
+    INDEPENDENT DuckDB computation from the raw block JSON — not against
+    anything this pipeline wrote. Covers S6/S7 many-file read, T1/J1/J3
+    flatten+zip, F2 success split, and per-row counts at a scale the
+    two-fixture golden suite cannot (VERDICT r1 item 8). The corpus also
+    carries missing-result and malformed-JSON probes, which must be isolated
+    (not crash the job, not appear in the output)."""
+    from solana_etl_spark.plans.tasks import transactions_task
+    from solana_etl_spark.plans.views import transactions_view
+    from solana_etl_spark.sources import read_blocks
+    from solana_etl_spark.sources.synth import ensure_e2e_corpus
+
+    corpus = ensure_e2e_corpus()
+    blocks = read_blocks(spark, f"{corpus}/*/*.json.gz")
+    txs = transactions_view(blocks.filter(F.col("_corrupt_record").isNull()))
+    return transactions_task(txs).select(
+        "path",
+        "signature",
+        "time",
+        "fee",
+        "isSuccessful",
+        F.col("numInstructions").cast("long").alias("numInstructions"),
+        F.col("numAccounts").cast("long").alias("numAccounts"),
+        "lamportsOut",
+        "lamportsIn",
+        "blockhash",
+    )
 
 
 # Frame sampling is positional chunking → fully SQL-expressible, so the

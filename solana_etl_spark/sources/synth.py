@@ -1,0 +1,325 @@
+"""Deterministic synthetic multi-block corpus for the end-to-end gate.
+
+The reference ships two fixture blocks — enough for golden parity, not for
+exercising the many-file read planner, the persist/fan-out, or a bench
+number that scales with block count (VERDICT r1 item 8). This module
+generates a few-hundred-block ``getBlock``-shaped gzip-JSON corpus, seeded
+per slot so every regeneration is byte-stable, laid out in slot-bucket
+subdirectories exactly like the extract sink (S5: ``slot//N*N``).
+
+Transaction mix per block (all shapes the views must handle):
+
+* vote transactions (outer ``vote`` program instruction)
+* system coin transfers (parsed ``{source, destination, lamports}``) with
+  consistent pre/post balance arrays
+* spl-token transfers with pre/post token balances (J2/J4 enrichment),
+  authority or multisigAuthority (J5), and sometimes partially-parsed inner
+  instructions (J3/T1 flatten)
+* only-fee transactions carrying a scalar-``parsed`` memo (the polymorphic
+  ``parsed`` spot — SURVEY §7.3.1)
+* failed transactions (``meta.err`` object)
+* plus per-corpus probes: missing-result envelopes and one malformed-JSON
+  file (block-level error isolation, reference FileOutput.py:80-91)
+
+Nothing here copies reference code; shapes follow the public ``getBlock``
+JSON-RPC response layout the reference consumes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+
+CORPUS_VERSION = 1
+N_BLOCKS = 240
+BASE_SLOT = 200_000_000
+SLOTS_PER_DIR = 100  # subdir bucketing, same shape as the extract sink
+
+_MINTS = [
+    ("MintUSDQ111111111111111111111111111111111111", 6),
+    ("MintBONKt11111111111111111111111111111111111", 5),
+    ("MintWSOL111111111111111111111111111111111111", 9),
+]
+
+_VOTE_PROGRAM_ID = "Vote111111111111111111111111111111111111111"
+_SYSTEM_PROGRAM_ID = "11111111111111111111111111111111"
+_TOKEN_PROGRAM_ID = "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"
+_MEMO_PROGRAM_ID = "MemoSq4gqABAXKb96qnH8TysNcWxMyWCqXgDLGmfcHr"
+
+
+def _pk(rng: random.Random, tag: str) -> str:
+    return f"{tag}{rng.randrange(16**8):08x}padpadpadpadpadpadpadpadpad"
+
+
+def _vote_tx(rng: random.Random, slot: int, i: int) -> dict:
+    voter = _pk(rng, "Voter")
+    fee = 5000
+    pre = [rng.randrange(10**9, 10**10), 1169280, 1141440]
+    post = [pre[0] - fee, pre[1], pre[2]]
+    return {
+        "meta": {
+            "err": None,
+            "fee": fee,
+            "preBalances": pre,
+            "postBalances": post,
+            "preTokenBalances": [],
+            "postTokenBalances": [],
+            "innerInstructions": [],
+        },
+        "transaction": {
+            "signatures": [f"VOTE{slot}_{i}"],
+            "message": {
+                "accountKeys": [
+                    {"pubkey": voter, "signer": True, "writable": True},
+                    {"pubkey": "SysvarS1otHashes111111111111111111111111111", "signer": False, "writable": False},
+                    {"pubkey": _VOTE_PROGRAM_ID, "signer": False, "writable": False},
+                ],
+                "recentBlockhash": f"RBH{slot}",
+                "instructions": [
+                    {
+                        "program": "vote",
+                        "programId": _VOTE_PROGRAM_ID,
+                        "parsed": {
+                            "type": "vote",
+                            "info": {"voteAccount": voter, "slots": [slot - 1]},
+                        },
+                    }
+                ],
+            },
+        },
+    }
+
+
+def _coin_tx(rng: random.Random, slot: int, i: int) -> dict:
+    src, dst = _pk(rng, "CSrc"), _pk(rng, "CDst")
+    fee = 5000
+    lamports = rng.randrange(1_000, 10**9)
+    pre = [rng.randrange(10**10, 10**11), rng.randrange(10**7, 10**9), 1]
+    post = [pre[0] - fee - lamports, pre[1] + lamports, 1]
+    failed = rng.random() < 0.12
+    if failed:
+        post = [pre[0] - fee, pre[1], pre[2]]
+    return {
+        "meta": {
+            "err": {"InstructionError": [0, {"Custom": 1}]} if failed else None,
+            "fee": fee,
+            "preBalances": pre,
+            "postBalances": post,
+            "preTokenBalances": [],
+            "postTokenBalances": [],
+            "innerInstructions": [],
+        },
+        "transaction": {
+            "signatures": [f"COIN{slot}_{i}", f"COSIGN{slot}_{i}"]
+            if rng.random() < 0.2
+            else [f"COIN{slot}_{i}"],
+            "message": {
+                "accountKeys": [
+                    {"pubkey": src, "signer": True, "writable": True},
+                    {"pubkey": dst, "signer": False, "writable": True},
+                    {"pubkey": _SYSTEM_PROGRAM_ID, "signer": False, "writable": False},
+                ],
+                "recentBlockhash": f"RBH{slot}",
+                "instructions": [
+                    {
+                        "program": "system",
+                        "programId": _SYSTEM_PROGRAM_ID,
+                        "parsed": {
+                            "type": "transfer",
+                            "info": {
+                                "source": src,
+                                "destination": dst,
+                                "lamports": lamports,
+                            },
+                        },
+                    }
+                ],
+            },
+        },
+    }
+
+
+def _token_tx(rng: random.Random, slot: int, i: int) -> dict:
+    src, dst = _pk(rng, "TSrc"), _pk(rng, "TDst")
+    auth = _pk(rng, "Auth")
+    mint, decimals = _MINTS[rng.randrange(len(_MINTS))]
+    fee = 5000
+    amount = rng.randrange(1, 10**12)
+    pre_src = rng.randrange(amount, amount + 10**12)
+    pre_dst = rng.randrange(0, 10**12)
+    multisig = rng.random() < 0.25
+    info = {"source": src, "destination": dst, "amount": str(amount)}
+    if multisig:
+        info["multisigAuthority"] = auth
+    else:
+        info["authority"] = auth
+    inner = []
+    if rng.random() < 0.5:
+        inner = [
+            {
+                "index": 0,
+                "instructions": [
+                    {
+                        "programId": _pk(rng, "Prog"),
+                        "accounts": [src, dst],
+                        "data": f"base58data{rng.randrange(16**6):06x}",
+                    }
+                    for _ in range(rng.randrange(1, 4))
+                ],
+            }
+        ]
+
+    def tb(idx: int, amt: int) -> dict:
+        return {
+            "accountIndex": idx,
+            "mint": mint,
+            "owner": auth,
+            "programId": _TOKEN_PROGRAM_ID,
+            "uiTokenAmount": {
+                "amount": str(amt),
+                "decimals": decimals,
+                "uiAmountString": str(amt / 10**decimals),
+            },
+        }
+
+    pre = [rng.randrange(10**9, 10**10), 2039280, 2039280, 1, 1]
+    post = [pre[0] - fee, pre[1], pre[2], 1, 1]
+    return {
+        "meta": {
+            "err": None,
+            "fee": fee,
+            "preBalances": pre,
+            "postBalances": post,
+            "preTokenBalances": [tb(1, pre_src), tb(2, pre_dst)],
+            "postTokenBalances": [tb(1, pre_src - amount), tb(2, pre_dst + amount)],
+            "innerInstructions": inner,
+        },
+        "transaction": {
+            "signatures": [f"TOKN{slot}_{i}"],
+            "message": {
+                "accountKeys": [
+                    {"pubkey": auth, "signer": True, "writable": True},
+                    {"pubkey": src, "signer": False, "writable": True},
+                    {"pubkey": dst, "signer": False, "writable": True},
+                    {"pubkey": _TOKEN_PROGRAM_ID, "signer": False, "writable": False},
+                    {"pubkey": mint, "signer": False, "writable": False},
+                ],
+                "recentBlockhash": f"RBH{slot}",
+                "instructions": [
+                    {
+                        "program": "spl-token",
+                        "programId": _TOKEN_PROGRAM_ID,
+                        "parsed": {"type": "transfer", "info": info},
+                    }
+                ],
+            },
+        },
+    }
+
+
+def _memo_tx(rng: random.Random, slot: int, i: int) -> dict:
+    payer = _pk(rng, "Memo")
+    fee = 5000
+    pre = [rng.randrange(10**8, 10**9), 1]
+    post = [pre[0] - fee, 1]
+    return {
+        "meta": {
+            "err": None,
+            "fee": fee,
+            "preBalances": pre,
+            "postBalances": post,
+            "preTokenBalances": [],
+            "postTokenBalances": [],
+            "innerInstructions": [],
+        },
+        "transaction": {
+            "signatures": [f"MEMO{slot}_{i}"],
+            "message": {
+                "accountKeys": [
+                    {"pubkey": payer, "signer": True, "writable": True},
+                    {"pubkey": _MEMO_PROGRAM_ID, "signer": False, "writable": False},
+                ],
+                "recentBlockhash": f"RBH{slot}",
+                "instructions": [
+                    {
+                        "program": "spl-memo",
+                        "programId": _MEMO_PROGRAM_ID,
+                        # the polymorphic spot: parsed is a bare scalar here
+                        "parsed": f"bWVtbyB7_{slot}_{i}",
+                    }
+                ],
+            },
+        },
+    }
+
+
+_TX_KINDS = (
+    (_vote_tx, 0.40),
+    (_coin_tx, 0.30),
+    (_token_tx, 0.20),
+    (_memo_tx, 0.10),
+)
+
+
+def make_block(slot: int) -> dict:
+    rng = random.Random(slot)
+    n_txs = 8 + rng.randrange(0, 15)
+    txs = []
+    for i in range(n_txs):
+        r, acc = rng.random(), 0.0
+        for builder, w in _TX_KINDS:
+            acc += w
+            if r < acc:
+                txs.append(builder(rng, slot, i))
+                break
+    return {
+        "jsonrpc": "2.0",
+        "id": 1,
+        "result": {
+            "blockHeight": slot - 10_000,
+            "blockTime": 1_700_000_000 + slot - BASE_SLOT,
+            "blockhash": f"BH{slot}",
+            "parentSlot": slot - 1,
+            "previousBlockhash": f"BH{slot - 1}",
+            "transactions": txs,
+        },
+    }
+
+
+def _default_root() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, ".e2e_corpus")
+
+
+def ensure_e2e_corpus(root: str | None = None, n_blocks: int = N_BLOCKS) -> str:
+    """Generate the corpus if absent; atomic (tmp dir + rename), idempotent,
+    safe under concurrent callers. Returns the corpus directory."""
+    root = root or _default_root()
+    out = os.path.join(root, f"v{CORPUS_VERSION}_{n_blocks}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    for slot in range(BASE_SLOT, BASE_SLOT + n_blocks):
+        bucket = slot // SLOTS_PER_DIR * SLOTS_PER_DIR
+        d = os.path.join(tmp, str(bucket))
+        os.makedirs(d, exist_ok=True)
+        with gzip.open(os.path.join(d, f"{slot}.json.gz"), "wb", compresslevel=1) as f:
+            f.write(json.dumps(make_block(slot)).encode())
+    # block-level error probes: two missing-result envelopes + one malformed
+    probe_dir = os.path.join(tmp, str(BASE_SLOT // SLOTS_PER_DIR * SLOTS_PER_DIR))
+    for probe_slot in (BASE_SLOT + n_blocks + 1, BASE_SLOT + n_blocks + 2):
+        with gzip.open(os.path.join(probe_dir, f"{probe_slot}.json.gz"), "wb") as f:
+            f.write(json.dumps({"jsonrpc": "2.0", "id": 1}).encode())
+    with gzip.open(os.path.join(probe_dir, f"{BASE_SLOT + n_blocks + 3}.json.gz"), "wb") as f:
+        f.write(b"this is not json {{{")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):  # genuine failure, not a concurrent winner
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
