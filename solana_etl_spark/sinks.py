@@ -42,6 +42,25 @@ def append_csv(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("append").option("header", not exists).csv(path)
 
 
+def append_csv_exactly_once(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent streaming CSV append: each micro-batch writes its own
+    ``batch-<id>`` directory with ``mode=overwrite``, so a batch REPLAYED
+    after a mid-batch crash/restart overwrites its own partial output
+    instead of duplicating rows — checkpoint + idempotent writes = true
+    exactly-once file output (plain ``append`` gives only at-least-once:
+    a replay re-appends). Header is a separate one-time file, preserving
+    the reference's header-only-on-create reader contract
+    (ExtractStreaming.py:28-33)."""
+    os.makedirs(path, exist_ok=True)
+    header = os.path.join(path, "_header.csv")
+    if not os.path.exists(header):
+        with open(header, "w") as f:
+            f.write(",".join(df.columns) + "\n")
+    df.coalesce(1).write.mode("overwrite").option("header", False).csv(
+        os.path.join(path, f"batch-{batch_id:05d}")
+    )
+
+
 def write_blocks_json(
     blocks_raw: DataFrame, path: str, slots_per_bucket: int = SLOTS_PER_BUCKET
 ) -> None:

@@ -19,7 +19,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from solana_etl_spark.schemas import block_schema
 from solana_etl_spark.plans.tasks import run_all_tasks_with_handle
-from solana_etl_spark.sinks import append_csv
+from solana_etl_spark.sinks import append_csv_exactly_once
 
 
 def read_block_stream(
@@ -63,7 +63,9 @@ def start_streaming_load(
         outputs, persisted = run_all_tasks_with_handle(batch_df, persist=True)
         try:
             for name, df in outputs.items():
-                append_csv(df, os.path.join(destination_dir, name))
+                append_csv_exactly_once(
+                    df, os.path.join(destination_dir, name), batch_id
+                )
         finally:
             if persisted is not None:
                 persisted.unpersist()

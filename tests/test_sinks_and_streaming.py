@@ -16,8 +16,9 @@ from tests.conftest import BLOCK_110130000
 
 
 def _csv_rows(path):
+    # recursive: the exactly-once streaming sink writes per-batch subdirs
     rows = []
-    for f in sorted(glob.glob(os.path.join(path, "*.csv"))):
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.csv"), recursive=True)):
         with open(f) as fh:
             rows.extend(line.rstrip("\n") for line in fh if line.strip())
     return rows
