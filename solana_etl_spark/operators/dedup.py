@@ -269,12 +269,23 @@ def simhash_pairs(
         "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
         "x.simhash AS sim_a, y.simhash AS sim_b))))"
     )
-    hamming = F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
+    xor = F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b"))
+    hamming = F.bit_count(xor)
+    # emit each pair only from its FIRST colliding band (every earlier band
+    # must differ) — exactly-once without a distinct() shuffle over the
+    # expanded pair stream (pair volume is quadratic in cluster size, so at
+    # dup-heavy corpora that distinct dominates the whole query)
+    first_band_only = None
+    for j in range(bands - 1):
+        differs_j = (
+            F.shiftright(xor, j * band_bits).bitwiseAND(F.lit(mask)) != 0
+        )
+        cond = (F.col("band") <= j) | differs_j
+        first_band_only = cond if first_band_only is None else first_band_only & cond
     return (
-        bucket_docs.select(F.explode(pairs).alias("p"))
-        .filter(hamming <= max_hamming)
+        bucket_docs.select("band", F.explode(pairs).alias("p"))
+        .filter(first_band_only & (hamming <= max_hamming))
         .select("p.doc_a", "p.doc_b", hamming.alias("hamming"))
-        .distinct()
     )
 
 

@@ -46,7 +46,15 @@ FEATURE_SCHEMA = StructType(
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapt the documents table into a binary-payload media table (utf-8
-    payload + metadata) — the plumbing a real image/audio corpus uses."""
+    payload + metadata) — the plumbing a real image/audio corpus uses.
+
+    Repartitions up to core count when the source arrives in fewer
+    partitions (single parquet file → 1 partition → ONE Python worker for
+    every downstream mapInPandas kernel; decode is the expensive stage at
+    scale and must parallelize)."""
+    from solana_etl_spark.functions.parallelism import ensure_compute_parallelism
+
+    documents = ensure_compute_parallelism(documents)
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
