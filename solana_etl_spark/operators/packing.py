@@ -1,0 +1,115 @@
+"""Sequence packing for training-data pipelines (charter §2.11 extension).
+
+``pack_sequences`` implements concat-and-chunk packing: documents are laid
+end-to-end in a deterministic order and split into fixed token-budget
+sequences; the output says which sequences each document occupies and at
+which token offset. This is the accounting step a pre-training data loader
+needs (docs → fixed-length model sequences), kept engine-side so the
+planner can co-partition downstream work by ``seq_id``.
+
+Scale shape: one window (the running token total) = one shuffle keyed by
+the pack group; the sequence-range explode is per-row. At 100 TB the pack
+group (e.g. ``lang``) bounds window state, and sequences inherit the
+group's partitioning — no global sort. Deterministic by construction
+(hash-free order key), so it is retry-safe and cross-engine checkable:
+the pytest suite verifies it against a DuckDB computation of the same
+definition (the driver registry is at its 50-row gate cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solana_etl_spark.operators.text import tokens
+
+SEQ_BUDGET = 512  # tokens per packed sequence
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = SEQ_BUDGET,
+    group_cols: tuple[str, ...] = ("lang",),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (document, packed sequence) it occupies.
+
+    Columns: group cols, ``doc_id``, ``n_tokens``, ``seq_id`` (0-based per
+    group), ``seq_offset`` (token offset of this doc's slice within the
+    sequence), ``tokens_in_seq`` (how many of the doc's tokens land in this
+    sequence). A document longer than ``budget`` spans multiple sequences;
+    Σ tokens_in_seq == n_tokens.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    n_tok = F.size(tokens(F.col("text")))
+    with_cum = documents.select(
+        *group_cols,
+        order_col,
+        n_tok.alias("n_tokens"),
+    ).withColumn("_end", F.sum("n_tokens").over(w))
+    with_cum = with_cum.withColumn("_start", F.col("_end") - F.col("n_tokens"))
+
+    first_seq = F.floor(F.col("_start") / budget)
+    last_seq = F.floor((F.col("_end") - 1) / budget)
+    exploded = with_cum.filter(F.col("n_tokens") > 0).select(
+        *group_cols,
+        order_col,
+        "n_tokens",
+        "_start",
+        "_end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+
+    seq_start = F.col("seq_id") * budget
+    seq_end = seq_start + budget
+    slice_start = F.greatest(F.col("_start"), seq_start)
+    slice_end = F.least(F.col("_end"), seq_end)
+    return exploded.select(
+        *group_cols,
+        order_col,
+        "n_tokens",
+        "seq_id",
+        (slice_start - seq_start).cast("long").alias("seq_offset"),
+        (slice_end - slice_start).cast("long").alias("tokens_in_seq"),
+    )
+
+
+def repeated_line_ratio() -> Column:
+    """Fraction of lines that are repeats of an earlier line (normalized) —
+    the intra-document repetition quality signal."""
+    lines = F.split(F.col("text"), r"\n")
+    norm = F.transform(lines, lambda x: F.lower(F.trim(x)))
+    n = F.size(lines)
+    firsts = F.size(F.array_distinct(norm))
+    return F.when(n > 0, F.round((n - firsts) / n, 6)).otherwise(F.lit(0.0))
+
+
+def dedup_repeated_lines(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition removal: drop every line whose normalized
+    form already appeared earlier in the SAME document, keeping first
+    occurrences in order (the paragraph/line-level analog of corpus dedup —
+    boilerplate headers, repeated nav text). Pure per-row array expressions,
+    zero shuffle, codegen'd."""
+    lines = F.split(F.col("text"), r"\n")
+    norm = F.transform(lines, lambda x: F.lower(F.trim(x)))
+    keep_mask = F.expr(
+        "transform(_norm, (x, i) -> array_position(_norm, x) = i + 1)"
+    )
+    return (
+        documents.withColumn("_lines", lines)
+        .withColumn("_norm", norm)
+        .withColumn("_keep", keep_mask)
+        .select(
+            "doc_id",
+            F.size("_lines").alias("n_lines"),
+            F.expr(
+                "size(filter(_keep, k -> NOT k))"
+            ).alias("n_dropped"),
+            F.concat_ws(
+                "\n",
+                F.expr("transform(filter(arrays_zip(_lines, _keep), p -> p._keep), p -> p._lines)"),
+            ).alias("text_deduped"),
+            repeated_line_ratio().alias("repeat_ratio"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Sequence packing + intra-doc repetition removal, cross-checked against a
+DuckDB computation of the same definitions (registry is at its 50-row gate
+cap, so these carry their oracle here)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from solana_etl_spark.operators.packing import (
+    SEQ_BUDGET,
+    dedup_repeated_lines,
+    pack_sequences,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con
+
+
+def test_pack_sequences_matches_duckdb(spark, duck):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r.lang, r.doc_id, r.seq_id): (r.seq_offset, r.tokens_in_seq, r.n_tokens)
+        for r in pack_sequences(docs, budget=SEQ_BUDGET).collect()
+    }
+    b = SEQ_BUDGET
+    q = f"""
+    WITH t AS (
+        SELECT lang, doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS e
+        FROM t
+    )
+    SELECT lang, doc_id, n_tokens, e - n_tokens AS s,
+           unnest(generate_series(CAST((e - n_tokens) // {b} AS BIGINT),
+                                  CAST((e - 1) // {b} AS BIGINT))) AS seq_id,
+           e
+    FROM c WHERE n_tokens > 0
+    """
+    exp = {}
+    for lang, doc_id, n_tokens, s, seq_id, e in duck.execute(q).fetchall():
+        seq_start = seq_id * b
+        off = max(s, seq_start) - seq_start
+        took = min(e, seq_start + b) - max(s, seq_start)
+        exp[(lang, doc_id, seq_id)] = (off, took, n_tokens)
+    assert got == exp
+
+    # invariants: every doc's tokens fully assigned, no sequence overfilled
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for (lang, doc_id, seq_id), (off, took, n_tokens) in got.items():
+        assert 0 <= off < b and 0 < took <= b
+        by_seq[(lang, seq_id)] = by_seq.get((lang, seq_id), 0) + took
+        by_doc[(lang, doc_id)] = by_doc.get((lang, doc_id), 0) + took
+        by_doc[(lang, doc_id, "n")] = n_tokens
+    assert all(v <= b for v in by_seq.values())
+    for k, v in by_doc.items():
+        if len(k) == 2:
+            assert v == by_doc[(k[0], k[1], "n")]
+
+
+def test_dedup_repeated_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Header\nbody one\nheader\nbody two\nHEADER"),
+            (2, "only\nunique\nlines"),
+            (3, "same\nsame\nsame"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup_repeated_lines(df).collect()}
+    # case-insensitive repeats dropped, first occurrence (original case) kept
+    assert rows[1].text_deduped == "Header\nbody one\nbody two"
+    assert rows[1].n_dropped == 2
+    assert rows[1].repeat_ratio == pytest.approx(2 / 5)
+    assert rows[2].n_dropped == 0 and rows[2].text_deduped == "only\nunique\nlines"
+    assert rows[3].text_deduped == "same" and rows[3].n_dropped == 2
