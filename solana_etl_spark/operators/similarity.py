@@ -100,9 +100,9 @@ def embedding_neardup_pairs(
     hyperplane, so recall is high by construction; the oracle mirrors the
     same candidate definition, making the operator deterministic
     (approximate-by-definition, not approximate-by-race)."""
-    nemb = normalized(embeddings).select("vec_id", "_nemb")
-    buckets = lsh_sign_buckets(embeddings).select("vec_id", "bucket")
-    space = nemb.join(buckets, "vec_id")
+    space = normalized(embeddings).select(
+        "vec_id", "_nemb", _sign_bucket(LSH_SIGN_BITS).alias("bucket")
+    )
     a, b = space.alias("a"), space.alias("b")
     sim = F.round(_dot(F.col("a._nemb"), F.col("b._nemb")), 6)
     return (
@@ -125,9 +125,9 @@ def ann_bucketed_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
     probe). At scale the bucket column is the partition key, so a probe
     reads one partition instead of the corpus; recall is traded for a
     ~2^bits scan reduction. Same deterministic scoring as the exact path."""
-    nemb = normalized(embeddings)
-    buckets = lsh_sign_buckets(embeddings, LSH_SIGN_BITS).select("vec_id", "bucket")
-    scored_space = nemb.join(buckets, "vec_id")
+    scored_space = normalized(embeddings).select(
+        "vec_id", "_nemb", _sign_bucket(LSH_SIGN_BITS).alias("bucket")
+    )
     q = (
         scored_space.orderBy("vec_id")
         .limit(1)
@@ -151,11 +151,12 @@ def ann_bucketed_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
     )
 
 
-def lsh_sign_buckets(embeddings: DataFrame, bits: int = LSH_SIGN_BITS) -> DataFrame:
-    """Deterministic sign-projection LSH bucket per vector: bit j compares
-    coordinate j against coordinate j+bits (a fixed, data-independent
-    hyperplane family). Bucket-equal vectors are ANN candidates; at scale
-    this is the IVF/LSH partitioning key."""
+def _sign_bucket(bits: int = LSH_SIGN_BITS) -> Column:
+    """Sign-projection bucket expression over the raw ``embedding`` column:
+    bit j compares coordinate j against coordinate j+bits (a fixed,
+    data-independent hyperplane family). A per-row expression, so callers
+    fuse it into their projection instead of joining a separate bucket
+    relation (one scan, no join)."""
     emb = F.col("embedding")
     bucket = None
     for j in range(bits):
@@ -165,6 +166,13 @@ def lsh_sign_buckets(embeddings: DataFrame, bits: int = LSH_SIGN_BITS) -> DataFr
             F.lit(1 << j),
         ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_sign_buckets(embeddings: DataFrame, bits: int = LSH_SIGN_BITS) -> DataFrame:
+    """Deterministic sign-projection LSH bucket per vector. Bucket-equal
+    vectors are ANN candidates; at scale this is the IVF/LSH partitioning
+    key."""
     return embeddings.select(
-        "vec_id", "label", bucket.cast("long").alias("bucket")
+        "vec_id", "label", _sign_bucket(bits).alias("bucket")
     )
