@@ -501,6 +501,11 @@ def transfers_view(txs: DataFrame) -> DataFrame:
                 F.col("source").isNull() | F.col("destination").isNull(),
                 F.lit("info account not in transaction accounts"),
             ).when(
+                # reference KeyErrors on a missing lamports/amount key
+                # (Transfer.py:29,69) → error row, never a null-valued output
+                F.col("_value_raw").isNull(),
+                F.lit("transfer amount missing"),
+            ).when(
                 # non-numeric (decimal cast nulls) OR beyond int64 (non-ANSI
                 # decimal→long WRAPS, so detect via decimal != narrowed value)
                 F.col("_value_raw").isNotNull()
