@@ -141,6 +141,12 @@ def blocks_task(txs: DataFrame, blocks_raw: DataFrame) -> DataFrame:
     already-distinct arrays, so partial aggregation keeps the shuffle small.
     Blocks with zero transactions still emit a row (reference emits
     unconditionally).
+
+    Documented divergence (SURVEY §7.5 spirit): a malformed transaction
+    inside the block is counted by these null-tolerant aggregates, whereas
+    the reference's block_info would raise and turn the WHOLE block into an
+    error row — per-row isolation is strictly more informative, so the
+    rollup keeps the block.
     """
     coin_accounts = F.transform(
         F.filter(

@@ -103,6 +103,11 @@ def model_token_changes(meta, accounts):
 @settings(max_examples=8, deadline=None)
 @given(txs=st.lists(transaction(), min_size=1, max_size=6))
 def test_view_matches_model(spark, txs):
+    # the comparison below keys rows by signature, so make them unique per
+    # tx (hypothesis shrinks the drawn signature integers to 0, colliding
+    # every tx onto 'SIG0' — the engine itself never dedups by signature)
+    for i, tx in enumerate(txs):
+        tx["transaction"]["signatures"] = [f"SIG{i}"]
     block = {
         "path": "/synth/1.json",
         "missing": False,
