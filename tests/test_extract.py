@@ -101,3 +101,50 @@ def test_cli_task_expansion():
     assert expand_tasks(["Transfers", "blocks"]) == {"transfers", "blocks"}
     with pytest.raises(KeyError):
         expand_tasks(["nope"])
+
+
+def test_cli_single_file_flag_parses():
+    """--single_file defaults on; --no-single_file turns it off (the r1 flag
+    was store_true with default=True — a no-op)."""
+    import argparse
+
+    from solana_etl_spark import cli as cli_mod
+
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--single_file", action=argparse.BooleanOptionalAction, default=True
+    )
+    assert p.parse_args([]).single_file is True
+    assert p.parse_args(["--no-single_file"]).single_file is False
+    # the real parser accepts the negative form without error
+    import inspect
+
+    src = inspect.getsource(cli_mod.cmd_load_file)
+    assert "BooleanOptionalAction" in src
+
+
+def test_cli_load_file_no_single_file(tmp_path, spark):
+    """load-file with --no-single_file writes many-part CSV outputs."""
+    import glob as _glob
+    import shutil
+
+    from tests.conftest import BLOCK_110130000
+
+    blocks = tmp_path / "blocks" / "0"
+    blocks.mkdir(parents=True)
+    shutil.copy(BLOCK_110130000, blocks / "110130000.json.gz")
+    dest = tmp_path / "out"
+
+    from solana_etl_spark.cli import cmd_load_file
+
+    rc = cmd_load_file(
+        [
+            "all",
+            str(tmp_path / "blocks"),
+            str(dest),
+            "--no-single_file",
+        ]
+    )
+    assert rc == 0
+    files = _glob.glob(str(dest / "transactions" / "*.csv"))
+    assert files  # output exists; many-part layout allowed
