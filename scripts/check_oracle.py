@@ -25,6 +25,10 @@ def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def canon(v):
+        # floats canonicalize at FULL precision (17 significant digits =
+        # bit-exact for IEEE doubles): the driver's value hash is bit-exact,
+        # and r1 proved a 9-sig-fig local gate can pass what the driver
+        # fails. A query green here is green there.
         if v is None:
             return "\0NULL"
         if isinstance(v, bool):
@@ -32,13 +36,13 @@ def normalize(rows, cols):
         if isinstance(v, float):
             if math.isnan(v):
                 return "f:nan"
-            return f"f:{v:.9g}"
+            return f"f:{v:.17g}"
         if isinstance(v, int):
             return f"i:{v}"
         from decimal import Decimal
 
         if isinstance(v, Decimal):
-            return f"f:{float(v):.9g}"
+            return f"f:{float(v):.17g}"
         return f"s:{v}"
 
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
