@@ -56,6 +56,9 @@ def cmd_load_file(argv: list[str]) -> int:
         tasks = expand_tasks(args.tasks.split(","))
     except KeyError as e:
         p.error(f"unknown task {e}; valid: {', '.join(VALID_TASKS)} or 'all'")
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="load-file")
     blocks = read_blocks(spark, f"{args.blocks_dir}/**/*.json*")
     outputs = run_all_tasks(blocks)
@@ -67,7 +70,8 @@ def cmd_load_file(argv: list[str]) -> int:
         single_file=args.single_file,
         keep_subdirs=args.keep_subdirs,
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
@@ -99,15 +103,19 @@ def cmd_extract_streaming(argv: list[str]) -> int:
     p.add_argument("--checkpoint_dir", default=None)
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from solana_etl_spark.session import get_spark
     from solana_etl_spark.streaming.pipeline import start_streaming_load
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="extract-streaming")
     q = start_streaming_load(
         spark, args.blocks_dir, args.destination_dir, args.checkpoint_dir
     )
     q.awaitTermination()
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
