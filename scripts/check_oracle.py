@@ -15,7 +15,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from solana_etl_spark.queries import queries, oracle_sql  # noqa: E402
+from solana_etl_spark.queries import all_queries, all_oracle_sql  # noqa: E402
 from solana_etl_spark.session import get_spark  # noqa: E402
 from solana_etl_spark.sources.tables import TESTDATA_TABLES  # noqa: E402
 
@@ -60,7 +60,7 @@ def main():
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs, oracles = queries(), oracle_sql()
+    qs, oracles = all_queries(), all_oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -289,6 +289,77 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive duplicate clusters from a candidate-pair edge list:
+    one row per node with ``cluster_id`` = min doc_id reachable through the
+    pair graph (the canonical keeper of the cluster).
+
+    This is the capstone of the dedup pipeline: LSH emits PAIRS, but dropping
+    duplicates needs CLUSTERS (A~B, B~C ⇒ {A,B,C} keep only A even when A,C
+    never collide directly).
+
+    Spark shape: iterative min-label propagation WITH pointer jumping. Per
+    round, a node takes the min of (its label, its neighbors' labels, and its
+    label's label — the pointer-jump join that halves remaining chain depth
+    every round), then ``localCheckpoint`` truncates the lineage (iterative
+    plans otherwise grow exponentially). Plain propagation needs O(diameter)
+    rounds — duplicate CHAINS (doc₀~doc₁~…~docₖ, adjacent-only collisions)
+    make that linear in chain length; the pointer-jump term drops it to
+    O(log diameter), the same recurrence as large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond"). Convergence is
+    detected via the label-sum invariant: labels only ever decrease, so an
+    unchanged SUM(cluster_id) ⇔ a fixpoint — one scalar action per round
+    instead of a change-count join.
+
+    The fixpoint is unique (min reachable id is iteration-order-independent),
+    so the result is deterministic and cross-engine checkable — the DuckDB
+    oracle is a recursive-CTE transitive closure.
+    """
+    # persist the edge list: every round joins it, and materializing it once
+    # also keeps the (expensive) upstream pair derivation from running twice
+    # through the two union branches
+    edges = (
+        pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+        .union(pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("esrc").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iterations):
+        neighbor_msgs = edges.join(labels, edges["edst"] == labels["node"]).select(
+            F.col("esrc").alias("node"), F.col("cluster_id")
+        )
+        # pointer jump: label(v) is itself a node of the same component, so
+        # label(label(v)) is a valid (and ≤) label for v
+        a, b = labels.alias("a"), labels.alias("b")
+        jump_msgs = a.join(b, F.col("a.cluster_id") == F.col("b.node")).select(
+            F.col("a.node").alias("node"), F.col("b.cluster_id").alias("cluster_id")
+        )
+        labels = (
+            labels.union(neighbor_msgs)
+            .union(jump_msgs)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:

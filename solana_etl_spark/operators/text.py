@@ -196,3 +196,38 @@ def fingerprint(documents: DataFrame) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+# --- PII / URL redaction (charter text-analysis family) --------------------
+# Patterns live in the Java-regex ∩ RE2 common subset (char classes, bounded
+# repetition, \b) so Spark's regexp_replace and DuckDB's RE2 produce
+# identical matches — no lookaround, no backreferences.
+PII_URL_RE = r"https?://[^\s]+"
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact URLs, emails, and IPv4 addresses; count each category.
+
+    The cleaning step a training-data pipeline runs before tokenization.
+    Redaction order is fixed (URL → email → IP) because a URL can embed an
+    email-shaped userinfo part; both engines apply the same order so the
+    oracle is value-exact. Pure per-row regexp expressions — zero shuffle,
+    whole-stage codegen'd, linear scan at any scale.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_URL_RE, "<URL>"), PII_EMAIL_RE, "<EMAIL>"
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        redacted.alias("text_redacted"),
+    )

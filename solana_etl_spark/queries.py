@@ -39,13 +39,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# Local-only entries: checked by scripts/check_oracle.py and pytest but NOT
+# exposed to the driver gate, which records at most 50 queries — these are
+# operators whose computation is a strict subset of a registered query (so
+# driver coverage is not reduced), kept verifiable locally.
+_LOCAL_REGISTRY: dict[str, QueryFn] = {}
+_LOCAL_ORACLES: dict[str, str] = {}
 
 
-def _register(name: str, oracle: str | None):
+def _register(name: str, oracle: str | None, local_only: bool = False):
+    reg, orc = (_LOCAL_REGISTRY, _LOCAL_ORACLES) if local_only else (_REGISTRY, _ORACLES)
+
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = fn
+        reg[name] = fn
         if oracle is not None:
-            _ORACLES[name] = oracle
+            orc[name] = oracle
         return fn
 
     return deco
@@ -75,6 +83,18 @@ def oracle_sql() -> dict[str, str]:
 
     ensure_e2e_corpus()
     return dict(_ORACLES)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    """Driver registry + local-only entries (for the local gate / pytest)."""
+    return {**_REGISTRY, **_LOCAL_REGISTRY}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    from solana_etl_spark.sources.synth import ensure_e2e_corpus
+
+    ensure_e2e_corpus()
+    return {**_ORACLES, **_LOCAL_ORACLES}
 
 
 DEC = "decimal(18,4)"
@@ -888,12 +908,25 @@ def _minhash_oracle(k: int) -> str:
     return f"SELECT doc_id,\n           {cols}\n    FROM documents"
 
 
-@_register("dedup_minhash_signatures", _minhash_oracle(dedup.MINHASH_K))
+# local_only: the k signature expressions here are the identical minhash_sql
+# exprs the registered dedup_minhash_lsh_pairs oracle builds its sigs CTE
+# from, and the Spark side is the same minhash_signatures() the pairs query
+# composes — a strict computational subset, verified by the local gate to
+# keep the driver registry at its 50-row cap.
+@_register(
+    "dedup_minhash_signatures", _minhash_oracle(dedup.MINHASH_K), local_only=True
+)
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-def _lsh_pairs_oracle(k: int, band_rows: int) -> str:
+def _lsh_pairs_cte(k: int, band_rows: int, materialized: bool = False) -> str:
+    """sigs/bands/pairs CTE bodies shared by the pairs and clusters oracles.
+
+    ``materialized`` forces DuckDB to evaluate pairs once — essential under a
+    recursive CTE, which otherwise re-runs the whole minhash chain every
+    recursion step (measured 49s → <1s on the clusters oracle at sf0.01).
+    """
     n_bands = k // band_rows
     sig_cols = ",\n               ".join(
         f"{minhash_sql(_SHINGLES_SQL, i)} AS h{i}" for i in range(k)
@@ -907,16 +940,43 @@ def _lsh_pairs_oracle(k: int, band_rows: int) -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-    WITH sigs AS (
+    return f"""sigs AS (
         SELECT doc_id,
                {sig_cols}
         FROM documents
     ),
-    bands AS ({band_rows_sql})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    bands AS ({band_rows_sql}),
+    pairs AS {"MATERIALIZED " if materialized else ""}(
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )"""
+
+
+def _lsh_pairs_oracle(k: int, band_rows: int) -> str:
+    return f"""
+    WITH {_lsh_pairs_cte(k, band_rows)}
+    SELECT doc_a, doc_b FROM pairs
+    """
+
+
+def _clusters_oracle(k: int, band_rows: int) -> str:
+    # ground truth = transitive closure of the pair graph: min reachable
+    # doc_id per node via a recursive CTE (UNION dedups → terminates).
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_cte(k, band_rows, materialized=True)},
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
     """
 
 
@@ -926,6 +986,19 @@ def _lsh_pairs_oracle(k: int, band_rows: int) -> str:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_clusters",
+    _clusters_oracle(dedup.MINHASH_K, dedup.LSH_BAND_ROWS),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup capstone: LSH candidate pairs → transitive duplicate clusters
+    (iterative min-label propagation; oracle is a recursive-CTE closure).
+    A~B, B~C ⇒ one cluster keyed by its min doc_id even when A,C never
+    collide directly — what a drop-duplicates pass actually needs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.connected_components(dedup.minhash_lsh_pairs(docs))
 
 
 def _simhash_expr_sql(bits: int) -> str:

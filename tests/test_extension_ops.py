@@ -278,3 +278,66 @@ def test_sampling_and_kmv(spark):
     assert exact.n_hashes == 100 and exact.est_distinct == 100.0
     est = kmv_distinct(df, "k", k=256).collect()[0].est_distinct
     assert 1400 < est < 2600  # KMV error ~1/sqrt(k) ≈ 6%; generous bound
+
+
+def test_connected_components_union_find_oracle(spark):
+    """Cluster assignment equals a pure-Python union-find on the same edges:
+    chains (0-1, 1-2, 2-3), a separate 2-cluster, a self-contained triangle,
+    and high-id chains that exercise pointer jumping."""
+    from solana_etl_spark.operators.dedup import connected_components
+
+    edges = [
+        (0, 1), (1, 2), (2, 3),          # chain → cluster 0
+        (10, 11),                        # pair → cluster 10
+        (20, 21), (21, 22), (20, 22),    # triangle → cluster 20
+        (34, 33), (33, 32), (32, 31), (31, 30),  # reversed chain → 30
+    ]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iterations=8).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_connected_components_empty_pairs(spark):
+    from solana_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_minhash_signatures_duckdb_parity(spark):
+    """The demoted-from-driver-registry signatures query still holds exact
+    cross-engine parity (local gate entry; see queries.py local_only)."""
+    import duckdb
+
+    from solana_etl_spark.queries import all_queries, all_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    df = all_queries()["dedup_minhash_signatures"](spark, sf)
+    spark_rows = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.execute(all_oracle_sql()["dedup_minhash_signatures"]).fetchall()
+    )
+    assert spark_rows == duck_rows
