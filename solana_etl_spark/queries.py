@@ -1354,6 +1354,83 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.winnow_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+# The synthetic corpus contains no PII, so the redaction query injects
+# deterministic URL/email/IP strings (same expression both engines) before
+# redacting — the oracle then checks real match/replace behavior, not a
+# no-op. local_only: the driver registry is at its 50-row cap.
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com now'
+             WHEN 1 THEN text || ' see https://ex.org/p/'
+                         || CAST(doc_id AS VARCHAR) || '?q=1 ok'
+             WHEN 2 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.' || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+             ELSE text
+           END AS text
+    FROM documents
+"""
+
+
+@_register(
+    "text_redact_pii",
+    f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{text_ops.PII_URL_RE}')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{text_ops.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text_ops.PII_IP_RE}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{text_ops.PII_URL_RE}', '<URL>', 'g'),
+               '{text_ops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{text_ops.PII_IP_RE}', '<IP>', 'g') AS text_redacted
+    FROM aug
+    """,
+    local_only=True,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                did.cast("string"),
+                F.lit("@ex"),
+                (did % 7).cast("string"),
+                F.lit(".com now"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://ex.org/p/"),
+                did.cast("string"),
+                F.lit("?q=1 ok"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text_ops.redact_pii(aug)
+
+
 @_register(
     "a15_pivot",
     """

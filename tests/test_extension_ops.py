@@ -341,3 +341,23 @@ def test_minhash_signatures_duckdb_parity(spark):
         for r in con.execute(all_oracle_sql()["dedup_minhash_signatures"]).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+def test_redact_pii_semantics(spark):
+    from solana_etl_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail a.b-c+x@sub.ex.org and b@ex.io twice"),
+        (1, "go to https://ex.org/path?u=x@y.com then stop"),  # email inside URL
+        (2, "host 192.168.0.1 and 10.0.0.255 seen"),
+        (3, "plain text, version 1.2 no pii"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+
+    assert got[0].n_emails == 2 and got[0].text_redacted == "mail <EMAIL> and <EMAIL> twice"
+    # URL redacted first, so the embedded email survives only in the count
+    assert got[1].n_urls == 1 and got[1].text_redacted == "go to <URL> then stop"
+    assert got[2].n_ips == 2 and got[2].text_redacted == "host <IP> and <IP> seen"
+    assert got[3].n_urls == got[3].n_emails == got[3].n_ips == 0
+    assert got[3].text_redacted == rows[3][1]
