@@ -1,0 +1,77 @@
+"""Train/test decontamination (charter §2.11 extension): flag training
+documents that share word n-grams with a held-out evaluation corpus — the
+standard benchmark-leakage check an LLM training-data pipeline runs before
+shipping a corpus (n-gram overlap decontamination, as popularized by the
+GPT-3/PaLM data papers).
+
+Scale shape: the eval corpus' distinct gram-hash set is tiny relative to the
+training corpus (benchmarks are thousands of documents, corpora are
+billions), so the probe side is BROADCAST — the training side is one
+explode + broadcast hash-join + per-doc count, a single narrow shuffle keyed
+by doc_id (partial counts map-side). No training-corpus self-join, no
+all-pairs anything; linear in corpus size at any scale.
+
+Grams are hashed with the cross-engine md5 family (functions/hashing.py),
+so the whole check has a value-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solana_etl_spark.functions.hashing import hash64
+from solana_etl_spark.operators.text import tokens
+
+DECONTAM_NGRAM_N = 5  # word n-gram length (5-gram overlap ≈ PaLM's 8/SeqLen heuristic at this doc size)
+
+
+def word_ngram_hashes(text: Column, n: int = DECONTAM_NGRAM_N) -> Column:
+    """Distinct 64-bit hashes of the word n-grams of ``text`` (whitespace
+    tokens of lowercased text, space-joined). Pure per-row expressions."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.transform(grams, hash64))
+
+
+def contamination(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DECONTAM_NGRAM_N,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-training-document overlap with the eval corpus.
+
+    Returns doc_id, n_grams (distinct grams in the doc), n_overlap (how many
+    also occur anywhere in ``eval_docs``), is_contaminated
+    (n_overlap ≥ min_overlap). Keeps every training row (zero-filled), so the
+    caller can either drop or audit.
+    """
+    probe = (
+        eval_docs.select(F.explode(word_ngram_hashes(F.col("text"), n)).alias("g"))
+        .distinct()
+    )
+    doc_grams = documents.select(
+        "doc_id", word_ngram_hashes(F.col("text"), n).alias("_grams")
+    )
+    overlap = (
+        doc_grams.select("doc_id", F.explode("_grams").alias("g"))
+        .join(F.broadcast(probe), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        doc_grams.select("doc_id", F.size("_grams").cast("long").alias("n_grams"))
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "is_contaminated"
+            ),
+        )
+    )

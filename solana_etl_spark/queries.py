@@ -1431,6 +1431,51 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.redact_pii(aug)
 
 
+def _decontam_oracle(n: int) -> str:
+    toks = _TOKENS_SQL
+    gram_hash = hash64_sql(f"array_to_string(toks[i:i+{n - 1}], ' ')")
+    return f"""
+    WITH g AS (
+        SELECT doc_id, source,
+               list_distinct([ {gram_hash}
+                   for i in generate_series(1, greatest(len(toks) - {n - 1}, 0)) ]) AS grams
+        FROM (SELECT doc_id, source, {toks} AS toks FROM documents)
+    ),
+    probe AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE source = 'src19'),
+    train AS (SELECT doc_id, grams FROM g WHERE source <> 'src19'),
+    ov AS (
+        SELECT t.doc_id, COUNT(*) AS n_overlap
+        FROM (SELECT doc_id, unnest(grams) AS gh FROM train) t
+        JOIN probe USING (gh) GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) >= 1 AS is_contaminated
+    FROM train tr LEFT JOIN ov USING (doc_id)
+    """
+
+
+@_register(
+    "text_decontaminate",
+    _decontam_oracle(5),
+    local_only=True,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag training docs (source≠src19) sharing
+    word 5-grams with the held-out eval slice (source=src19). Probe side
+    broadcast; training side = explode + broadcast join + per-doc count —
+    linear in corpus size (operators/decontam.py). local_only: driver cap."""
+    from solana_etl_spark.operators.decontam import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        n=5,
+    )
+
+
 @_register(
     "a15_pivot",
     """

@@ -361,3 +361,28 @@ def test_redact_pii_semantics(spark):
     assert got[2].n_ips == 2 and got[2].text_redacted == "host <IP> and <IP> seen"
     assert got[3].n_urls == got[3].n_emails == got[3].n_ips == 0
     assert got[3].text_redacted == rows[3][1]
+
+
+def test_decontamination_semantics(spark):
+    from solana_etl_spark.operators.decontam import contamination
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the eval 5-gram "the capital of france is"
+            (0, "we know THE Capital of France is a big city"),
+            # shares words but no 5-gram run
+            (1, "france paris capital the of is"),
+            (2, "totally unrelated text about spark physical plans here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in contamination(train, eval_docs, n=5).collect()}
+    assert got[0].is_contaminated and got[0].n_overlap == 1
+    assert not got[1].is_contaminated and got[1].n_overlap == 0
+    assert not got[2].is_contaminated
+    # every training row survives (audit-mode output)
+    assert set(got) == {0, 1, 2}
