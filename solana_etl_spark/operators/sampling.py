@@ -94,3 +94,38 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    rates_bp: dict[str, int],
+    stratum_col: str = "source",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Per-stratum rate mixing: keep each row with its stratum's probability
+    (in 1/10000ths) — THE mixture-weighting step of a corpus build ("keep
+    100% of wiki, 15% of crawl"). Same deterministic hash-bucket predicate
+    as :func:`hash_sample`, just with a per-stratum rate: stateless,
+    zero-shuffle, retry-safe, and membership is recomputable from the key.
+    """
+    rate = None
+    for stratum, bp in sorted(rates_bp.items()):
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, bp) if rate is None else rate.when(cond, bp)
+    rate = F.lit(default_bp) if rate is None else rate.otherwise(default_bp)
+    return df.filter(sample_bucket(F.col(key_col)) < rate)
+
+
+def quantile_bins(
+    df: DataFrame, score_col: str, key_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Assign each row an exact quantile bin of ``score_col`` (1..n_bins) —
+    curriculum/quality binning. Uses NTILE over a total order with the row
+    key as tiebreak, so the binning is deterministic and cross-engine
+    reproducible (percentile sketches are not). One global sort — for
+    score-ordered curricula that sort is the deliverable itself; for
+    billion-row corpora prefer binning per partition key on top of this.
+    """
+    w = Window.orderBy(F.col(score_col), F.col(key_col))
+    return df.withColumn("bin", F.ntile(n_bins).over(w))

@@ -1563,6 +1563,54 @@ def s2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+_MIXTURE_RATES = {"src0": 10000, "src1": 5000, "src2": 1500}  # bp per source
+
+
+@_register(
+    "s3_mixture_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {hash64_sql("CAST(doc_id AS VARCHAR)")} % 10000 <
+          CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 1500 ELSE 300 END
+    """,
+    local_only=True,
+)
+def s3_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weighting ("100% of src0, 50% of src1, 15% of
+    src2, 3% of the rest") — the corpus-mixing step, as a stateless
+    deterministic hash predicate: zero shuffle, retry-safe, recomputable
+    membership (operators/sampling.py). local_only: driver cap."""
+    from solana_etl_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", _MIXTURE_RATES, default_bp=300
+    ).select("doc_id", "lang", "source")
+
+
+@_register(
+    "s4_quantile_bins",
+    f"""
+    SELECT doc_id, n_chars,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS bin
+    FROM documents
+    """,
+    local_only=True,
+)
+def s4_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile binning of a quality signal with deterministic tiebreak
+    — curriculum/quality buckets that reproduce bit-identically across
+    engines (percentile sketches don't). local_only: driver cap."""
+    from solana_etl_spark.operators.sampling import quantile_bins
+
+    return quantile_bins(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars",
+        "doc_id",
+        10,
+    )
+
+
 @_register(
     "a14_kmv_distinct",
     f"""

@@ -386,3 +386,31 @@ def test_decontamination_semantics(spark):
     assert not got[2].is_contaminated
     # every training row survives (audit-mode output)
     assert set(got) == {0, 1, 2}
+
+
+def test_mixture_sample_and_quantile_bins(spark):
+    from solana_etl_spark.operators.sampling import (
+        mixture_sample,
+        quantile_bins,
+        sample_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(200)],
+        ["doc_id", "source", "score"],
+    )
+    kept = mixture_sample(df, "doc_id", {"a": 10000}, default_bp=0)
+    rows = kept.collect()
+    assert all(r.source == "a" for r in rows)  # b-rate 0 → dropped
+    assert len(rows) == 100  # a-rate 100% → all kept
+    # membership is a pure function of the key: rerun selects the same rows
+    again = {r.doc_id for r in mixture_sample(df, "doc_id", {"a": 10000}).collect()}
+    assert {r.doc_id for r in rows} == again
+
+    binned = quantile_bins(df, "score", "doc_id", 4).collect()
+    by_bin = {}
+    for r in binned:
+        by_bin.setdefault(r.bin, []).append(r.score)
+    assert sorted(by_bin) == [1, 2, 3, 4]
+    assert all(len(v) == 50 for v in by_bin.values())
+    assert max(by_bin[1]) < min(by_bin[4])  # bins are ordered by score
