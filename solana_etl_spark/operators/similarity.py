@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from solana_etl_spark.functions.parallelism import ensure_compute_parallelism
 
@@ -175,4 +176,154 @@ def lsh_sign_buckets(embeddings: DataFrame, bits: int = LSH_SIGN_BITS) -> DataFr
     key."""
     return embeddings.select(
         "vec_id", "label", _sign_bucket(bits).alias("bucket")
+    )
+
+
+# --- IVF with learned centroids (deterministic integer k-means) ------------
+IVF_K = 8  # centroid count
+IVF_ITERS = 2  # fixed Lloyd iterations (no convergence check → SQL-unrollable)
+IVF_SCALE = 1_000_000  # float → scaled-int64 quantization factor
+IVF_DIM = 64
+IVF_NPROBE = 2
+
+
+def quantized(embeddings: DataFrame) -> DataFrame:
+    """vec_id + embedding quantized to scaled int64 (round(x·1e6)).
+
+    All downstream k-means math is EXACT integer arithmetic: distances,
+    centroid sums, and the truncating mean are bit-identical across engines
+    AND across partitionings (float accumulation order can never leak in).
+    dim 64 · (3·10⁵)² per term keeps every sum far inside int64.
+    """
+    return ensure_compute_parallelism(embeddings).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * IVF_SCALE, 0).cast("long"),
+        ).alias("qvec"),
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (tiebreak: smaller cid). The centroid set
+    is k rows → broadcast; assignment is an embarrassingly parallel scan."""
+    d = _sqdist(F.col("qvec"), F.col("cvec"))
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "qvec", F.struct(d.alias("dist"), F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"), F.first("qvec").alias("qvec"))
+        .select("vec_id", "qvec", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist"))
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+) -> DataFrame:
+    """(cid, cvec): centroids after ``iters`` exact-integer Lloyd rounds.
+
+    Init = the k vectors with the smallest (hash64(vec_id), vec_id) — a
+    deterministic pseudo-random draw. Update = per-dimension truncating
+    integer mean, computed as (s − s % n) / n so Spark's `div` and DuckDB
+    agree on negative sums. Empty clusters keep their previous centroid
+    (never arises with hash-drawn init on this data, but defined behavior).
+
+    Scale shape: train on a hash_sample at 100 TB (centroid quality needs
+    ~10⁴–10⁶ vectors, not the corpus); ASSIGNMENT is the full scan, and it
+    is one broadcast join. Each Lloyd round = one narrow shuffle keyed by
+    (cid, dim) for the partial per-dimension sums.
+    """
+    from solana_etl_spark.functions.hashing import hash64
+
+    vecs = quantized(embeddings)
+    w = Window.orderBy(hash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+    centroids = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).alias("cid"), F.col("qvec").alias("cvec"))
+    )
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        dims = assigned.select(
+            "cid", F.posexplode("qvec").alias("dim", "v")
+        )
+        per_dim = dims.groupBy("cid", "dim").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new_centroids = (
+            per_dim.select(
+                "cid",
+                "dim",
+                F.expr("(s - (s % n)) div n").alias("m"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("_dm")
+            )
+            .select("cid", F.expr("transform(_dm, x -> x.m)").alias("cvec"))
+        )
+        # empty clusters (no assigned rows) fall back to the previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(new_centroids.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
+    return centroids
+
+
+def ivf_assignments(
+    embeddings: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+) -> DataFrame:
+    """The IVF index: (vec_id, cid, dist) — every vector's inverted-list
+    assignment under the learned centroids. All-integer output → value-exact
+    oracle for the entire k-means."""
+    centroids = kmeans_centroids(embeddings, k, iters)
+    return ivf_assign_with(quantized(embeddings), centroids)
+
+
+def ivf_assign_with(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    return _assign(vecs, centroids).select("vec_id", "cid", "dist")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroids nearest the query (the
+    min-vec_id vector, deterministic), then exact top-k within those
+    inverted lists only — the scan touches nprobe/k of the corpus instead
+    of all of it. Output (vec_id, dist) is exact integer math."""
+    vecs = quantized(embeddings)
+    centroids = kmeans_centroids(embeddings, k, iters)
+    query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
+    probe_cids = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
+        .orderBy("qd", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    assigned = _assign(vecs, centroids)
+    candidates = assigned.join(F.broadcast(probe_cids), "cid")
+    return (
+        candidates.crossJoin(F.broadcast(query))
+        .select("vec_id", _sqdist(F.col("qvec"), F.col("q")).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(topk)
     )

@@ -1588,6 +1588,143 @@ def s3_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _ivf_cte(k: int, iters: int, dim: int, scale: int) -> str:
+    """qvecs / unrolled-Lloyd centroid CTEs mirroring operators/similarity.py
+    kmeans_centroids — exact integer math, so value-identical by design."""
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    parts = [
+        f"""qvecs AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (
+                   ORDER BY {hash64_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+               ) - 1 AS cid,
+               qvec AS cvec
+        FROM qvecs
+        ORDER BY {hash64_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT {k}
+    )"""
+    ]
+    for it in range(iters):
+        parts.append(f"""a{it} AS (
+        SELECT vec_id, qvec, cid, dist FROM (
+            SELECT v.vec_id, v.qvec, c.cid, {dist} AS dist,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{it} c
+        ) WHERE rn = 1
+    ),
+    u{it} AS (
+        SELECT cid, list(m ORDER BY dim) AS cvec FROM (
+            SELECT cid, dim, CAST((s - (s % n)) // n AS BIGINT) AS m FROM (
+                SELECT cid, SUM(v) AS s, COUNT(*) AS n, dim FROM (
+                    SELECT cid, unnest(qvec) AS v,
+                           unnest(generate_series(1, {dim})) AS dim
+                    FROM a{it}
+                ) GROUP BY cid, dim
+            )
+        ) GROUP BY cid
+    ),
+    c{it + 1} AS (
+        SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+        FROM c{it} p LEFT JOIN u{it} u USING (cid)
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _ivf_assign_oracle(k: int, iters: int, dim: int, scale: int) -> str:
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)}
+    SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM (
+        SELECT v.vec_id, c.cid, {dist} AS dist,
+               row_number() OVER (
+                   PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+               ) AS rn
+        FROM qvecs v CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+    """
+
+
+def _ivf_topk_oracle(k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int) -> str:
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    qdist = (
+        "list_sum([ (v.qvec[i] - q.q[i]) * (v.qvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    cdist = (
+        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    qry AS (SELECT qvec AS q FROM qvecs ORDER BY vec_id LIMIT 1),
+    probe AS (
+        SELECT cid FROM c{iters} c CROSS JOIN qry q
+        ORDER BY {cdist}, cid LIMIT {nprobe}
+    ),
+    afinal AS (
+        SELECT vec_id, qvec, cid FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST({qdist} AS BIGINT) AS dist
+    FROM afinal v JOIN probe USING (cid) CROSS JOIN qry q
+    ORDER BY dist, vec_id LIMIT {topk}
+    """
+
+
+@_register(
+    "ann_ivf_assign",
+    _ivf_assign_oracle(
+        similarity.IVF_K, similarity.IVF_ITERS, similarity.IVF_DIM, similarity.IVF_SCALE
+    ),
+    local_only=True,
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: deterministic integer k-means (fixed Lloyd rounds,
+    exact int math → bit-identical across engines AND partitionings); output
+    is every vector's inverted-list assignment. local_only: driver cap."""
+    return similarity.ivf_assignments(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "ann_ivf_topk",
+    _ivf_topk_oracle(
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+        similarity.IVF_NPROBE,
+        similarity.TOPK,
+    ),
+    local_only=True,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: probe the nprobe nearest learned centroids, exact top-k
+    within those lists only — touches nprobe/k of the corpus. local_only:
+    driver cap."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @_register(
     "s4_quantile_bins",
     f"""

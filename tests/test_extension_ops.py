@@ -414,3 +414,35 @@ def test_mixture_sample_and_quantile_bins(spark):
     assert sorted(by_bin) == [1, 2, 3, 4]
     assert all(len(v) == 50 for v in by_bin.values())
     assert max(by_bin[1]) < min(by_bin[4])  # bins are ordered by score
+
+
+def test_kmeans_ivf_separable_clusters(spark):
+    """Three well-separated blobs: k-means must recover them (every blob maps
+    to exactly one centroid), and IVF top-k must stay within the query's
+    blob."""
+    from solana_etl_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_topk,
+    )
+
+    def vec(center, jitter):
+        return [float(center + jitter * 0.001)] * 4 + [0.0] * 60
+
+    rows = [
+        (i, vec(c, i), 0)
+        for c, base in ((0.0, 0), (5.0, 20), (-5.0, 40))
+        for i in range(base, base + 20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assign = {r.vec_id: r.cid for r in ivf_assignments(emb, k=3, iters=3).collect()}
+    blobs = [
+        {assign[i] for i in range(0, 20)},
+        {assign[i] for i in range(20, 40)},
+        {assign[i] for i in range(40, 60)},
+    ]
+    assert all(len(b) == 1 for b in blobs)  # each blob → one centroid
+    assert len(set.union(*blobs)) == 3  # and the centroids are distinct
+
+    # query = vec_id 0 (blob 1): every IVF hit must come from blob 1
+    hits = [r.vec_id for r in ivf_topk(emb, k=3, iters=3, nprobe=1, topk=5).collect()]
+    assert hits[0] == 0 and all(v < 20 for v in hits)
