@@ -41,3 +41,27 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-side member of the dedup
+    family (at-least-once sources redeliver; downstream wants exactly-one
+    row per event_id).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps per-key state only
+    until the watermark passes it — BOUNDED state, unlike plain
+    ``dropDuplicates`` on a stream whose state grows forever. Duplicates
+    arriving within the delay are dropped; the watermark is the documented
+    dedup horizon. Batch: same expression degenerates to ``dropDuplicates``
+    (one hash shuffle on the keys).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
