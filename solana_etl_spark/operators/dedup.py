@@ -418,3 +418,46 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_index(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The persistable dedup index of a corpus: (exact_index, band_index).
+
+    exact_index — distinct normalized-content hashes (16 bytes/row);
+    band_index — distinct (band, sig) LSH bucket keys. At 100 TB these are
+    the two small-by-construction tables an ingest pipeline keeps in its
+    warehouse and unions incrementally; re-scanning the corpus per batch is
+    the anti-pattern this operator exists to avoid.
+    """
+    exact = documents.select(
+        hash64(normalized_text()).alias("content_hash")
+    ).distinct()
+    bands = lsh_bands(documents).select("band", "sig").distinct()
+    return exact, bands
+
+
+def incremental_dedup(
+    new_docs: DataFrame, exact_index: DataFrame, band_index: DataFrame
+) -> DataFrame:
+    """New-batch rows that are neither exact nor LSH-near duplicates of the
+    indexed corpus: anti-join on content hash, then anti-join the batch's
+    LSH band rows against the corpus bucket keys (a new doc colliding with
+    ANY indexed bucket is a near-dup candidate and is dropped —
+    drop-on-candidate, the same policy as lsh_duplicate_ids).
+
+    Scale shape: two hash anti-joins keyed on narrow values; the new batch
+    is typically ≪ the index, so AQE broadcasts the batch side. Linear, no
+    pair materialization, no corpus re-scan.
+    """
+    not_exact = new_docs.join(
+        exact_index,
+        hash64(normalized_text()) == exact_index["content_hash"],
+        "left_anti",
+    )
+    near_hit = (
+        lsh_bands(not_exact)
+        .join(band_index, ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return not_exact.join(near_hit, "doc_id", "left_anti")

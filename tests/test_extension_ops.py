@@ -446,3 +446,31 @@ def test_kmeans_ivf_separable_clusters(spark):
     # query = vec_id 0 (blob 1): every IVF hit must come from blob 1
     hits = [r.vec_id for r in ivf_topk(emb, k=3, iters=3, nprobe=1, topk=5).collect()]
     assert hits[0] == 0 and all(v < 20 for v in hits)
+
+
+def test_incremental_dedup_against_index(spark):
+    from solana_etl_spark.operators.dedup import dedup_index, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+            (1, "an entirely different document about query engines", "en", "s0", 50),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    exact_idx, band_idx = dedup_index(corpus)
+    new_batch = spark.createDataFrame(
+        [
+            # exact dup of corpus doc 0 (whitespace/case variant)
+            (10, "THE  quick Brown fox jumps over the lazy dog", "en", "s0", 44),
+            # near dup of corpus doc 0 (one word changed → shares LSH buckets)
+            (11, "the quick brown fox jumps over the lazy cat", "en", "s0", 44),
+            # genuinely new
+            (12, "completely novel content never seen in the corpus at all", "en", "s0", 56),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_dedup(new_batch, exact_idx, band_idx).collect()
+    )
+    assert kept == [12]
