@@ -134,3 +134,48 @@ def write_task_outputs(
             write_parquet(df, path)
         else:
             raise ValueError(f"unknown format: {fmt}")
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    max_rows_per_file: int = 100_000,
+    shard_key: str | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Training-shard writer: partitioned parquet with bounded file sizes,
+    plus a manifest the data loader reads instead of listing files.
+
+    * ``partition_cols`` → hive layout (lang=en/…): mixture and per-language
+      runs prune whole directories.
+    * ``max_rows_per_file`` → ``maxRecordsPerFile``: bounds shard size
+      without a repartition (the writer splits files as it goes).
+    * ``shard_key``+``n_shards`` → optionally repartition by a hash of the
+      key first, so a given key's rows co-locate in one shard and shard
+      count is explicit (deterministic hash partitioning, retry-safe).
+
+    Returns the manifest DataFrame (one row per written file: path, rows)
+    and writes it to ``{path}/_manifest`` — computed by scanning what was
+    actually written, so it is trustworthy after partial-failure retries.
+    """
+    writer_df = df
+    if shard_key is not None and n_shards is not None:
+        writer_df = df.repartition(n_shards, F.col(shard_key))
+    (
+        writer_df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("maxRecordsPerFile", max_rows_per_file)
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    manifest = (
+        written.groupBy(
+            F.input_file_name().alias("file"), *partition_cols
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("file")
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(os.path.join(path, "_manifest"))
+    return manifest

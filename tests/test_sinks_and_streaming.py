@@ -111,3 +111,33 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # only user 1's FIRST session closes within the batch (second stays open
     # in state awaiting timeout; user 2's single session also stays open)
     assert (1, 2) in got
+
+
+def test_write_corpus_shards_layout_and_manifest(spark, tmp_path):
+    from solana_etl_spark.sinks import write_corpus_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = write_corpus_shards(
+        docs, out, partition_cols=("lang",), max_rows_per_file=20
+    ).collect()
+
+    # hive layout per lang
+    import glob as _glob
+    import os as _os
+
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    for lang in langs:
+        assert _os.path.isdir(f"{out}/lang={lang}")
+    # file size bound respected
+    assert all(r.rows <= 20 for r in manifest)
+    # manifest row count equals corpus row count, nothing lost
+    assert sum(r.rows for r in manifest) == docs.count()
+    # manifest persisted for the data loader
+    assert _glob.glob(f"{out}/_manifest/*.json")
+    # round-trip: written shards contain exactly the input rows
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
