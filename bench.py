@@ -124,6 +124,14 @@ def main() -> None:
         timings["solana_e2e_corpus_all_tasks"] = -1.0
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # the r1 baseline total (BENCH_r01.json) covered 26 workloads; this round
+    # adds two e2e workloads (solana_e2e registry query + many-block corpus).
+    # Emit the same-workload subtotal alongside the full total so rounds stay
+    # comparable without dropping the new coverage from the bench.
+    r2_added = {"solana_e2e", "solana_e2e_corpus_all_tasks"}
+    comparable = round(
+        sum(v for k, v in timings.items() if v > 0 and k not in r2_added), 3
+    )
     print(
         json.dumps(
             {
@@ -131,6 +139,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r1_comparable_total": comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
