@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from solana_etl_spark.functions.hashing import (
@@ -61,13 +62,20 @@ def _register(name: str, oracle: str | None, local_only: bool = False):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-        # type for: read the raw int64 nanos, then truncate to a micros
-        # timestamp — exactly what DuckDB's reader does, so oracle
-        # comparisons stay value-identical.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (no native Spark
+        # type: read int64 nanos, truncate to micros — what DuckDB's reader
+        # does) and as native TIMESTAMP(MICROS) (read as-is; NTZ matches
+        # DuckDB's naive timestamp). Adapt to whichever this dataset has so
+        # oracle comparisons stay value-identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # NTZ → LTZ under the UTC session timezone is value-preserving
+            # and keeps unix_micros()/window() downstream working unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
