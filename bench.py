@@ -123,11 +123,13 @@ def main() -> None:
     except Exception:
         timings["solana_e2e_corpus_all_tasks"] = -1.0
 
-    total = round(sum(v for v in timings.values() if v > 0), 3)
-    # the r1 baseline total (BENCH_r01.json) covered 26 workloads; this round
-    # adds two e2e workloads (solana_e2e registry query + many-block corpus).
-    # Emit the same-workload subtotal alongside the full total so rounds stay
-    # comparable without dropping the new coverage from the bench.
+    full_total = round(sum(v for v in timings.values() if v > 0), 3)
+    # BASELINE.md records BENCH_r01's 26-workload total as THE baseline later
+    # rounds are held within 2x of. This round adds two e2e workloads
+    # (solana_e2e registry query + many-block corpus); "value" stays the
+    # baseline-comparable 26-workload total so the ratio measures the same
+    # work, and the added coverage is reported alongside (per-query numbers
+    # for everything are in "queries").
     r2_added = {"solana_e2e", "solana_e2e_corpus_all_tasks"}
     comparable = round(
         sum(v for k, v in timings.items() if v > 0 and k not in r2_added), 3
@@ -136,10 +138,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": comparable,
                 "unit": "sec",
                 "queries": timings,
-                "r1_comparable_total": comparable,
+                "full_total_with_r2_workloads": full_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
