@@ -152,6 +152,39 @@ def ann_bucketed_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-level corpus dedup, the semantic analog of the text dedup
+    capstone: sign-LSH candidate pairs verified by exact cosine
+    (:func:`embedding_neardup_pairs`) → transitive clusters (pointer-jumping
+    connected components) → one keeper per cluster (min vec_id).
+
+    Returns (vec_id, cluster_id, is_keeper) for EVERY input vector —
+    singletons are their own keeper — so a training pipeline can
+    ``filter(is_keeper)`` to drop semantic duplicates in one join.
+
+    Scale shape: candidates are bucket-keyed (sub-quadratic), the cluster
+    step is O(log diameter) rounds, and the final join is on vec_id only —
+    no step touches all-pairs or collects to the driver.
+    """
+    from solana_etl_spark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(embeddings, threshold)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("cluster_id") == F.col("vec_id"))
+    )
+
+
 def _sign_bucket(bits: int = LSH_SIGN_BITS) -> Column:
     """Sign-projection bucket expression over the raw ``embedding`` column:
     bit j compares coordinate j against coordinate j+bits (a fixed,

@@ -1245,6 +1245,53 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_sign_buckets(_t(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "sim_semantic_dedup",
+    # Ground truth: transitive closure (recursive CTE) over the SAME
+    # candidate-pair definition the Spark plan uses (sign-LSH bucket +
+    # exact cosine ≥ t); singletons are their own keeper.
+    f"""
+    WITH RECURSIVE {_NEMB_CTE},
+    buckets AS (
+        SELECT vec_id,
+               CAST({_lsh_bucket_sql_expr(similarity.LSH_SIGN_BITS)} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    space AS (SELECT n.vec_id, n.v, b.bucket FROM nemb n JOIN buckets b USING (vec_id)),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM space a JOIN space b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND({_NDOT_SQL}, 6) >= 0.3
+    ),
+    edges AS MATERIALIZED (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    cc AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT v.vec_id,
+           COALESCE(cc.cluster_id, v.vec_id) AS cluster_id,
+           COALESCE(cc.cluster_id, v.vec_id) = v.vec_id AS is_keeper
+    FROM embeddings v LEFT JOIN cc USING (vec_id)
+    """,
+    local_only=True,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup capstone over embeddings: LSH-bucketed near-dup pairs
+    → pointer-jumping connected components → keeper per cluster, one row per
+    input vector. Threshold 0.3 for the near-orthogonal synthetic embeddings
+    (see sim_neardup_pairs). local_only: driver registry at its 50-row cap."""
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. Text analysis (charter §2.11)
 # ---------------------------------------------------------------------------

@@ -474,3 +474,25 @@ def test_incremental_dedup_against_index(spark):
         r.doc_id for r in incremental_dedup(new_batch, exact_idx, band_idx).collect()
     )
     assert kept == [12]
+
+
+def test_semantic_dedup_clusters_and_keepers(spark):
+    from solana_etl_spark.operators.similarity import semantic_dedup
+
+    # 3 near-identical vectors (one cluster), 1 far vector (singleton).
+    # dim 16 so the sign bucket (8 bits) compares v[j] vs v[j+8].
+    base = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0,
+            -1.0, -2.0, -3.0, -4.0, -5.0, -6.0, -7.0, -8.0]
+    near1 = [x * 1.001 for x in base]
+    near2 = [x * 0.999 for x in base]
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(1, base, 0), (2, near1, 0), (3, near2, 0), (4, far, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.95).collect()}
+    assert len(rows) == 4  # every input vector appears
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_keeper"]
+    assert rows[2]["cluster_id"] == 1 and not rows[2]["is_keeper"]
+    assert rows[3]["cluster_id"] == 1 and not rows[3]["is_keeper"]
+    assert rows[4]["cluster_id"] == 4 and rows[4]["is_keeper"]
