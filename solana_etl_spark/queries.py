@@ -1829,6 +1829,51 @@ def a14_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(_t(spark, sf_dir, "orders"), "o_custkey", 256)
 
 
+@_register(
+    "skew_salted_join",
+    # The salt is internal plumbing: the salted join's CONTRACT is exact
+    # equality with the plain equi-join, so the oracle IS the plain join.
+    """
+    SELECT l.l_orderkey, l.l_extendedprice, o.o_orderstatus, o.o_custkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    local_only=True,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted fact⋈dim join (operators/skew.py): lineitem
+    salted by whole-row xxhash64, orders replicated 8×, joined on
+    (key, salt). Result must be row-identical to the plain join — the salt
+    only reshapes the shuffle. local_only: driver cap."""
+    from solana_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus", "o_custkey"
+    )
+    return salted_join(li, o, ["l_orderkey"], n_salts=8).select(
+        "l_orderkey", "l_extendedprice", "o_orderstatus", "o_custkey"
+    )
+
+
+@_register(
+    "skew_count_distinct",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    local_only=True,
+)
+def skew_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact count-distinct (operators/skew.py): phase-1 reduce on
+    (status, custkey) spreads a hot status across the cluster; phase 2
+    counts per status. Exactly COUNT(DISTINCT). local_only: driver cap."""
+    from solana_etl_spark.operators.skew import two_phase_count_distinct
+
+    return two_phase_count_distinct(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Multimodal + sessionization (charter §2.11 / §2.10)
 # ---------------------------------------------------------------------------
