@@ -1830,6 +1830,59 @@ def a14_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "profile_documents",
+    """
+    WITH one AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS nulls_doc_id,
+               COUNT(DISTINCT doc_id) AS nd_doc_id,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_doc_id,
+               CAST(MAX(doc_id) AS VARCHAR) AS max_doc_id,
+               CAST(NULL AS DOUBLE) AS avglen_doc_id,
+               COUNT(CASE WHEN lang IS NULL THEN 1 END) AS nulls_lang,
+               COUNT(DISTINCT lang) AS nd_lang,
+               CAST(MIN(lang) AS VARCHAR) AS min_lang,
+               CAST(MAX(lang) AS VARCHAR) AS max_lang,
+               ROUND(AVG(length(lang)), 6) AS avglen_lang,
+               COUNT(CASE WHEN source IS NULL THEN 1 END) AS nulls_source,
+               COUNT(DISTINCT source) AS nd_source,
+               CAST(MIN(source) AS VARCHAR) AS min_source,
+               CAST(MAX(source) AS VARCHAR) AS max_source,
+               ROUND(AVG(length(source)), 6) AS avglen_source,
+               COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS nulls_n_chars,
+               COUNT(DISTINCT n_chars) AS nd_n_chars,
+               CAST(MIN(n_chars) AS VARCHAR) AS min_n_chars,
+               CAST(MAX(n_chars) AS VARCHAR) AS max_n_chars,
+               CAST(NULL AS DOUBLE) AS avglen_n_chars
+        FROM documents
+    )
+    SELECT u.column, one.n_rows, u.n_nulls, u.n_distinct,
+           u.min_value, u.max_value, u.avg_len
+    FROM one, (
+        SELECT 'doc_id' AS column, nulls_doc_id AS n_nulls, nd_doc_id AS n_distinct,
+               min_doc_id AS min_value, max_doc_id AS max_value, avglen_doc_id AS avg_len FROM one
+        UNION ALL
+        SELECT 'lang', nulls_lang, nd_lang, min_lang, max_lang, avglen_lang FROM one
+        UNION ALL
+        SELECT 'source', nulls_source, nd_source, min_source, max_source, avglen_source FROM one
+        UNION ALL
+        SELECT 'n_chars', nulls_n_chars, nd_n_chars, min_n_chars, max_n_chars, avglen_n_chars FROM one
+    ) u
+    """,
+    local_only=True,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan per-column dataset profile (operators/profile.py): counts,
+    nulls, exact distinct, min/max, avg string length — the data-card pass a
+    pipeline runs before mixing a corpus in. local_only: driver cap."""
+    from solana_etl_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
+@_register(
     "skew_salted_join",
     # The salt is internal plumbing: the salted join's CONTRACT is exact
     # equality with the plain equi-join, so the oracle IS the plain join.

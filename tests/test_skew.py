@@ -92,3 +92,21 @@ def test_hot_keys_reports_the_hot_key(skewed):
     report = hot_keys(facts, ["k"], min_rows=1000).collect()
     assert report[0]["k"] == 7
     assert report[0]["n_rows"] == 8000
+
+
+def test_profile_table_stats(spark):
+    from solana_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bbbb", 5.0), (3, None, 5.0), (3, "aa", 6.0)],
+        "id long, s string, x double",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"id", "s", "x"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert rows["id"]["n_nulls"] == 0 and rows["id"]["n_distinct"] == 3
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["avg_len"] == pytest.approx((2 + 4 + 2) / 3)
+    assert rows["x"]["n_nulls"] == 1 and rows["x"]["n_distinct"] == 2
+    assert rows["x"]["min_value"] == "5.0" and rows["x"]["max_value"] == "6.0"
+    assert rows["x"]["avg_len"] is None
