@@ -496,3 +496,18 @@ def test_semantic_dedup_clusters_and_keepers(spark):
     assert rows[2]["cluster_id"] == 1 and not rows[2]["is_keeper"]
     assert rows[3]["cluster_id"] == 1 and not rows[3]["is_keeper"]
     assert rows[4]["cluster_id"] == 4 and rows[4]["is_keeper"]
+
+
+def test_ngram_jaccard_prefix_variant_equality(spark):
+    """Prefix-filtered (AllPairs/PPJoin) exact Jaccard returns EXACTLY the
+    inverted-index-count plan's output (prefix lemma: perfect recall, exact
+    verify) — same pairs, same scores, on the real sf0.001 corpus."""
+    from solana_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cur = set(map(tuple, ngram_jaccard_pairs(docs).collect()))
+    pre = set(map(tuple, ngram_jaccard_pairs_prefix(docs).collect()))
+    assert pre == cur and len(cur) > 0
