@@ -72,8 +72,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
-            # NTZ → LTZ under the UTC session timezone is value-preserving
-            # and keeps unix_micros()/window() downstream working unchanged.
+            # NTZ → LTZ is value-preserving only under a UTC session tz (and
+            # DuckDB's naive-timestamp epoch math assumes UTC), so pin it
+            # here — the driver's gate session may not carry our session.py
+            # confs.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
