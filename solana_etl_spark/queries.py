@@ -121,7 +121,7 @@ DEC = "decimal(18,4)"
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -142,7 +142,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).cast("double").alias("sum_qty"),
         F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (F.lit(1) - F.col("l_discount")).cast(DEC))
+        F.round(F.sum(price * (F.lit(1) - F.col("l_discount")).cast(DEC)), 4)
         .cast("double")
         .alias("sum_disc_price"),
         F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
@@ -187,7 +187,7 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_revenue_by_nation",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lineitems
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -213,7 +213,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev), 4).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -222,7 +222,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -242,7 +242,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.09)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)), 4
+        )
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
