@@ -719,6 +719,44 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w4_range_window",
+    # RANGE frame keyed on epoch seconds (not ROWS): the trailing-10-minute
+    # moving aggregate every event-time pipeline needs; ties in ts share one
+    # frame, which ROWS frames get wrong.
+    """
+    SELECT user_id, event_id,
+           epoch(ts) AS ts_sec,
+           COUNT(*) OVER w AS n_10min,
+           ROUND(SUM(value) OVER w, 6) AS sum_10min
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+    local_only=True,
+)
+def w4_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame window (trailing 10-minute moving count/sum
+    per user): ``rangeBetween`` on epoch seconds — one shuffle on user_id,
+    sort within partition, frame by VALUE distance so same-timestamp events
+    share a frame. local_only: driver cap."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    ts_sec = (F.unix_micros("ts") / F.lit(1_000_000)).cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_sec)
+        .rangeBetween(-600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        ts_sec.alias("ts_sec"),
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+        F.round(F.sum("value").over(w), 6).alias("sum_10min"),
+    )
+
+
+@_register(
     "q17_small_qty_revenue",
     """
     WITH part_avg AS (
