@@ -1,0 +1,96 @@
+"""Streaming corpus ingest with a persisted dedup index: duplicates are
+suppressed ACROSS restarts and micro-batches (warehouse state, not stream
+state), survivors land exactly once."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_etl_spark.streaming.dedup_stream import (
+    dedup_batch_against_index,
+    start_streaming_corpus_ingest,
+)
+
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _run_ingest(spark, stream_dir, out):
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{stream_dir}/*.parquet")
+    q = start_streaming_corpus_ingest(
+        spark,
+        stream,
+        survivors_dir=f"{out}/survivors",
+        index_dir=f"{out}/index",
+        checkpoint_dir=f"{out}/ckpt",
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_ingest_dedups_across_restarts(spark, tmp_path):
+    out = str(tmp_path / "out")
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir, exist_ok=True)
+
+    # batch 1: one exact in-batch duplicate pair (1, 2), one unique (3)
+    _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta", "en", "s0", 22),
+            (2, "  Alpha   beta GAMMA delta ", "en", "s0", 27),  # exact dup of 1 after normalization
+            (3, "epsilon zeta eta theta", "en", "s0", 22),
+        ],
+    ).write.parquet(f"{stream_dir}/b1.parquet")
+    _run_ingest(spark, stream_dir, out)
+
+    s1 = spark.read.parquet(f"{out}/survivors")
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+
+    # batch 2 (after the first query fully stopped — a restart): an exact dup
+    # of doc 1, a shingle-identical near-dup of doc 3, and a fresh doc
+    _docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta", "en", "s0", 22),  # exact dup of indexed 1
+            (11, "epsilon zeta eta theta", "en", "s1", 22),  # content dup of indexed 3 (different source)
+            (12, "iota kappa lambda mu nu", "en", "s0", 23),
+        ],
+    ).write.parquet(f"{stream_dir}/b2.parquet")
+    _run_ingest(spark, stream_dir, out)
+
+    survivors = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/survivors").collect()
+    )
+    assert survivors == [1, 3, 12]
+
+    # the index accumulated both batches' survivor keys
+    exact_idx = spark.read.parquet(f"{out}/index/exact")
+    assert exact_idx.select("content_hash").distinct().count() == 3
+
+
+def test_batch_against_index_is_idempotent(spark, tmp_path):
+    """Re-filtering the same batch against the index built FROM its own
+    survivors drops everything — the retry/replay safety property."""
+    from solana_etl_spark.operators.dedup import dedup_index
+
+    out = str(tmp_path / "idx")
+    batch = _docs(
+        spark,
+        [
+            (1, "one two three four", "en", "s0", 18),
+            (2, "five six seven eight", "en", "s0", 20),
+        ],
+    )
+    survivors = dedup_batch_against_index(spark, batch, out)
+    assert survivors.count() == 2
+    exact, bands = dedup_index(survivors)
+    exact.write.parquet(f"{out}/exact/batch=0")
+    bands.write.parquet(f"{out}/bands/batch=0")
+    again = dedup_batch_against_index(spark, batch, out)
+    assert again.count() == 0
