@@ -1,0 +1,83 @@
+"""Plan-shape regression guards for the scale claims the docs make.
+
+These don't check answers (the parity/oracle suites do); they check the
+PHYSICAL plan properties that make the answers affordable at 100 TB, so a
+refactor that silently adds a shuffle or breaks scan pruning fails CI, not
+a production run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_transactions_view_is_shuffle_free(blocks_raw):
+    """The whole intra-transaction transform stage (balance zip, token
+    full-outer merge, instruction assembly, account classification) must
+    plan ZERO exchanges — it's all array expressions per README."""
+    from solana_etl_spark.plans.views import transactions_view
+
+    plan = _formatted(transactions_view(blocks_raw))
+    assert "Exchange" not in plan
+
+
+def test_transactions_task_single_small_exchange(blocks_raw):
+    """The transactions task may exchange only for nothing at all — row
+    building stays per-partition (errors split is a filter, not a shuffle)."""
+    from solana_etl_spark.plans.tasks import transactions_task
+    from solana_etl_spark.plans.views import transactions_view
+
+    plan = _formatted(
+        transactions_task(
+            transactions_view(
+                blocks_raw.filter(F.col("_corrupt_record").isNull())
+            )
+        )
+    )
+    assert plan.count("Exchange") == 0
+
+
+def test_q6_filters_push_into_scan(spark):
+    """Every q6 predicate must reach the parquet scan (PushedFilters) and
+    the scan must prune to the referenced columns only."""
+    from solana_etl_spark.queries import queries
+
+    plan = _formatted(queries()["q6_forecast_revenue"](spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [" in plan
+    # the filter columns appear in pushed filters, and unused wide columns don't load
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # projection pruned
+
+
+def test_text_operators_zero_exchange(spark):
+    """Per-row text analysis (quality, fingerprints) must stay embarrassingly
+    parallel: no exchange anywhere in the plan."""
+    from solana_etl_spark.operators.text import quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _formatted(quality_score(docs))
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap sessionization is one shuffle on user_id — window + agg reuse the
+    same partitioning."""
+    from solana_etl_spark.operators.sessionize import sessionize
+    from solana_etl_spark.queries import _t
+
+    plan = _formatted(sessionize(_t(spark, "/root/testdata/sf0.001", "events")))
+    # one Exchange NODE ("Exchange (id)" in the tree; the id detail section
+    # repeats the word, so count node occurrences, not substring hits)
+    assert plan.count("Exchange (") == 1
