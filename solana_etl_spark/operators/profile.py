@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, StringType
+from pyspark.sql.types import StringType
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -29,28 +29,29 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     the report is oracle-checkable cross-engine.
     """
     cols = columns or df.columns
+    # internal aliases are INDEX-based (__nd_0, …), never derived from the
+    # column name — arbitrary names (spaces, quotes, dots) stay out of the
+    # generated SQL; the display name appears only as an escaped literal.
     aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
-    for c in cols:
-        field = df.schema[c].dataType
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
-        if isinstance(field, StringType):
-            aggs.append(F.avg(F.length(F.col(c))).alias(f"__avglen_{c}"))
-        elif isinstance(field, NumericType):
-            aggs.append(F.lit(None).cast("double").alias(f"__avglen_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
+        if isinstance(df.schema[c].dataType, StringType):
+            aggs.append(F.avg(F.length(F.col(c))).alias(f"__avglen_{i}"))
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"__avglen_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__avglen_{i}"))
     one = df.agg(*aggs)
 
     # unpivot the single row into (column, stats...) rows without collecting:
     # stack(n, name1, nulls1, nd1, min1, max1, avglen1, ...)
     parts = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        name_lit = c.replace("\\", "\\\\").replace("'", "\\'")
         parts.append(
-            f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}, "
-            f"round(__avglen_{c}, 6)"
+            f"'{name_lit}', __nulls_{i}, __nd_{i}, __min_{i}, __max_{i}, "
+            f"round(__avglen_{i}, 6)"
         )
     stacked = one.select(
         F.col("__n_rows").alias("n_rows"),

@@ -69,6 +69,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if SALT_COL in facts.columns or SALT_COL in dims.columns:
+        raise ValueError(
+            f"input already has a {SALT_COL!r} column; salting would "
+            "silently clobber it"
+        )
     salt = F.pmod(
         F.xxhash64(F.struct(*[F.col(c) for c in facts.columns])), F.lit(n_salts)
     ).cast("int")
@@ -89,7 +94,12 @@ def two_phase_count_distinct(
     Equivalent to ``df.groupBy(keys).agg(countDistinct(value))`` (which
     plans a single Expand+regroup where the final reduce for a hot key is
     one task); here phase 1's reduce key includes the value, so hot-key
-    work is spread in proportion to its distinct-value count.
+    work is spread in proportion to its distinct-value count. NULL parity
+    with countDistinct: NULL values are not counted, but a key whose values
+    are ALL NULL still appears (count 0) — the NULL group survives phase 1
+    to carry the key, and phase 2 counts only non-null groups.
     """
     phase1 = df.select(*keys, value).groupBy(*keys, value).agg(F.lit(1))
-    return phase1.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+    return phase1.groupBy(*keys).agg(
+        F.count(F.col(value)).alias(alias)
+    )

@@ -6,11 +6,17 @@ document seen six months ago must still suppress today's copy. This wiring
 keeps the dedup state in the warehouse instead of the stream: the
 (content-hash, LSH-bucket) index tables from ``operators/dedup.dedup_index``
 are loaded per micro-batch, the batch is filtered with
-``operators/dedup.incremental_dedup`` (plus an in-batch exact pass), and the
+``operators/dedup.incremental_dedup`` (after in-batch exact AND near-dup
+passes, so results don't depend on how the stream is chunked), and the
 survivors + their index rows are appended idempotently (per-batch
-subdirectories keyed by batch_id, the ``append_csv_exactly_once`` pattern),
-so a foreachBatch retry after a crash rewrites the same paths instead of
-duplicating rows.
+subdirectories keyed by batch_id, the ``append_csv_exactly_once`` pattern).
+
+Retry safety: foreachBatch is at-least-once, so a crash after this batch's
+index write but before the checkpoint commit re-runs the same batch_id —
+which would then see ITS OWN index entries and classify every row as a
+duplicate. The index loader therefore excludes the current batch_id's
+partition; the re-run recomputes the same survivors and overwrites the same
+paths, converging instead of erasing.
 
 At 100 TB the index tables are small-by-construction (16-byte hashes and
 band keys, not documents); per-batch cost is two anti-joins keyed on narrow
@@ -22,6 +28,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -30,30 +37,59 @@ from solana_etl_spark.operators.dedup import (
     dedup_index,
     exact_dedup,
     incremental_dedup,
+    lsh_duplicate_ids,
 )
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_index(
+    spark: SparkSession, path: str, schema: str, exclude_batch: int | None
+) -> DataFrame:
+    """Read an index table; tolerate ONLY its nonexistence (first batch).
+
+    Any other failure (storage error, corrupt footer) must raise: silently
+    deduping against an empty index would admit duplicates and permanently
+    pollute the corpus. ``exclude_batch`` drops the current batch_id's own
+    partition so a foreachBatch retry never reads its first attempt's
+    output (see module docstring).
+    """
     try:
-        return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+        df = spark.read.option("basePath", path).parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+    if exclude_batch is not None and "batch" in df.columns:
+        df = df.filter(F.col("batch") != exclude_batch)
+    return df.select(*schema.replace(",", " ").split()[::2])
 
 
 def dedup_batch_against_index(
-    spark: SparkSession, batch_df: DataFrame, index_dir: str
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    exclude_batch: int | None = None,
 ) -> DataFrame:
     """One micro-batch's survivors: in-batch exact dedup (keep min doc_id),
-    then drop anything exact- or near-duplicating the persisted index."""
+    in-batch LSH near-dedup (drop band-colliding non-keepers — two near-dups
+    arriving in the SAME batch must not both survive), then drop anything
+    exact- or near-duplicating the persisted index."""
     keepers = exact_dedup(batch_df).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
     in_batch_unique = batch_df.join(keepers, "doc_id", "left_semi")
-    exact_idx = _read_or_empty(
-        spark, os.path.join(index_dir, "exact"), "content_hash long"
+    near_drops = lsh_duplicate_ids(in_batch_unique)
+    in_batch_unique = in_batch_unique.join(near_drops, "doc_id", "left_anti")
+    exact_idx = _read_index(
+        spark,
+        os.path.join(index_dir, "exact"),
+        "content_hash long",
+        exclude_batch,
     )
-    band_idx = _read_or_empty(
-        spark, os.path.join(index_dir, "bands"), "band int, sig string"
+    band_idx = _read_index(
+        spark,
+        os.path.join(index_dir, "bands"),
+        "band int, sig string",
+        exclude_batch,
     )
     return incremental_dedup(in_batch_unique, exact_idx, band_idx)
 
@@ -68,12 +104,15 @@ def start_streaming_corpus_ingest(
     """documents stream → deduped corpus + updated index, exactly-once.
 
     Idempotence: every write lands in ``.../batch={batch_id}`` with
-    overwrite, so Structured Streaming's at-least-once foreachBatch retries
-    converge; readers glob the parent directory.
+    overwrite and the index loader excludes the in-flight batch_id, so
+    Structured Streaming's at-least-once foreachBatch retries converge;
+    readers glob the parent directory.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = dedup_batch_against_index(spark, batch_df, index_dir)
+        survivors = dedup_batch_against_index(
+            spark, batch_df, index_dir, exclude_batch=batch_id
+        )
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_dir, f"batch={batch_id}")
         )

@@ -94,3 +94,48 @@ def test_batch_against_index_is_idempotent(spark, tmp_path):
     bands.write.parquet(f"{out}/bands/batch=0")
     again = dedup_batch_against_index(spark, batch, out)
     assert again.count() == 0
+
+
+def test_retry_of_same_batch_converges(spark, tmp_path):
+    """A foreachBatch retry (same batch_id) must NOT see its first attempt's
+    own index rows — it recomputes the same survivors instead of erasing
+    them."""
+    from solana_etl_spark.operators.dedup import dedup_index
+
+    out = str(tmp_path / "retry")
+    batch = _docs(
+        spark,
+        [
+            (1, "one two three four", "en", "s0", 18),
+            (2, "five six seven eight", "en", "s0", 20),
+        ],
+    )
+    # attempt 1: survivors computed and index written under batch=7
+    first = dedup_batch_against_index(spark, batch, f"{out}/index", exclude_batch=7)
+    exact, bands = dedup_index(first)
+    exact.write.parquet(f"{out}/index/exact/batch=7")
+    bands.write.parquet(f"{out}/index/bands/batch=7")
+    # attempt 2 (retry, same batch_id): must again keep both docs
+    retry = dedup_batch_against_index(spark, batch, f"{out}/index", exclude_batch=7)
+    assert retry.count() == 2
+    # a LATER batch (different id) is deduped against batch 7's index
+    later = dedup_batch_against_index(spark, batch, f"{out}/index", exclude_batch=8)
+    assert later.count() == 0
+
+
+def test_in_batch_near_dups_collapse(spark, tmp_path):
+    """Two LSH-colliding near-dup docs in the SAME batch: only the smaller
+    doc_id survives — results don't depend on batch chunking."""
+    out = str(tmp_path / "nb")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    batch = _docs(
+        spark,
+        [
+            (1, text, "en", "s0", len(text)),
+            (2, text + " extra", "en", "s0", len(text) + 6),  # near-dup, not exact
+            (3, "completely different words here entirely", "en", "s0", 40),
+        ],
+    )
+    survivors = dedup_batch_against_index(spark, batch, f"{out}/index")
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert 1 in ids and 2 not in ids and 3 in ids

@@ -110,3 +110,36 @@ def test_profile_table_stats(spark):
     assert rows["x"]["n_nulls"] == 1 and rows["x"]["n_distinct"] == 2
     assert rows["x"]["min_value"] == "5.0" and rows["x"]["max_value"] == "6.0"
     assert rows["x"]["avg_len"] is None
+
+
+def test_two_phase_count_distinct_null_parity(spark):
+    from solana_etl_spark.operators.skew import two_phase_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("b", None)],
+        "k string, v string",
+    )
+    expect = sorted(
+        tuple(r)
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct")).collect()
+    )
+    got = sorted(tuple(r) for r in two_phase_count_distinct(df, ["k"], "v").collect())
+    assert got == expect  # a=2, b=0 — NULL not counted, all-null key kept
+
+
+def test_salted_join_rejects_salt_column_collision(spark):
+    from solana_etl_spark.operators.skew import SALT_COL, salted_join
+
+    facts = spark.createDataFrame([(1, 0)], f"k long, {SALT_COL} int")
+    dims = spark.createDataFrame([(1, "d")], "k long, label string")
+    with pytest.raises(ValueError):
+        salted_join(facts, dims, ["k"])
+
+
+def test_profile_table_hostile_column_names(spark):
+    from solana_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, "x")], ["user name", "it's"])
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"user name", "it's"}
+    assert rows["user name"]["n_distinct"] == 1
