@@ -35,7 +35,12 @@ def cmd_load_file(argv: list[str]) -> int:
     p.add_argument("tasks", help="comma list of tasks or 'all'")
     p.add_argument("blocks_dir")
     p.add_argument("destination_dir")
-    p.add_argument("--destination_format", choices=("csv", "parquet"), default="csv")
+    p.add_argument(
+        "--destination_format",
+        choices=("csv", "parquet", "orc", "json"),
+        default="csv",
+        help="csv/parquet mirror the reference; orc/json (JSONL) are extras",
+    )
     p.add_argument("--keep_subdirs", action="store_true",
                    help="partition outputs by slot bucket instead of one output")
     p.add_argument(

@@ -118,20 +118,22 @@ def write_task_outputs(
         if keep_subdirs:
             src = df["block"] if "block" in df.columns else df["path"]
             partitioned = df.withColumn("slot_bucket", _slot_bucket(src))
+            w = partitioned.write.mode("overwrite").partitionBy("slot_bucket")
             if fmt == "csv":
-                (
-                    partitioned.write.mode("overwrite")
-                    .partitionBy("slot_bucket")
-                    .option("header", True)
-                    .csv(path)
-                )
+                w.option("header", True).csv(path)
+            elif fmt in ("parquet", "orc", "json"):
+                getattr(w, fmt)(path)
             else:
-                partitioned.write.mode("overwrite").partitionBy("slot_bucket").parquet(path)
+                raise ValueError(f"unknown format: {fmt}")
             continue
         if fmt == "csv":
             write_csv(df, path, single_file=single_file)
         elif fmt == "parquet":
             write_parquet(df, path)
+        elif fmt in ("orc", "json"):
+            # beyond-reference conveniences (spark json = JSONL) sharing the
+            # parquet path's layout semantics
+            getattr(df.write.mode("overwrite"), fmt)(path)
         else:
             raise ValueError(f"unknown format: {fmt}")
 

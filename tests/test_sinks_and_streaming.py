@@ -141,3 +141,21 @@ def test_write_corpus_shards_layout_and_manifest(spark, tmp_path):
     assert {r.doc_id for r in back.select("doc_id").collect()} == {
         r.doc_id for r in docs.select("doc_id").collect()
     }
+
+
+def test_write_task_outputs_orc_and_jsonl(spark, tmp_path):
+    """Beyond-reference sink formats: ORC and JSONL round-trip the task
+    outputs with identical rows."""
+    from solana_etl_spark.sinks import write_task_outputs
+
+    df = spark.createDataFrame(
+        [(1, "a", True), (2, "b", False)], "id long, s string, ok boolean"
+    )
+    for fmt, reader in (("orc", "orc"), ("json", "json")):
+        out = str(tmp_path / fmt)
+        write_task_outputs({"t": df}, out, fmt=fmt, single_file=False)
+        back = getattr(spark.read, reader)(f"{out}/t")
+        assert sorted(tuple(r) for r in back.select("id", "s", "ok").collect()) == [
+            (1, "a", True),
+            (2, "b", False),
+        ]
