@@ -2107,6 +2107,78 @@ def solana_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_degrees_oracle() -> str:
+    from solana_etl_spark.sources.synth import _default_root, CORPUS_VERSION, N_BLOCKS
+
+    d = f"{_default_root()}/v{CORPUS_VERSION}_{N_BLOCKS}"
+    return f"""
+    WITH b AS (
+        SELECT unnest(result.transactions) AS t
+        FROM read_json('{d}/*/*.json.gz', filename=true, ignore_errors=true)
+        WHERE result IS NOT NULL AND result.transactions IS NOT NULL
+    ), ok AS (SELECT t FROM b WHERE t.meta.err IS NULL),
+    ins AS (SELECT unnest(t.transaction.message.instructions) AS i FROM ok),
+    x AS (
+        SELECT json_extract_string(i.parsed, '$.info.source') AS src,
+               json_extract_string(i.parsed, '$.info.destination') AS dst,
+               CAST(json_extract_string(i.parsed, '$.info.lamports') AS BIGINT) AS v
+        FROM ins
+        WHERE i.program = 'system'
+          AND json_extract_string(i.parsed, '$.type') = 'transfer'
+    ),
+    o AS (SELECT src AS account, COUNT(*) AS n, SUM(v) AS l FROM x GROUP BY src),
+    i2 AS (SELECT dst AS account, COUNT(*) AS n, SUM(v) AS l FROM x GROUP BY dst)
+    SELECT COALESCE(o.account, i2.account) AS account,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS out_transfers,
+           CAST(COALESCE(i2.n, 0) AS BIGINT) AS in_transfers,
+           CAST(COALESCE(o.l, 0) AS BIGINT) AS lamports_out,
+           CAST(COALESCE(i2.l, 0) AS BIGINT) AS lamports_in,
+           CAST(COALESCE(i2.l, 0) - COALESCE(o.l, 0) AS BIGINT) AS net_lamports
+    FROM o FULL OUTER JOIN i2 ON o.account = i2.account
+    """
+
+
+@_register("solana_graph_degrees", _graph_degrees_oracle(), local_only=True)
+def solana_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the S12 edge list: per-account in/out degree and
+    net lamport flow from the coin-transfer graph of the 240-block corpus,
+    checked against an independent DuckDB extraction from the raw JSON.
+    Spark shape: edge aggregation (one shuffle per direction, both partially
+    aggregated) + full-outer merge on account. local_only: driver cap."""
+    from solana_etl_spark.api import coin_transfer_edges
+    from solana_etl_spark.sources import read_blocks
+    from solana_etl_spark.sources.synth import ensure_e2e_corpus
+
+    corpus = ensure_e2e_corpus()
+    edges = coin_transfer_edges(
+        read_blocks(spark, f"{corpus}/*/*.json.gz").filter(
+            F.col("_corrupt_record").isNull()
+        )
+    )
+    outs = edges.groupBy(F.col("source").alias("account")).agg(
+        F.sum("n_transfers").cast("long").alias("out_transfers"),
+        F.sum("value").cast("long").alias("lamports_out"),
+    )
+    ins = edges.groupBy(F.col("destination").alias("account")).agg(
+        F.sum("n_transfers").cast("long").alias("in_transfers"),
+        F.sum("value").cast("long").alias("lamports_in"),
+    )
+    return (
+        outs.join(ins, "account", "full_outer")
+        .select(
+            "account",
+            F.coalesce("out_transfers", F.lit(0)).alias("out_transfers"),
+            F.coalesce("in_transfers", F.lit(0)).alias("in_transfers"),
+            F.coalesce("lamports_out", F.lit(0)).alias("lamports_out"),
+            F.coalesce("lamports_in", F.lit(0)).alias("lamports_in"),
+            (
+                F.coalesce("lamports_in", F.lit(0))
+                - F.coalesce("lamports_out", F.lit(0))
+            ).alias("net_lamports"),
+        )
+    )
+
+
 # Frame sampling is positional chunking → fully SQL-expressible, so the
 # one-to-many mapInPandas kernel gets a real value-hash oracle (documents
 # are ASCII, so VARCHAR substring/md5 == byte-wise slicing/md5).
