@@ -4,9 +4,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed twice after warm-up and the BEST time is recorded
-(steady-state throughput: single-shot numbers on a shared box swing ±2x
-from GC/page-cache/scheduler noise, which would drown real plan changes).
-The timed section includes planning + execution + collect of the (small)
+in "queries"/"value" — the SAME statistic as the r1 baseline (single-shot
+numbers on a shared box swing ±2x from GC/page-cache/scheduler noise). A
+third pass over the >2 s tail is reported separately as
+"steady_floor_comparable_total" and never enters the judged total. The
+timed section includes planning + execution + collect of the (small)
 result.
 """
 
@@ -86,13 +88,16 @@ def main() -> None:
 
     # heavy queries dominate the total AND its run-to-run noise (GC/page
     # cache swing a 6 s query by seconds, a 0.3 s one by ~nothing): one
-    # extra pass over just the >2 s tail tightens the steady-state floor
-    # for ~20 s of wall clock.
+    # extra pass over just the >2 s tail measures a steady-state floor.
+    # Kept SEPARATE from "queries"/"value": the r1 baseline is best-of-2,
+    # and the cross-round ratio must compare the same statistic — the floor
+    # is reported alongside, never mixed into the judged total.
+    floors = dict(timings)
     for name in [n for n, v in timings.items() if v > 2.0]:
         try:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            timings[name] = min(timings[name], round(time.time() - t0, 3))
+            floors[name] = min(floors[name], round(time.time() - t0, 3))
         except Exception:
             pass
 
@@ -135,6 +140,8 @@ def main() -> None:
     except Exception:
         timings["solana_e2e_corpus_all_tasks"] = -1.0
 
+    for k, v in timings.items():
+        floors.setdefault(k, v)
     full_total = round(sum(v for v in timings.values() if v > 0), 3)
     # BASELINE.md records BENCH_r01's 26-workload total as THE baseline later
     # rounds are held within 2x of. This round adds two e2e workloads
@@ -154,6 +161,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "full_total_with_r2_workloads": full_total,
+                "steady_floor_comparable_total": round(
+                    sum(
+                        v
+                        for k, v in floors.items()
+                        if v > 0 and k not in r2_added
+                    ),
+                    3,
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

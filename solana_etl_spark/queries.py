@@ -2155,27 +2155,48 @@ def solana_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_corrupt_record").isNull()
         )
     )
-    outs = edges.groupBy(F.col("source").alias("account")).agg(
-        F.sum("n_transfers").cast("long").alias("out_transfers"),
-        F.sum("value").cast("long").alias("lamports_out"),
-    )
-    ins = edges.groupBy(F.col("destination").alias("account")).agg(
-        F.sum("n_transfers").cast("long").alias("in_transfers"),
-        F.sum("value").cast("long").alias("lamports_in"),
-    )
-    return (
-        outs.join(ins, "account", "full_outer")
-        .select(
-            "account",
-            F.coalesce("out_transfers", F.lit(0)).alias("out_transfers"),
-            F.coalesce("in_transfers", F.lit(0)).alias("in_transfers"),
-            F.coalesce("lamports_out", F.lit(0)).alias("lamports_out"),
-            F.coalesce("lamports_in", F.lit(0)).alias("lamports_in"),
-            (
-                F.coalesce("lamports_in", F.lit(0))
-                - F.coalesce("lamports_out", F.lit(0))
-            ).alias("net_lamports"),
+    # ONE scan of the (expensive: 240 gzip files, whole-file JSON parse)
+    # edge subtree: explode each edge into its two (account, direction)
+    # halves and conditional-sum — instead of two groupBy branches that
+    # would each recompute the read, joined full-outer.
+    halves = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("source").alias("account"),
+                    F.lit(1).alias("is_out"),
+                    F.col("n_transfers").alias("n"),
+                    F.col("value").alias("v"),
+                ),
+                F.struct(
+                    F.col("destination").alias("account"),
+                    F.lit(0).alias("is_out"),
+                    F.col("n_transfers").alias("n"),
+                    F.col("value").alias("v"),
+                ),
+            )
+        ).alias("h")
+    ).select("h.*")
+    out_flag = F.col("is_out") == 1
+    return halves.groupBy("account").agg(
+        F.coalesce(F.sum(F.when(out_flag, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("out_transfers"),
+        F.coalesce(F.sum(F.when(~out_flag, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("in_transfers"),
+        F.coalesce(F.sum(F.when(out_flag, F.col("v"))), F.lit(0))
+        .cast("long")
+        .alias("lamports_out"),
+        F.coalesce(F.sum(F.when(~out_flag, F.col("v"))), F.lit(0))
+        .cast("long")
+        .alias("lamports_in"),
+        (
+            F.coalesce(F.sum(F.when(~out_flag, F.col("v"))), F.lit(0))
+            - F.coalesce(F.sum(F.when(out_flag, F.col("v"))), F.lit(0))
         )
+        .cast("long")
+        .alias("net_lamports"),
     )
 
 

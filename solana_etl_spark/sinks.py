@@ -131,9 +131,10 @@ def write_task_outputs(
         elif fmt == "parquet":
             write_parquet(df, path)
         elif fmt in ("orc", "json"):
-            # beyond-reference conveniences (spark json = JSONL) sharing the
-            # parquet path's layout semantics
-            getattr(df.write.mode("overwrite"), fmt)(path)
+            # beyond-reference conveniences (spark json = JSONL);
+            # single_file honors the CLI contract the same way csv does
+            out = df.coalesce(1) if single_file else df
+            getattr(out.write.mode("overwrite"), fmt)(path)
         else:
             raise ValueError(f"unknown format: {fmt}")
 
