@@ -129,3 +129,29 @@ def quantile_bins(
     """
     w = Window.orderBy(F.col(score_col), F.col(key_col))
     return df.withColumn("bin", F.ntile(n_bins).over(w))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    train_bp: int = 8000,
+    val_bp: int = 1000,
+) -> DataFrame:
+    """Deterministic corpus split: adds a ``split`` column
+    ('train'/'val'/'test') from the key's hash bucket — train gets the
+    first ``train_bp`` of SAMPLE_DENOM buckets, val the next ``val_bp``,
+    test the rest.
+
+    The split is a pure function of the key: stateless per-row predicate
+    (zero shuffle, survives retries), recomputable by any downstream job
+    without a membership table, and a given document NEVER migrates between
+    splits as the corpus grows — the leakage guarantee row-number splits
+    can't give.
+    """
+    b = sample_bucket(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_bp, "train")
+        .when(b < train_bp + val_bp, "val")
+        .otherwise("test"),
+    )

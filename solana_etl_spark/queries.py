@@ -1686,6 +1686,29 @@ def s3_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@_register(
+    "s5_train_val_test",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {hash64_sql("CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+                WHEN {hash64_sql("CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    local_only=True,
+)
+def s5_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split: membership is a pure function
+    of the doc key's hash bucket — zero shuffle, retry-safe, and no
+    document migrates between splits as the corpus grows (the leakage
+    guarantee row-number splits can't give). local_only: driver cap."""
+    from solana_etl_spark.operators.sampling import train_val_test_split
+
+    return train_val_test_split(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "source", "split")
+
+
 def _ivf_cte(k: int, iters: int, dim: int, scale: int) -> str:
     """qvecs / unrolled-Lloyd centroid CTEs mirroring operators/similarity.py
     kmeans_centroids — exact integer math, so value-identical by design."""

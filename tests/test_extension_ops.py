@@ -544,3 +544,21 @@ def test_minhash_lsh_recall_vs_exact_shingle_jaccard(spark):
     cand = {(r[0], r[1]) for r in minhash_lsh_pairs(docs).collect()}
     assert truth, "ground truth should be non-empty on the synthetic corpus"
     assert truth <= cand  # recall 1.0
+
+
+def test_train_val_test_split_stable_under_growth(spark):
+    """A document's split assignment is a pure function of its key: adding
+    more rows to the corpus never migrates existing rows between splits."""
+    from solana_etl_spark.operators.sampling import train_val_test_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = train_val_test_split(docs.limit(20), "doc_id")
+    full = train_val_test_split(docs, "doc_id")
+    small_map = {r["doc_id"]: r["split"] for r in small.collect()}
+    full_map = {r["doc_id"]: r["split"] for r in full.collect()}
+    assert small_map == {k: full_map[k] for k in small_map}
+    assert set(full_map.values()) == {"train", "val", "test"}
+    # roughly 80/10/10
+    from collections import Counter
+    c = Counter(full_map.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
