@@ -103,20 +103,26 @@ def main() -> None:
 
     # the reference's own e2e workload: both mainnet fixture blocks through
     # all three task pipelines + errors (the only throughput anchor the
-    # reference defines — BASELINE.md)
+    # reference defines — BASELINE.md). Same best-of-2 statistic as every
+    # registry query above — a single cold-path shot after 20+ queries of
+    # JVM pressure measures page-cache/GC state, not the pipeline.
     try:
         from solana_etl_spark.sources import read_blocks
         from solana_etl_spark.plans.tasks import run_all_tasks
 
-        t0 = time.time()
-        outs = run_all_tasks(
-            read_blocks(
-                spark, "/root/reference/test/resources/blocks/*/*.json.gz"
+        best = -1.0
+        for _ in range(2):
+            t0 = time.time()
+            outs = run_all_tasks(
+                read_blocks(
+                    spark, "/root/reference/test/resources/blocks/*/*.json.gz"
+                )
             )
-        )
-        for df in outs.values():
-            df.count()
-        timings["solana_e2e_2blocks"] = round(time.time() - t0, 3)
+            for df in outs.values():
+                df.count()
+            dt = round(time.time() - t0, 3)
+            best = dt if best < 0 else min(best, dt)
+        timings["solana_e2e_2blocks"] = best
     except Exception:
         timings["solana_e2e_2blocks"] = -1.0
 
@@ -128,15 +134,19 @@ def main() -> None:
         from solana_etl_spark.sources.synth import ensure_e2e_corpus
 
         corpus = ensure_e2e_corpus()
-        t0 = time.time()
-        outs, persisted = run_all_tasks_with_handle(
-            read_blocks(spark, f"{corpus}/*/*.json.gz")
-        )
-        for df in outs.values():
-            df.count()
-        if persisted is not None:
-            persisted.unpersist()
-        timings["solana_e2e_corpus_all_tasks"] = round(time.time() - t0, 3)
+        best = -1.0
+        for _ in range(2):
+            t0 = time.time()
+            outs, persisted = run_all_tasks_with_handle(
+                read_blocks(spark, f"{corpus}/*/*.json.gz")
+            )
+            for df in outs.values():
+                df.count()
+            if persisted is not None:
+                persisted.unpersist()
+            dt = round(time.time() - t0, 3)
+            best = dt if best < 0 else min(best, dt)
+        timings["solana_e2e_corpus_all_tasks"] = best
     except Exception:
         timings["solana_e2e_corpus_all_tasks"] = -1.0
 
