@@ -2253,3 +2253,88 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sample_frames(documents_as_media(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# 6. Snapshot maintenance (charter: 100 TB corpora are maintained, not
+#    rebuilt — CDC MERGE/upsert; operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "merge_upsert_snapshot",
+    # Same latest-writer-wins contract spelled in ANSI SQL: QUALIFY picks
+    # the winning change per key (version desc, delete-beats-update tie),
+    # ANTI JOIN keeps untouched base rows, winners that aren't deletes are
+    # appended. Per-row double arithmetic (*2.0) is IEEE-deterministic in
+    # both engines — no decimal scaffolding needed without aggregation.
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ), changes AS (
+        SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+               o_totalprice * 2.0 AS o_totalprice, 'U' AS op, 1 AS version
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 2
+        FROM base WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'T', o_totalprice, 'U', 2
+        FROM base WHERE o_orderkey % 33 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N',
+               CAST(0.0 AS DOUBLE), 'U', 1
+        FROM base WHERE o_orderkey % 97 = 0
+    ), latest AS (
+        SELECT * FROM changes
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC, (op = 'D') DESC
+        ) = 1
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+    FROM base b ANTI JOIN latest l USING (o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM latest WHERE op <> 'D'
+    """,
+    local_only=True,
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/merge.py): a derived changeset — updates
+    (key%7), deletes (key%11), a same-version delete/update tie (key%33),
+    inserts (key%97) — applied latest-writer-wins to the orders snapshot.
+    Broadcast strategy: the base never shuffles. local_only: driver cap."""
+    from solana_etl_spark.operators.merge import merge_snapshot
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    upd = (
+        base.filter(key % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("version", F.lit(1))
+    )
+    dele = (
+        base.filter(key % 11 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("version", F.lit(2))
+    )
+    tie = (
+        base.filter(key % 33 == 0)
+        .withColumn("o_orderstatus", F.lit("T"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("version", F.lit(2))
+    )
+    ins = (
+        base.filter(key % 97 == 0)
+        .withColumn("o_orderkey", key + F.lit(10_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.lit(0.0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("version", F.lit(1))
+    )
+    changes = upd.unionByName(dele).unionByName(tie).unionByName(ins)
+    return merge_snapshot(base, changes, ["o_orderkey"], "version", "op")
