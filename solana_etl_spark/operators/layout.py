@@ -1,0 +1,132 @@
+"""Physical data layout: clustering, Z-ordering, compaction, and the
+parquet min/max report that proves data-skipping.
+
+At 100 TB the scan is the query: a filter on an unclustered table reads
+every file; the same filter on a range-clustered table reads the handful
+whose footer min/max overlap the predicate (parquet row-group pruning and
+any file-skipping catalog both key off those stats). These operators make
+the layout step explicit:
+
+* ``cluster_and_compact`` — ``repartitionByRange`` on the sort keys (one
+  range-exchange, sampled bounds) + ``sortWithinPartitions``: each output
+  file owns a tight, near-disjoint key range, and the file count is chosen
+  by the caller (compaction: many small files → few right-sized ones).
+* ``zorder_key`` / ``quantize`` — multi-dimensional clustering: interleave
+  the bits of k quantized columns so ONE sort order gives every dimension
+  locality (a range filter on any single column touches O(N^((k-1)/k)) of
+  the files instead of all of them). Pure integer column arithmetic —
+  codegen'd, zero shuffle, and bit-identical cross-engine.
+* ``parquet_layout_report`` — pyarrow scan of the written footers: per
+  file/row-group min/max for the cluster columns. The test asserts the
+  ranges are near-disjoint; at scale the same report drives compaction
+  scheduling (which files drifted out of their range).
+
+The reference writes one output file per input block file with no layout
+control (`/root/reference/src/load/FileOutput.py:40-53`); this is
+Spark-first scale machinery per the charter.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(col: Column, lo: int, hi: int, bits: int = 16) -> Column:
+    """Map an integer column in [lo, hi] to [0, 2**bits) by linear scaling
+    (clamped). Exact integer arithmetic — reproducible anywhere."""
+    span = hi - lo + 1
+    scaled = ((col - F.lit(lo)) * F.lit(1 << bits)) / F.lit(span)
+    q = F.floor(scaled).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), q))
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each column (col0 gets bit
+    positions 0, k, 2k, ...). 64-bit result: k * bits must be <= 63."""
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a 64-bit key")
+    terms: list[Column] = []
+    for j, c in enumerate(cols):
+        c = c.cast("long")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).alias("zorder_key")
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical interleave as ANSI SQL (for cross-engine oracles)."""
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * len(cols) + j})")
+    return " | ".join(terms)
+
+
+def cluster_and_compact(
+    df: DataFrame, sort_cols: list[str], n_files: int
+) -> DataFrame:
+    """Range-cluster ``df`` into ``n_files`` near-disjoint sorted slices —
+    write the result with ``.write.parquet`` and every file's footer
+    min/max is a tight range on ``sort_cols`` (data-skipping layout). Also
+    the compaction primitive: 10k drifted small files in, ``n_files``
+    right-sized files out, one range exchange total."""
+    return df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+
+
+def write_clustered(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
+) -> None:
+    cluster_and_compact(df, sort_cols, n_files).write.mode("overwrite").parquet(path)
+
+
+def parquet_layout_report(path: str, cols: list[str]) -> list[dict]:
+    """Per-file, per-row-group footer stats for ``cols``: what a scan
+    planner would prune with. Driver-side metadata read only (footers, not
+    data)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            row: dict = {"file": name, "row_group": rg, "n_rows": md.row_group(rg).num_rows}
+            for c in cols:
+                stats = md.row_group(rg).column(idx[c]).statistics
+                row[f"{c}_min"] = stats.min if stats else None
+                row[f"{c}_max"] = stats.max if stats else None
+            out.append(row)
+    return out
+
+
+def overlap_fraction(report: list[dict], col: str) -> float:
+    """Fraction of file pairs whose [min, max] ranges on ``col`` overlap —
+    0.0 is perfectly disjoint clustering, ~1.0 is unclustered. The metric a
+    compaction scheduler thresholds on."""
+    spans = [
+        (r[f"{col}_min"], r[f"{col}_max"])
+        for r in report
+        if r[f"{col}_min"] is not None
+    ]
+    n = len(spans)
+    if n < 2:
+        return 0.0
+    pairs = overlapping = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            pairs += 1
+            lo = max(spans[i][0], spans[j][0])
+            hi = min(spans[i][1], spans[j][1])
+            if lo <= hi:
+                overlapping += 1
+    return overlapping / pairs

@@ -2338,3 +2338,34 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = upd.unionByName(dele).unionByName(tie).unionByName(ins)
     return merge_snapshot(base, changes, ["o_orderkey"], "version", "op")
+
+
+_ZORDER_BITS = 12
+
+
+def _zorder_oracle() -> str:
+    # identical bit-interleave spelled as SQL by the same generator the
+    # operator uses — pure integer arithmetic, bit-exact in both engines
+    from solana_etl_spark.operators.layout import zorder_key_sql
+
+    interleave = zorder_key_sql(["l_orderkey", "l_partkey"], _ZORDER_BITS)
+    return f"""
+    SELECT l_orderkey, l_partkey, {interleave} AS zorder_key
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """
+
+
+@_register("layout_zorder_key", _zorder_oracle(), local_only=True)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.py): interleave the low 12
+    bits of (l_orderkey, l_partkey) so one sort order gives both columns
+    file-level locality. Codegen'd integer expressions, zero shuffle.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        zorder_key([F.col("l_orderkey"), F.col("l_partkey")], _ZORDER_BITS),
+    )

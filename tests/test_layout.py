@@ -1,0 +1,106 @@
+"""Layout operators: Z-order bit interleave, range-clustered compaction,
+and footer-stat disjointness (the data-skipping proof)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.layout import (
+    cluster_and_compact,
+    overlap_fraction,
+    parquet_layout_report,
+    quantize,
+    write_clustered,
+    zorder_key,
+    zorder_key_sql,
+)
+
+
+def test_zorder_interleave_known_values(spark):
+    # x=0b11 -> bits 0,2 ; y=0b01 -> bit 1 ; interleaved = 0b0111 = 7
+    row = (
+        spark.createDataFrame([(3, 1)], "x long, y long")
+        .select(zorder_key([F.col("x"), F.col("y")], bits=2))
+        .first()
+    )
+    assert row[0] == 7
+
+
+def test_zorder_sql_matches_column(spark):
+    df = spark.range(0, 500).select(
+        (F.col("id") * 7 % 311).alias("x"), (F.col("id") * 13 % 257).alias("y")
+    )
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=9)
+    ).withColumn("sql_key", F.expr(zorder_key_sql(["x", "y"], bits=9)))
+    assert got.filter(F.col("zorder_key") != F.col("sql_key")).count() == 0
+
+
+def test_quantize_bounds(spark):
+    df = spark.range(0, 1000).select(
+        quantize(F.col("id"), 0, 999, bits=4).alias("q")
+    )
+    stats = df.agg(F.min("q"), F.max("q"), F.countDistinct("q")).first()
+    assert stats == (0, 15, 16)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    # 32x32 grid -> 16 files; a single-column sort leaves the other
+    # dimension unclustered (every file overlaps every other), the z-order
+    # bounds BOTH
+    grid = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    zed = grid.withColumn("zk", zorder_key([F.col("x"), F.col("y")], bits=5))
+
+    z_path = str(tmp_path / "zorder")
+    write_clustered(zed, z_path, ["zk"], 16)
+    z_report = parquet_layout_report(z_path, ["x", "y"])
+    assert overlap_fraction(z_report, "x") < 0.4
+    assert overlap_fraction(z_report, "y") < 0.4
+
+    x_path = str(tmp_path / "xsort")
+    write_clustered(zed, x_path, ["x"], 16)
+    x_report = parquet_layout_report(x_path, ["x", "y"])
+    assert overlap_fraction(x_report, "y") > 0.9  # unclustered dimension
+
+
+def test_compaction_file_count_and_content(spark, tmp_path):
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") * 17 % 1000).alias("k")
+    )
+    df.repartition(64).write.parquet(src)
+    import os
+
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 64
+
+    loaded = spark.read.parquet(src)
+    write_clustered(loaded, out, ["k"], 4)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 4
+    re_read = spark.read.parquet(out)
+    assert re_read.count() == 10_000
+    assert re_read.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+    # compacted files own near-disjoint k ranges
+    report = parquet_layout_report(out, ["k"])
+    assert overlap_fraction(report, "k") <= 0.2
+
+
+def test_cluster_plan_is_single_range_exchange(spark):
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    plan = (
+        cluster_and_compact(df, ["k"], 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
+
+
+def test_zorder_key_rejects_overflow():
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_key([F.lit(1), F.lit(2)], bits=32)
