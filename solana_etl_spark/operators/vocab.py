@@ -1,0 +1,161 @@
+"""Distributed BPE vocabulary induction: the tokenizer-training pass of an
+LLM data pipeline, run where the data is.
+
+Training a byte-pair-encoding vocabulary over a 100 TB corpus cannot
+collect text to a driver; the standard factorization keeps it distributed:
+
+1. one corpus scan reduces the text to a (word, freq) table — typically
+   10^6-10^8 rows regardless of corpus size (Zipf), cached for the rounds;
+2. each merge round is ONE shuffle: explode each word's adjacent symbol
+   pairs weighted by freq, partial-agg'd pair counts, argmax to the driver
+   (a single tiny row — the merge decision is the only driver state, as in
+   fairseq/HF tokenizer trainers);
+3. the chosen merge is applied to every word with a pure column
+   expression — a greedy left-to-right fold (``aggregate``) over the
+   symbol array. No Python UDF anywhere: rounds stay in codegen.
+
+Ties on pair count break on (pair_a, pair_b) lexical order, so the merge
+sequence is deterministic across partitionings and engines.
+
+The reference has no text surface at all; this is charter LLM-pipeline
+machinery (SURVEY §2.11 family: text analysis / tokenization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"  # end-of-word sentinel, as in the original BPE formulation
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq): the one full scan; everything after runs on
+    this (much smaller) table."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word: Column, append_eow: bool) -> Column:
+    chars = F.split(word, "")
+    if append_eow:
+        chars = F.concat(chars, F.array(F.lit(EOW)))
+    return chars
+
+
+def merge_pair_expr(symbols: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a||b, as a pure
+    fold: acc = (out, pending); pending==a and next==b emits the merged
+    symbol, else pending is flushed. Equivalent to the classic BPE apply."""
+    merged = a + b
+    return F.aggregate(
+        symbols,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pending"),
+        ),
+        lambda acc, s: F.when(
+            acc["pending"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("pending")),
+        )
+        .when(
+            (acc["pending"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("pending"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pending"])).alias("out"),
+                s.alias("pending"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["pending"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pending"]))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    n = F.size("symbols")
+    pairs = F.arrays_zip(
+        F.slice("symbols", 1, n - 1).alias("a"),
+        F.slice("symbols", 2, n - 1).alias("b"),
+    )
+    return (
+        words.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    append_eow: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus. Returns the ordered
+    merge list — the vocabulary artifact a tokenizer ships with."""
+    words = word_freq_table(docs, text_col).withColumn(
+        "symbols", _initial_symbols(F.col("word"), append_eow)
+    )
+    words = words.persist()
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .first()
+            )
+            if top is None:
+                break
+            merges.append((top["a"], top["b"]))
+            prev = words
+            words = words.withColumn(
+                "symbols", merge_pair_expr(F.col("symbols"), top["a"], top["b"])
+            ).persist()
+            # materialize the round before dropping its parent so each
+            # round's lineage stays O(1), not O(round)
+            words.count()
+            prev.unpersist()
+        return merges
+    finally:
+        words.unpersist()
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    append_eow: bool = True,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Segment each document with a learned merge list: per-word symbol
+    fold per merge, chained as nested column expressions (still zero
+    Python, zero shuffle; for merge lists beyond ~10^2 move the loop into a
+    pandas UDF — same greedy semantics)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+
+    def segment(word: Column) -> Column:
+        syms = _initial_symbols(word, append_eow)
+        for a, b in merges:
+            syms = merge_pair_expr(syms, a, b)
+        return syms
+
+    return docs.withColumn(
+        out_col, F.flatten(F.transform(words, segment))
+    )

@@ -1,0 +1,108 @@
+"""Distributed BPE vocabulary induction vs a pure-Python reference
+implementation of the classic algorithm (Sennrich-style, same greedy-left
+apply and (count desc, pair lexical) tie-break)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.vocab import (
+    EOW,
+    apply_bpe,
+    merge_pair_expr,
+    train_bpe_merges,
+    word_freq_table,
+)
+
+CORPUS = [
+    "the lower the better below the tower",
+    "new newer newest lower lowest",
+    "the newer tower is lower than the new one",
+    "widest wide wider widest below",
+]
+
+
+def _ref_word_freqs(lines):
+    c: Counter = Counter()
+    for line in lines:
+        for w in re.split(r"\s+", line.lower()):
+            if w:
+                c[w] += 1
+    return c
+
+
+def _ref_merge(symbols, a, b):
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _ref_train(lines, n_merges):
+    freqs = {
+        tuple(list(w) + [EOW]): n for w, n in _ref_word_freqs(lines).items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in freqs.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        freqs = {
+            tuple(_ref_merge(list(s), *best)): n for s, n in freqs.items()
+        }
+    return merges
+
+
+def test_word_freq_table(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = {r["word"]: r["freq"] for r in word_freq_table(docs).collect()}
+    assert got == dict(_ref_word_freqs(CORPUS))
+
+
+def test_greedy_merge_expr_matches_reference(spark):
+    # overlapping runs: greedy-left on (a, a) over "aaaa b a aa"
+    rows = [(["a", "a", "a", "a"],), (["b", "a", "a", "a"],), (["a", "b"],)]
+    df = spark.createDataFrame(rows, "symbols array<string>")
+    got = [
+        r[0]
+        for r in df.select(
+            merge_pair_expr(F.col("symbols"), "a", "a")
+        ).collect()
+    ]
+    assert got == [_ref_merge(list(r[0]), "a", "a") for r in rows]
+
+
+def test_bpe_merge_sequence_matches_reference(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = train_bpe_merges(docs, n_merges=12)
+    assert got == _ref_train(CORPUS, 12)
+
+
+def test_apply_bpe_consistent_with_training(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = _ref_train(CORPUS, 8)
+    seg = apply_bpe(docs, merges).select("bpe_tokens").collect()
+    # reference segmentation per document
+    for row, line in zip(seg, CORPUS):
+        expect = []
+        for w in re.split(r"\s+", line.lower()):
+            if not w:
+                continue
+            syms = list(w) + [EOW]
+            for a, b in merges:
+                syms = _ref_merge(syms, a, b)
+            expect.extend(syms)
+        assert row[0] == expect
