@@ -2369,3 +2369,120 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         zorder_key([F.col("l_orderkey"), F.col("l_partkey")], _ZORDER_BITS),
     )
+
+
+@_register(
+    "q13_order_count_distribution",
+    # TPC-H Q13 shape: outer join preserved through an aggregate, then a
+    # histogram over the aggregate — COUNT(col) null-skipping does the
+    # customers-with-zero-orders bookkeeping
+    """
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist FROM c_orders GROUP BY c_count
+    """,
+    local_only=True,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join count distribution (TPC-H Q13 shape): broadcast the
+    customer side? No — both sides large at scale; shuffle join on custkey,
+    then the histogram is a tiny second aggregate. local_only: driver cap."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@_register(
+    "q20_nested_semijoin_agg",
+    # TPC-H Q20 shape: IN-subquery over a grouped HAVING — Catalyst
+    # decorrelates to aggregate -> left-semi join
+    """
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type IN ('PROMO', 'ECONOMY')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 110
+    )
+    """,
+    local_only=True,
+)
+def q20_nested_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-join over a grouped HAVING (TPC-H Q20 shape), written as
+    SQL so Catalyst's decorrelation produces the agg→semi-join plan (part
+    dim broadcast into the lineitem scan). local_only: driver cap."""
+    for t in ("supplier", "lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_type IN ('PROMO', 'ECONOMY')
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 110
+        )
+        """
+    )
+
+
+# published example weights for the model-score query (a trained model is
+# a plain float vector; inference must be reproducible given one)
+_QUALITY_W = [-1.0, 1.5, 2.0, -4.0, -2.5, 3.0]
+
+
+def _quality_model_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in text_ops.EN_STOPWORDS)
+    f = [
+        "1.0",
+        "ROUND(length(trim(text)) / CAST(1000 AS DOUBLE), 9)",
+        f"ROUND(len({_TOKENS_SQL}) / CAST(200 AS DOUBLE), 9)",
+        "ROUND(length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g'))"
+        " / CAST(greatest(length(trim(text)), 1) AS DOUBLE), 9)",
+        "ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))"
+        " / CAST(greatest(length(trim(text)), 1) AS DOUBLE), 9)",
+        f"ROUND(len(list_filter({_TOKENS_SQL}, t -> t IN ({stops})))"
+        f" / CAST(greatest(len({_TOKENS_SQL}), 1) AS DOUBLE), 9)",
+    ]
+    # identical left-fold addition order as the Spark ``aggregate`` dot
+    # product (0.0 seed, + term by term) — bit-identical doubles
+    z = "0.0"
+    for feat, w in zip(f, _QUALITY_W):
+        z = f"({z} + (({feat}) * ({w!r})))"
+    return f"""
+    SELECT doc_id, {z} AS z_score, {z} > 0.0 AS keep
+    FROM documents
+    """
+
+
+@_register("quality_model_score", _quality_model_oracle(), local_only=True)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-model inference (operators/classifier.py): the
+    deterministic text features dotted with a published weight vector as a
+    sequential fold — pure codegen'd scan, bit-identical cross-engine.
+    (Training is the iterative GD path, pytest-verified vs a numpy
+    reference in tests/test_classifier.py.) local_only: driver cap."""
+    from solana_etl_spark.operators.classifier import featurize, linear_score
+
+    feats = featurize(_t(spark, sf_dir, "documents"))
+    z = linear_score(F.col("features"), _QUALITY_W)
+    return feats.select(
+        "doc_id", z.alias("z_score"), (z > 0.0).alias("keep")
+    )
