@@ -2486,3 +2486,76 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", z.alias("z_score"), (z > 0.0).alias("keep")
     )
+
+
+def _incr_agg_oracle() -> str:
+    k = 128
+    h = hash64_sql("CAST(l_partkey AS VARCHAR)")
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT l_returnflag, {h} AS h FROM lineitem
+    ), r AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM h
+    ), kk AS (
+        SELECT l_returnflag, COUNT(*) AS n_h, MAX(h) AS kth
+        FROM r WHERE rn <= {k} GROUP BY l_returnflag
+    ), agg AS (
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_price,
+               MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+               ROUND(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*), 9) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT agg.l_returnflag, agg.n_rows, agg.sum_qty, agg.sum_price,
+           agg.qty_min, agg.qty_max, agg.avg_qty,
+           CASE WHEN kk.n_h < {k} THEN CAST(kk.n_h AS DOUBLE)
+                ELSE ROUND(({k} - 1)
+                           / (CAST(kk.kth AS DOUBLE) / 1152921504606846976.0),
+                           4)
+           END AS est_partkeys
+    FROM agg JOIN kk USING (l_returnflag)
+    """
+
+
+@_register("incr_agg_merge", _incr_agg_oracle(), local_only=True)
+def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): build
+    mergeable per-group state on two date halves of lineitem, merge the
+    STATES (raw rows of the 'old' half are never rescanned), finalize. The
+    oracle aggregates the whole table directly — merge-then-finalize must
+    equal compute-once. local_only: driver cap."""
+    from solana_etl_spark.operators import incremental as inc
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+        "l_partkey",
+        "l_shipdate",
+    )
+    kw = dict(
+        keys=["l_returnflag"],
+        sum_cols=["l_quantity", "price"],
+        minmax_cols=["l_quantity"],
+        kmv_cols=["l_partkey"],
+    )
+    pivot = F.to_timestamp(F.lit("1997-01-01"))
+    old = inc.agg_state(li.filter(F.col("l_shipdate") < pivot), **kw)
+    new = inc.agg_state(li.filter(F.col("l_shipdate") >= pivot), **kw)
+    state = inc.merge_states(old, new, **kw)
+    return state.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("l_quantity_sum").cast("double").alias("sum_qty"),
+        F.col("price_sum").cast("double").alias("sum_price"),
+        F.col("l_quantity_min").alias("qty_min"),
+        F.col("l_quantity_max").alias("qty_max"),
+        F.round(
+            F.col("l_quantity_sum").cast("double") / F.col("n_rows"), 9
+        ).alias("avg_qty"),
+        inc.kmv_estimate("l_partkey_kmv").alias("est_partkeys"),
+    )
