@@ -360,3 +360,57 @@ def ivf_topk(
         .orderBy("dist", "vec_id")
         .limit(topk)
     )
+
+
+def ivf_batch_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """Batch ANN: every vector matching ``query_pred`` is a query, answered
+    in ONE pass over the index — the shape of eval-set retrieval and
+    semantic-dedup probes at scale.
+
+    Plan: the query batch (broadcast-sized) picks its ``nprobe`` probe
+    lists against the k-row centroid table; the corpus joins its inverted-
+    list assignment to the broadcast probe set (no corpus shuffle), scores
+    |Q| x nprobe/k of the corpus, and a per-query window takes top-k over
+    that candidate stream only. Exact integer math end-to-end, same
+    determinism contract as :func:`ivf_topk`.
+    """
+    from pyspark.sql.window import Window
+
+    vecs = quantized(embeddings)
+    centroids = kmeans_centroids(embeddings, k, iters)
+    queries = vecs.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("qvec").alias("q")
+    )
+    probe_rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy("qd", "cid")
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select("q_id", "cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
+        .withColumn("_rn", probe_rank)
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "cid")
+    )
+    assigned = _assign(vecs, centroids)
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id", "vec_id", _sqdist(F.col("qvec"), F.col("q")).alias("dist")
+        )
+    )
+    top_rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    )
+    return (
+        scored.withColumn("_rn", top_rank)
+        .filter(F.col("_rn") <= topk)
+        .select("q_id", "vec_id", "dist")
+    )

@@ -2559,3 +2559,76 @@ def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty"),
         inc.kmv_estimate("l_partkey_kmv").alias("est_partkeys"),
     )
+
+
+def _ivf_batch_topk_oracle(
+    k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int
+) -> str:
+    qdist = (
+        "list_sum([ (v.qvec[i] - q.q[i]) * (v.qvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    cdist = (
+        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    qry AS (SELECT vec_id AS q_id, qvec AS q FROM qvecs WHERE vec_id % 100 = 0),
+    probe AS (
+        SELECT q_id, cid FROM (
+            SELECT q.q_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.q_id ORDER BY {cdist}, c.cid
+                   ) AS rn
+            FROM c{iters} c CROSS JOIN qry q
+        ) WHERE rn <= {nprobe}
+    ),
+    afinal AS (
+        SELECT vec_id, qvec, cid FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT p.q_id, v.vec_id, CAST({qdist} AS BIGINT) AS dist
+        FROM afinal v JOIN probe p USING (cid) JOIN qry q ON q.q_id = p.q_id
+    )
+    SELECT q_id, vec_id, dist FROM (
+        SELECT q_id, vec_id, dist,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY dist, vec_id
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= {topk}
+    """
+
+
+@_register(
+    "ann_ivf_batch_topk",
+    _ivf_batch_topk_oracle(
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+        similarity.IVF_NPROBE,
+        similarity.TOPK,
+    ),
+    local_only=True,
+)
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the IVF index (operators/similarity.py
+    ivf_batch_topk): every 100th vector is a query, all answered in one
+    pass — probe lists from the broadcast centroid table, candidates from
+    a broadcast probe join (no corpus shuffle), per-query window top-k.
+    local_only: driver cap."""
+    return similarity.ivf_batch_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0
+    )

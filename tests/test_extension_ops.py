@@ -447,6 +447,27 @@ def test_kmeans_ivf_separable_clusters(spark):
     hits = [r.vec_id for r in ivf_topk(emb, k=3, iters=3, nprobe=1, topk=5).collect()]
     assert hits[0] == 0 and all(v < 20 for v in hits)
 
+    # batch path with the same single query must agree with the single path
+    from pyspark.sql import functions as _F
+    from solana_etl_spark.operators.similarity import ivf_batch_topk
+
+    batch = ivf_batch_topk(
+        emb, _F.col("vec_id") == 0, k=3, iters=3, nprobe=1, topk=5
+    ).collect()
+    assert [(r.vec_id, r.dist) for r in batch] == [
+        (r.vec_id, r.dist)
+        for r in ivf_topk(emb, k=3, iters=3, nprobe=1, topk=5).collect()
+    ]
+    assert all(r.q_id == 0 for r in batch)
+
+    # multi-query batch: each query's hits stay inside its own blob
+    multi = ivf_batch_topk(
+        emb, _F.col("vec_id").isin(0, 20, 40), k=3, iters=3, nprobe=1, topk=5
+    ).collect()
+    assert len(multi) == 15
+    for r in multi:
+        assert r.q_id // 20 == r.vec_id // 20
+
 
 def test_incremental_dedup_against_index(spark):
     from solana_etl_spark.operators.dedup import dedup_index, incremental_dedup
