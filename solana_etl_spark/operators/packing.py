@@ -113,3 +113,45 @@ def dedup_repeated_lines(documents: DataFrame) -> DataFrame:
             repeated_line_ratio().alias("repeat_ratio"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_chars: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stride-overlapped document chunking (RAG / context-window builder):
+    one row per (doc, window), windows start every ``stride`` chars and
+    span ``chunk_chars`` (the last window is the remainder; overlap =
+    chunk_chars − stride).
+
+    Pure per-row positional arithmetic: a ``sequence`` of start offsets,
+    ``transform``+``explode`` — zero shuffle, codegen'd, embarrassingly
+    parallel, and fully SQL-expressible (the oracle replays it with
+    ``generate_series`` + ``substring``).
+    """
+    if stride <= 0 or chunk_chars <= 0 or stride > chunk_chars:
+        raise ValueError("need 0 < stride <= chunk_chars")
+    t = F.col(text_col)
+    n = F.length(t)
+    # last start = the largest multiple of stride < n (every char covered;
+    # no empty trailing window on exact multiples)
+    starts = F.sequence(
+        F.lit(0),
+        F.when(n <= chunk_chars, F.lit(0)).otherwise(
+            F.floor((n - 1) / stride).cast("long") * stride
+        ),
+        F.lit(stride),
+    )
+    chunk = F.expr(f"substring({text_col}, CAST(s + 1 AS INT), {chunk_chars})")
+    return (
+        documents.withColumn("s", F.explode(starts))
+        .select(
+            "doc_id",
+            (F.col("s") / stride).cast("long").alias("chunk_idx"),
+            F.col("s").alias("chunk_start"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -2632,3 +2632,39 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_batch_topk(
         _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0
     )
+
+
+_CHUNK, _STRIDE = 256, 192
+
+
+@_register(
+    "text_chunk_windows",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    s AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0,
+                   CASE WHEN n <= {_CHUNK} THEN 0
+                        ELSE CAST(floor((n - 1) / {_STRIDE}) AS BIGINT) * {_STRIDE}
+                   END,
+                   {_STRIDE}
+               )) AS s
+        FROM d
+    )
+    SELECT doc_id, CAST(s / {_STRIDE} AS BIGINT) AS chunk_idx, s AS chunk_start,
+           length(substring(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS chunk_len,
+           md5(substring(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS chunk_md5
+    FROM s
+    """,
+    local_only=True,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-overlapped chunking (operators/packing.py chunk_documents):
+    RAG/context windows every 192 chars spanning 256 — per-row positional
+    explode, zero shuffle. local_only: driver cap."""
+    from solana_etl_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=_CHUNK, stride=_STRIDE
+    )

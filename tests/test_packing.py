@@ -88,3 +88,30 @@ def test_dedup_repeated_lines(spark):
     assert rows[1].repeat_ratio == pytest.approx(2 / 5)
     assert rows[2].n_dropped == 0 and rows[2].text_deduped == "only\nunique\nlines"
     assert rows[3].text_deduped == "same" and rows[3].n_dropped == 2
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from solana_etl_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("short", "ab"),                  # 1 window
+            ("exact", "x" * 384),             # n == 2*stride: starts 0, 192
+            ("long", "y" * 500),              # starts 0, 192, 384
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_len)
+        for r in chunk_documents(docs, chunk_chars=256, stride=192).collect()
+    }
+    assert rows[("short", 0)] == (0, 2)
+    assert rows[("exact", 0)] == (0, 256) and rows[("exact", 1)] == (192, 192)
+    assert rows[("long", 2)] == (384, 116)
+    # every char of 'long' is covered and consecutive windows overlap by 64
+    assert len([k for k in rows if k[0] == "long"]) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_chars=100, stride=200)
