@@ -55,10 +55,14 @@ def merge_snapshot(
 
     # ties on version resolve delete-over-update (desc on op puts 'U' > 'D'
     # lexically, so order by op asc after version desc ranks 'D' first —
-    # spell it explicitly so the contract survives other op labels)
+    # spell it explicitly so the contract survives other op labels); a
+    # final whole-row hash makes even duplicate (key, version, op) change
+    # rows pick the SAME winner on every partitioning and retry
     is_delete = (F.col(op_col) == delete_op).cast("int")
+    canon_cols = sorted(base.columns + [op_col, version_col])
+    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in canon_cols]))
     latest_w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), is_delete.desc()
+        F.col(version_col).desc(), is_delete.desc(), row_hash.asc()
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(latest_w))
@@ -80,7 +84,7 @@ def merge_snapshot(
     )
     unioned = tagged_base.unionByName(changes.select(*tagged_base.columns))
     w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc_nulls_last(), is_delete.desc()
+        F.col(version_col).desc_nulls_last(), is_delete.desc(), row_hash.asc()
     )
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
