@@ -2668,3 +2668,62 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_chars=_CHUNK, stride=_STRIDE
     )
+
+
+@_register(
+    "hybrid_search_rerank",
+    # capstone composition: the batch-ANN oracle and the quality-model
+    # oracle nest as CTEs; rerank = quality gate first, then exact distance
+    f"""
+    WITH ann AS (
+        {_ivf_batch_topk_oracle(
+            similarity.IVF_K,
+            similarity.IVF_ITERS,
+            similarity.IVF_DIM,
+            similarity.IVF_SCALE,
+            similarity.IVF_NPROBE,
+            similarity.TOPK,
+        )}
+    ), quality AS (
+        {_quality_model_oracle()}
+    )
+    SELECT q_id, rank, doc_id, dist, keep FROM (
+        SELECT ann.q_id, ann.vec_id AS doc_id, ann.dist, quality.keep,
+               row_number() OVER (
+                   PARTITION BY ann.q_id
+                   ORDER BY quality.keep DESC, ann.dist, ann.vec_id
+               ) AS rank
+        FROM ann JOIN quality ON quality.doc_id = ann.vec_id
+    ) WHERE rank <= 5
+    """,
+    local_only=True,
+)
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone: batch-ANN candidates (IVF probe, exact
+    int distances) re-ranked by the linear quality model (bit-exact scores)
+    — quality-passing docs first, then by distance. The shape of a
+    retrieval stack: cheap index recall, model-based precision on the
+    candidate set only. local_only: driver cap."""
+    from pyspark.sql.window import Window
+    from solana_etl_spark.operators.classifier import featurize, linear_score
+
+    cands = similarity.ivf_batch_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0
+    )
+    feats = featurize(_t(spark, sf_dir, "documents"))
+    quality = feats.select(
+        "doc_id",
+        (linear_score(F.col("features"), _QUALITY_W) > 0.0).alias("keep"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(
+            F.col("keep").desc(), F.col("dist"), F.col("doc_id")
+        )
+    )
+    return (
+        cands.join(quality, cands["vec_id"] == quality["doc_id"])
+        .select("q_id", F.col("vec_id").alias("doc_id"), "dist", "keep")
+        .withColumn("rank", rank)
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "doc_id", "dist", "keep")
+    )
