@@ -2727,3 +2727,70 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "rank", "doc_id", "dist", "keep")
     )
+
+
+@_register(
+    "dq_constraint_report",
+    # same report spelled directly: row-level rules in one aggregate,
+    # unique via grouped dup counts, FK via NOT IN on the parent keys
+    """
+    WITH rowagg AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+               SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS v1,
+               SUM(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                   THEN 1 ELSE 0 END) AS v2
+        FROM orders
+    ), uniq AS (
+        SELECT COALESCE(SUM(n), 0) AS v FROM (
+            SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+        )
+    ), fk AS (
+        SELECT COUNT(*) AS v FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT rule, "column", n_rows, n_violations, n_violations = 0 AS passed
+    FROM (
+        SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+               n_rows, v0 AS n_violations FROM rowagg
+        UNION ALL
+        SELECT 'in_range', 'o_totalprice', n_rows, v1 FROM rowagg
+        UNION ALL
+        SELECT 'accepted_values', 'o_orderstatus_priority', n_rows, v2 FROM rowagg
+        UNION ALL
+        SELECT 'unique', 'o_orderkey', NULL, v FROM uniq
+        UNION ALL
+        SELECT 'foreign_key', 'l_orderkey', NULL, v FROM fk
+    )
+    """,
+    local_only=True,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/constraints.py): row-level
+    rules fused into one scan, key uniqueness as one grouped aggregate, FK
+    integrity as one broadcast anti-join — the (rule, violations, passed)
+    report an ingest scheduler gates on. local_only: driver cap."""
+    from solana_etl_spark.operators import constraints as dq
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    checks = [
+        dq.not_null("o_custkey"),
+        dq.in_range("o_totalprice", 0, 1_000_000),
+        dq.Check(
+            "accepted_values",
+            "o_orderstatus_priority",
+            F.col("o_orderpriority").isNotNull()
+            & ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+        dq.unique(["o_orderkey"]),
+    ]
+    report = dq.validate(orders, checks)
+    fk_report = dq.validate(
+        li, [dq.foreign_key("l_orderkey", orders, "o_orderkey")]
+    )
+    return report.unionByName(fk_report)
