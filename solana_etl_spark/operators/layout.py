@@ -130,3 +130,27 @@ def overlap_fraction(report: list[dict], col: str) -> float:
             if lo <= hi:
                 overlapping += 1
     return overlapping / pairs
+
+
+def backfill_partitions(
+    df_new: DataFrame, path: str, partition_cols: list[str]
+) -> list:
+    """Partition-scoped backfill: rewrite ONLY the partitions present in
+    ``df_new``, leaving every other partition's files untouched (dynamic
+    partition overwrite — the surgical recompute a 100 TB partitioned
+    table needs; a plain overwrite would truncate the whole table, a plain
+    append would duplicate the recomputed slice).
+
+    Returns the affected partition values (driver-side list — partitions
+    are few by definition; the rows are not collected).
+    """
+    affected = [
+        tuple(r) for r in df_new.select(*partition_cols).distinct().collect()
+    ]
+    (
+        df_new.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return affected

@@ -104,3 +104,44 @@ def test_cluster_plan_is_single_range_exchange(spark):
 def test_zorder_key_rejects_overflow():
     with pytest.raises(ValueError, match="64-bit"):
         zorder_key([F.lit(1), F.lit(2)], bits=32)
+
+
+def test_backfill_overwrites_only_affected_partitions(spark, tmp_path):
+    from solana_etl_spark.operators.layout import backfill_partitions
+
+    path = str(tmp_path / "table")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(10)],
+        "day string, k int, v double",
+    )
+    full.write.partitionBy("day").parquet(path)
+
+    import os
+
+    d1_files = sorted(os.listdir(f"{path}/day=d1"))
+    d1_mtimes = {f: os.path.getmtime(f"{path}/day=d1/{f}") for f in d1_files}
+
+    # recompute only d2 (values doubled) and add a new day d4
+    patch = spark.createDataFrame(
+        [("d2", i, float(i * 2)) for i in range(10)]
+        + [("d4", i, float(i)) for i in range(5)],
+        "day string, k int, v double",
+    )
+    affected = backfill_partitions(patch, path, ["day"])
+    assert sorted(affected) == [("d2",), ("d4",)]
+
+    # d1 untouched byte-for-byte (same files, same mtimes)
+    assert sorted(os.listdir(f"{path}/day=d1")) == d1_files
+    assert {
+        f: os.path.getmtime(f"{path}/day=d1/{f}") for f in d1_files
+    } == d1_mtimes
+
+    out = spark.read.parquet(path)
+    assert out.count() == 35  # 10 + 10 + 10 + 5
+    got = {
+        (r.day, r.k): r.v
+        for r in out.filter("day in ('d1','d2','d4')").collect()
+    }
+    assert got[("d1", 3)] == 3.0
+    assert got[("d2", 3)] == 6.0  # recomputed
+    assert got[("d4", 4)] == 4.0  # new partition
