@@ -231,3 +231,93 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
         redacted.alias("text_redacted"),
     )
+
+
+BOILERPLATE_N = 8  # word n-gram span for cross-document repetition
+BOILERPLATE_MIN_DOCS = 3
+
+
+def word_ngrams(n: int = BOILERPLATE_N) -> Column:
+    """Distinct word n-grams (space-joined) of the whitespace tokens."""
+    return F.array_distinct(F.expr(_ngram_expr(n)))
+
+
+_TOKS_EXPR = r"split(lower(trim(text)), '\\s+')"
+
+
+def _ngram_expr(n: int) -> str:
+    """Positional word n-grams as a SQL expression; empty array for docs
+    shorter than n (guarded — Spark's sequence(1, 0) is DESCENDING [1, 0],
+    not empty)."""
+    return (
+        f"CASE WHEN size({_TOKS_EXPR}) >= {n} THEN "
+        f"transform(sequence(1, size({_TOKS_EXPR}) - {n - 1}), "
+        f"i -> array_join(slice({_TOKS_EXPR}, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+
+
+def cross_doc_ngrams(
+    documents: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Boilerplate detection (the cross-document half of C4-style line/span
+    dedup): word n-grams appearing in >= ``min_docs`` DISTINCT documents,
+    with their document counts.
+
+    One explode of per-doc distinct grams (so a gram repeated within one
+    doc counts once) + one count shuffle keyed by the gram — map-side
+    partial aggregation collapses hot boilerplate before the exchange.
+    """
+    grams = documents.select(
+        "doc_id", F.explode(word_ngrams(n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate_ngrams(
+    documents: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Remove every token covered by a cross-document boilerplate n-gram
+    (any occurrence, any overlap), keeping the rest in order — the removal
+    half of the C4 step.
+
+    Shape: boilerplate set from :func:`cross_doc_ngrams` (small by
+    definition — it's the repeated content) broadcast-joined to each doc's
+    positional grams; covered token positions derive from the matched gram
+    starts; the doc rebuilds from its surviving tokens. The corpus is
+    scanned twice (detect, strip), shuffled never (the only exchange is the
+    tiny gram count)."""
+    boiler = cross_doc_ngrams(documents, n, min_docs).select("gram")
+    pos_grams = documents.select(
+        "doc_id",
+        F.posexplode(F.expr(_ngram_expr(n))).alias("start", "gram"),
+    )
+    hits = (
+        pos_grams.join(F.broadcast(boiler), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("_starts"))
+    )
+    toks = tokens(F.col("text"))
+    kept = F.expr(
+        f"filter(transform({_TOKS_EXPR}, (t, i) -> "
+        f"CASE WHEN exists(_starts, s -> i >= s AND i < s + {n}) "
+        "THEN NULL ELSE t END), t -> t IS NOT NULL)"
+    )
+    return (
+        documents.join(hits, "doc_id", "left")
+        .withColumn("_starts", F.coalesce("_starts", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, " ").alias("text_stripped"),
+        )
+    )

@@ -2794,3 +2794,33 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, [dq.foreign_key("l_orderkey", orders, "o_orderkey")]
     )
     return report.unionByName(fk_report)
+
+
+@_register(
+    "text_boilerplate_ngrams",
+    # same detection in SQL: per-doc DISTINCT positional word 8-grams,
+    # count of docs per gram, threshold
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        FROM toks, LATERAL unnest(
+            CASE WHEN len(t) >= 8 THEN generate_series(1, len(t) - 7)
+                 ELSE [] END
+        ) AS u(i)
+    )
+    SELECT gram, COUNT(*) AS n_docs
+    FROM grams GROUP BY gram HAVING COUNT(*) >= 3
+    """,
+    local_only=True,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (operators/text.py
+    cross_doc_ngrams): word 8-grams appearing in >= 3 distinct documents —
+    the detection half of C4-style cross-document span dedup (removal:
+    strip_boilerplate_ngrams, model-tested). One explode + one count
+    shuffle with map-side combine. local_only: driver cap."""
+    return text_ops.cross_doc_ngrams(
+        _t(spark, sf_dir, "documents"), n=8, min_docs=3
+    )
