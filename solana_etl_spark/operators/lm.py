@@ -1,0 +1,86 @@
+"""Language-model perplexity scoring: the CCNet-style quality signal,
+trained and applied on the cluster.
+
+CCNet ranks web text by the perplexity of a small LM trained on clean
+text; the pipeline-side mechanics are what matter at 100 TB and are fully
+distributed here with an add-one-smoothed unigram LM:
+
+* **training** is one token-count aggregate (map-side combined) plus a
+  one-row total — the LM table is (token, log_prob), Zipf-bounded
+  regardless of corpus size;
+* **scoring** explodes tokens once, joins the LM on the token (broadcast
+  while the vocab fits, plain shuffle join beyond), and re-aggregates per
+  document.
+
+Determinism: ``log10`` is the one non-portable step (libm vs Math.log10
+may differ in the last ulp), so per-token log-probs are rounded to 9
+decimals and summed as DECIMAL(28,9) — exact, associative, identical on
+any partitioning and in the DuckDB oracle. Out-of-vocabulary tokens score
+as an unseen event (count 0 under the same smoothing).
+
+The reference has no text surface; charter LLM-pipeline machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.text import tokens
+
+_LP_DECIMALS = 9
+_LP_TYPE = "decimal(28,9)"
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def train_unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, log_prob): add-one-smoothed unigram log10 probabilities,
+    rounded to 9 decimals (the cross-engine determinism boundary)."""
+    counts = _doc_tokens(docs, text_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            F.log10((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))),
+            _LP_DECIMALS,
+        ).alias("log_prob"),
+    )
+
+
+def oov_log_prob(lm_totals: tuple[int, int]) -> float:
+    """Unseen-token log-prob under the same smoothing ((0+1)/(n+v))."""
+    import math
+
+    n, v = lm_totals
+    return round(math.log10(1.0 / (n + v)), _LP_DECIMALS)
+
+
+def score_documents(
+    docs: DataFrame,
+    lm: DataFrame,
+    oov: float,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc (n_tokens, avg_logprob): exact-decimal sum of the per-token
+    log-probs / token count. Lower (more negative) = higher perplexity =
+    the filter signal."""
+    toks = _doc_tokens(docs, text_col)
+    scored = toks.join(F.broadcast(lm), "tok", "left").select(
+        "doc_id",
+        F.coalesce("log_prob", F.lit(oov)).cast(_LP_TYPE).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )

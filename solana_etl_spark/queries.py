@@ -2824,3 +2824,42 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.cross_doc_ngrams(
         _t(spark, sf_dir, "documents"), n=8, min_docs=3
     )
+
+
+@_register(
+    "lm_perplexity_score",
+    # same LM trained and applied in SQL; log10 rounded to 9 decimals on
+    # both engines, then exact-decimal per-doc sums
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), toks2 AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), counts AS (
+        SELECT tok, COUNT(*) AS c FROM toks2 GROUP BY tok
+    ), tot AS (
+        SELECT SUM(c) AS n, COUNT(*) AS v FROM counts
+    ), lm AS (
+        SELECT tok,
+               CAST(ROUND(log10((c + 1.0) / (n + v)), 9) AS DECIMAL(28,9)) AS lp
+        FROM counts, tot
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lm.lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM toks2 t JOIN lm USING (tok)
+    GROUP BY t.doc_id
+    """,
+    local_only=True,
+)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators/lm.py): add-one unigram LM
+    trained on the corpus in one aggregate, every document scored by its
+    average token log-prob (exact-decimal sums after a 9-decimal rounding
+    boundary on log10). local_only: driver cap."""
+    from solana_etl_spark.operators.lm import score_documents, train_unigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_unigram_lm(docs)
+    # corpus == training set here, so OOV is unreachable; pass the exact
+    # smoothed-unseen value anyway (API contract)
+    return score_documents(docs, lm, oov=-99.0)
