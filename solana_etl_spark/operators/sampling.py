@@ -155,3 +155,71 @@ def train_val_test_split(
         .when(b < train_bp + val_bp, "val")
         .otherwise("test"),
     )
+
+
+def temperature_rates_bp(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.3,
+    budget_rows: int | None = None,
+) -> dict[str, int]:
+    """mC4/mT5-style temperature sampling rates: stratum g is drawn with
+    probability ∝ n_g^alpha (alpha<1 upweights small languages/sources).
+    Returns per-stratum keep rates in basis points for
+    :func:`mixture_sample`.
+
+    Two modes: with no ``budget_rows``, the exact temperature distribution
+    anchored at the smallest stratum (it keeps 100%, every other stratum
+    downsamples so kept rows ∝ n^alpha). With a ``budget_rows`` target,
+    water-filling: strata whose proportional draw exceeds their size cap
+    at 100% and their leftover budget re-splits among the rest, so the
+    expected total hits the budget instead of silently undershooting.
+
+    One tiny count aggregate; the rate map is driver state exactly like a
+    trained model's weights. Rates cannot exceed 10000 bp (can't keep more
+    than 100% — repeat-sampling is a loader concern).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    if budget_rows is None:
+        # pure re-balancing: keep rates proportional to n^(alpha-1),
+        # max-normalized — the smallest stratum keeps 100%, the head is
+        # downsampled toward the temperature distribution
+        m = max(n ** (alpha - 1) for n in counts.values())
+        return {
+            g: min(10_000, int(round(n ** (alpha - 1) / m * 10_000)))
+            for g, n in sorted(counts.items())
+        }
+    budget = min(total, budget_rows)
+    # water-filling: a stratum whose proportional draw exceeds its size is
+    # capped at 100% and its leftover budget re-splits among the uncapped
+    # (otherwise caps silently strand budget and the output undershoots)
+    capped: dict[str, int] = {}
+    remaining = dict(counts)
+    while remaining:
+        z = sum(n**alpha for n in remaining.values())
+        open_budget = budget - sum(capped.values())
+        newly = {
+            g: n
+            for g, n in remaining.items()
+            if open_budget * (n**alpha / z) >= n
+        }
+        if not newly:
+            break
+        capped.update(newly)
+        for g in newly:
+            del remaining[g]
+    z = sum(n**alpha for n in remaining.values())
+    open_budget = budget - sum(capped.values())
+    rates = {g: 10_000 for g in capped}
+    for g, n in sorted(remaining.items()):
+        expected = open_budget * (n**alpha / z)
+        rates[g] = min(10_000, int(round(expected / n * 10_000)))
+    return rates

@@ -583,3 +583,49 @@ def test_train_val_test_split_stable_under_growth(spark):
     from collections import Counter
     c = Counter(full_map.values())
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_temperature_mixture_rebalances_strata(spark):
+    from pyspark.sql import functions as F
+    from solana_etl_spark.operators.sampling import (
+        mixture_sample,
+        temperature_rates_bp,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") < 9_000, "big")
+        .when(F.col("id") < 9_900, "mid")
+        .otherwise("small")
+        .alias("src"),
+    )
+    rates = temperature_rates_bp(df, "src", alpha=0.3)
+    # default (no budget): the exact temperature distribution anchored at
+    # the smallest stratum — kept rows proportional to n^alpha
+    assert rates["small"] == 10_000
+    w = {g: n ** 0.3 for g, n in (("big", 9_000), ("mid", 900), ("small", 100))}
+    for g in ("big", "mid"):
+        assert abs(rates[g] - 10_000 * (w[g] / w["small"]) / (
+            {"big": 9_000, "mid": 900}[g] / 100
+        )) <= 1
+    kept = {
+        r[0]: r[1]
+        for r in mixture_sample(df, "k", rates, stratum_col="src")
+        .groupBy("src")
+        .count()
+        .collect()
+    }
+    assert kept["small"] == 100
+    # realized counts track n^alpha proportions (hash-sample variance)
+    assert abs(kept["big"] - 100 * w["big"] / w["small"]) < 80
+    assert abs(kept["mid"] - 100 * w["mid"] / w["small"]) < 50
+    # deterministic: same inputs -> same rates, same membership
+    assert temperature_rates_bp(df, "src", alpha=0.3) == rates
+
+    # explicit budget: expected total ~ budget
+    half = temperature_rates_bp(df, "src", alpha=0.3, budget_rows=5_000)
+    exp_total = sum(
+        n * half[g] / 10_000
+        for g, n in (("big", 9_000), ("mid", 900), ("small", 100))
+    )
+    assert abs(exp_total - 5_000) < 60  # water-filling hits the budget
