@@ -2863,3 +2863,65 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus == training set here, so OOV is unreachable; pass the exact
     # smoothed-unseen value anyway (API contract)
     return score_documents(docs, lm, oov=-99.0)
+
+
+_PAGERANK_ITERS = 3
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE
+e AS MATERIALIZED (
+    SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+nodes AS (
+    SELECT DISTINCT node
+    FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+pr AS (
+    SELECT 0 AS iter, node, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+    UNION ALL
+    -- every node emits a zero self-contribution so in-degree-0 nodes (and
+    -- their iteration counter) survive each round of a bipartite graph
+    SELECT ag.iter, ag.node,
+           CAST(150000000000 + (85 * ag.s) // 100 AS BIGINT) AS r
+    FROM (
+        SELECT x.node, MIN(x.iter) + 1 AS iter, SUM(x.c) AS s FROM (
+            SELECT p.node AS node, p.iter AS iter, CAST(0 AS BIGINT) AS c
+            FROM pr p
+            UNION ALL
+            SELECT e.dst, p2.iter, p2.r // od.outdeg
+            FROM pr p2
+            JOIN e ON e.src = p2.node
+            JOIN outdeg od ON od.src = p2.node
+        ) x GROUP BY x.node
+    ) ag
+    WHERE ag.iter <= {_PAGERANK_ITERS}
+)
+SELECT node, r AS rank_scaled FROM pr WHERE iter = {_PAGERANK_ITERS}
+"""
+
+
+@_register("graph_pagerank", _PAGERANK_ORACLE, local_only=True)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.py) over the supplier->customer
+    trade graph (distinct lineitem-join-orders pairs) — the Pregel-style
+    fixed-round loop pattern, made oracle-checkable by scaled-integer
+    arithmetic: every step is exact int64 math (div = integer division on
+    both engines), so ranks are bit-identical under any partitioning, task
+    retry, or engine; the DuckDB oracle runs the same recurrence as a
+    recursive CTE. Dangling-node mass dropped (simple variant — customers
+    have no out-edges). local_only: driver cap."""
+    from solana_etl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=_PAGERANK_ITERS)
