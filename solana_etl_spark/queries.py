@@ -2925,3 +2925,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, iterations=_PAGERANK_ITERS)
+
+
+@_register(
+    "sketch_frequent_tokens",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), t2 AS (SELECT tok FROM toks WHERE tok <> '')
+    SELECT tok, COUNT(*) AS n_rows
+    FROM t2
+    GROUP BY tok
+    HAVING COUNT(*) >= (2 * (SELECT COUNT(*) FROM t2) + 999) // 1000
+    """,
+    local_only=True,
+)
+def sketch_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters (operators/sketch.py): per-partition
+    Misra-Gries candidate superset + one exact counting pass over only the
+    candidates — shuffle is O(candidates), not O(distinct tokens). The
+    exact verify pass makes the output independent of the sketch, and the
+    phi=2/1000 threshold is exact integer math of the corpus size, so the
+    oracle is the plain GROUP BY/HAVING at every scale factor.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.sketch import frequent_items
+    from solana_etl_spark.operators.text import tokens
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return frequent_items(toks, "tok", phi_num=2, phi_den=1000)

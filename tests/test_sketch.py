@@ -1,0 +1,62 @@
+"""Heavy hitters: exact output equivalence vs plain groupBy, the MG
+superset guarantee under adversarial partitioning, and the phi-boundary
+guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.sketch import frequent_items
+
+
+def _skewed_df(spark, parts):
+    # one hot key (40%), one warm key (10%), long uniform tail
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 100
+        + [(f"tail{i}",) for i in range(500)]
+    )
+    return spark.createDataFrame(rows, ["k"]).repartition(parts)
+
+
+def test_frequent_items_matches_exact_groupby(spark):
+    df = _skewed_df(spark, 8)
+    got = sorted(map(tuple, frequent_items(df, "k", 5, 100).collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") >= 50)
+            .collect(),
+        )
+    )
+    assert got == want == [("hot", 400), ("warm", 100)]
+
+
+def test_frequent_items_partitioning_invariant(spark):
+    # the sketch differs per partitioning; the verified OUTPUT must not
+    one = sorted(
+        map(tuple, frequent_items(_skewed_df(spark, 1), "k", 5, 100).collect())
+    )
+    many = sorted(
+        map(
+            tuple, frequent_items(_skewed_df(spark, 16), "k", 5, 100).collect()
+        )
+    )
+    assert one == many
+
+
+def test_frequent_items_explicit_min_count_above_boundary(spark):
+    df = _skewed_df(spark, 4)
+    got = frequent_items(df, "k", 5, 100, min_count=300).collect()
+    assert [(r["k"], r["n_rows"]) for r in got] == [("hot", 400)]
+
+
+def test_frequent_items_rejects_min_count_below_boundary(spark):
+    df = _skewed_df(spark, 4)
+    # boundary = ceil(0.05 * 1000) = 50
+    with pytest.raises(ValueError, match="guarantee boundary"):
+        frequent_items(df, "k", 5, 100, min_count=10)
