@@ -2957,3 +2957,42 @@ def sketch_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     return frequent_items(toks, "tok", phi_num=2, phi_den=1000)
+
+
+@_register(
+    "j8_stream_interval_join",
+    """
+    SELECT v.event_id AS l_event_id, v.user_id AS l_user_id,
+           p.event_id AS r_event_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    local_only=True,
+)
+def j8_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join (streaming/stream_join.py) run in its
+    batch mode: view->purchase attribution within a 10-minute horizon. The
+    identical expression runs on two watermarked streams with state bounded
+    by watermark+horizon (tests/test_stream_join.py proves stream==batch).
+    local_only: driver cap."""
+    from solana_etl_spark.streaming.stream_join import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events")
+    out = interval_join_streams(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id",
+        horizon="10 minutes",
+    )
+    return out.select(
+        "l_event_id",
+        "l_user_id",
+        "r_event_id",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias(
+            "lag_seconds"
+        ),
+    )
