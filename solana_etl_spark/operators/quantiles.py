@@ -1,0 +1,107 @@
+"""Exact distributed quantiles WITHOUT a global sort: iterative bucket
+refinement (the classic distributed-selection algorithm).
+
+``sampling.quantile_bins`` (s4) ranks every row with NTILE — exact, but a
+full sort of the column: the right plan until the sort itself is the
+bottleneck. At 100 TB a global sort is a terabyte-scale shuffle; exact
+selection only needs the VALUE at a rank, not an order for every row.
+
+This operator finds exact order statistics in O(log_B(domain)) passes:
+
+1. one aggregate → N, min, max; target rank = ceil(q*N) (q an exact
+   rational — integer math, any engine).
+2. each pass histograms the still-active value range into B integer
+   buckets — ONE scan for ALL active quantiles (each row explodes into
+   the ≤|Q| quantile ranges containing it; the shuffle is the tiny
+   (quantile, bucket) histogram, map-side combined) — then narrows each
+   quantile to the bucket containing its rank.
+3. a range of width ≤ B resolves exactly (width-1 buckets).
+
+Passes are driver-coordinated (the per-pass result is a ≤ |Q|*B-row
+histogram — driver-small by construction, like the BPE argmax loop);
+every arithmetic step is int64, so the result is the unique exact order
+statistic — bit-identical on any engine/partitioning, with a plain
+ROW_NUMBER oracle.
+
+Domain: int64 columns. Fixed-point reals scale in (cents, micros) first —
+explicit, like every other money column in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKETS = 1024
+
+
+def exact_quantiles(
+    df: DataFrame, col: str, qs: list[tuple[int, int]], buckets: int = BUCKETS
+) -> DataFrame:
+    """Exact order statistics for each q = (num, den) in ``qs`` over int64
+    ``col`` (nulls ignored). Returns (q_num, q_den, value) — value is the
+    element at 1-indexed rank ceil(q*N) in sorted order.
+    """
+    vals = df.select(F.col(col).cast("long").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    first = vals.agg(
+        F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n, glo, ghi = first["n"], first["lo"], first["hi"]
+    if n == 0:
+        raise ValueError("exact_quantiles on an empty/all-null column")
+
+    # state per quantile: value range [lo, hi] and rank within it
+    state = {}
+    for num, den in qs:
+        rank = max(1, -(-num * n // den))  # ceil(num*n/den), exact ints
+        state[(num, den)] = (glo, ghi, rank)
+
+    spark: SparkSession = df.sparkSession
+    while any(lo < hi for lo, hi, _ in state.values()):
+        active = [(q, s) for q, s in state.items() if s[0] < s[1]]
+        # one scan: explode each row into the active quantile ranges that
+        # contain it, histogram on integer bucket index
+        probes = F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("qn"),
+                    F.lit(den).alias("qd"),
+                    F.lit(lo).alias("lo"),
+                    F.lit(hi).alias("hi"),
+                    F.lit(max(1, (hi - lo + buckets) // buckets)).alias("w"),
+                )
+                for (num, den), (lo, hi, _) in active
+            ]
+        )
+        hist = (
+            vals.select("v", F.explode(probes).alias("p"))
+            .filter((F.col("v") >= F.col("p.lo")) & (F.col("v") <= F.col("p.hi")))
+            .groupBy(
+                F.col("p.qn").alias("qn"),
+                F.col("p.qd").alias("qd"),
+                F.expr("(v - p.lo) div p.w").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_q: dict = {}
+        for row in hist:
+            by_q.setdefault((row["qn"], row["qd"]), {})[row["b"]] = row["c"]
+        for (num, den), (lo, hi, rank) in active:
+            w = max(1, (hi - lo + buckets) // buckets)
+            cum = 0
+            for b in sorted(by_q.get((num, den), {})):
+                c = by_q[(num, den)][b]
+                if cum + c >= rank:
+                    state[(num, den)] = (
+                        lo + b * w,
+                        min(hi, lo + (b + 1) * w - 1),
+                        rank - cum,
+                    )
+                    break
+                cum += c
+
+    rows = [(num, den, state[(num, den)][0]) for num, den in qs]
+    return spark.createDataFrame(rows, "q_num int, q_den int, value long")

@@ -2996,3 +2996,40 @@ def j8_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_seconds"
         ),
     )
+
+
+@_register(
+    "a17_exact_quantiles",
+    """
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), r AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n
+        FROM v
+    ), q(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100))
+    SELECT q.q_num, q.q_den,
+           (SELECT MIN(cents) FROM r
+             WHERE rn >= greatest(1, (q.q_num * r2.n + q.q_den - 1) // q.q_den)
+           ) AS value
+    FROM q, (SELECT MAX(n) AS n FROM r) r2
+    """,
+    local_only=True,
+)
+def a17_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of l_extendedprice (in cents) WITHOUT a global
+    sort: iterative bucket refinement (operators/quantiles.py) — one
+    histogram aggregate per O(log_B(domain)) pass, all quantiles sharing
+    each scan. The NTILE plan (s4_quantile_bins) sorts every row; this
+    resolves the same exact order statistics with shuffles that carry only
+    (quantile, bucket) histograms — the 100 TB selection path. Oracle is
+    the plain ROW_NUMBER rank lookup. local_only: driver cap."""
+    from solana_etl_spark.operators.quantiles import exact_quantiles
+
+    cents = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return exact_quantiles(cents, "cents", [(1, 2), (9, 10), (99, 100)])
