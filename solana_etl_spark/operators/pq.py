@@ -1,0 +1,187 @@
+"""Product quantization (PQ) for ANN at memory scale [Jégou, Douze,
+Schmid, TPAMI 2011] — the compression half of the IVF+PQ index every
+billion-vector ANN system runs.
+
+IVF (`operators/similarity.py`) prunes the SEARCH (probe a few inverted
+lists); PQ compresses the STORAGE: a dim-64 float vector becomes M=8
+one-byte codes (one nearest-sub-centroid id per 8-dim subspace), a 64×
+memory cut, and queries score candidates with an Asymmetric Distance
+Computation (ADC): per-subspace lookup table of query-to-sub-centroid
+distances, approximate distance = sum of M table entries.
+
+Everything runs on the same scaled-int64 quantization as IVF
+(`similarity.quantized`), so codebook training, code assignment, and ADC
+scores are exact integer arithmetic — bit-identical across engines and
+partitionings, value-hash oracle-checkable.
+
+Spark shapes (100 TB / 10^9-vector corpus):
+
+* subspace split = one per-row explode into M (sub, svec) rows — no
+  shuffle; the M codebooks train as ONE k-means job keyed by (sub, cid)
+  (each Lloyd round: one broadcast-assign scan + one narrow
+  (sub, cid, dim) partial-sum shuffle), not M sequential jobs.
+* codebook = M*K rows → always broadcast; encoding is an embarrassingly
+  parallel scan. Train on a ``hash_sample`` at real scale — codebook
+  quality needs ~10^5 vectors, assignment is the full pass.
+* ADC = broadcast the M*K distance table, one scan summing M array
+  lookups per row, global top-k via TakeOrdered. No shuffle of vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solana_etl_spark.functions.hashing import hash64
+from solana_etl_spark.operators.similarity import quantized
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (M * SUBDIM = embedding dim 64)
+PQ_K = 16  # codes per codebook
+PQ_ITERS = 2  # fixed Lloyd rounds (SQL-unrollable)
+PQ_TOPK = 10
+
+
+def _ssqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def subvectors(embeddings: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM) -> DataFrame:
+    """(vec_id, sub, svec): the quantized vector split into m contiguous
+    subspaces. Pure per-row explode — zero shuffle."""
+    q = quantized(embeddings)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("qvec", s * subdim + 1, subdim).alias("svec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return q.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.sub").alias("sub"), F.col("s.svec").alias("svec")
+    )
+
+
+def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest sub-centroid per (vec_id, sub); tiebreak smaller cid. The
+    codebook (m*k rows) broadcasts; this is a parallel scan."""
+    d = _ssqdist(F.col("svec"), F.col("cvec"))
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "svec",
+            F.struct(d.alias("dist"), F.col("cid")).alias("dc"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("dc").alias("dc"), F.first("svec").alias("svec"))
+        .select(
+            "vec_id", "sub", "svec", F.col("dc.cid").alias("cid"), F.col("dc.dist").alias("dist")
+        )
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """(sub, cid, cvec): m codebooks of k sub-centroids, trained jointly as
+    one (sub)-keyed exact-integer Lloyd loop. Init = each subspace's slice
+    of the k vectors with the smallest (hash64(vec_id), vec_id) — the same
+    deterministic draw as IVF. Empty clusters keep their previous
+    sub-centroid. Truncating mean (s − s % n)/n keeps Spark `div` and
+    DuckDB `//` identical on negative sums."""
+    subs = subvectors(embeddings, m, subdim)
+    w = Window.partitionBy("sub").orderBy(
+        hash64(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    codebooks = (
+        subs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("sub", (F.col("_rn") - 1).alias("cid"), F.col("svec").alias("cvec"))
+    )
+    for _ in range(iters):
+        assigned = _assign_codes(subs, codebooks)
+        per_dim = (
+            assigned.select("sub", "cid", F.posexplode("svec").alias("dim", "v"))
+            .groupBy("sub", "cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        updated = (
+            per_dim.select(
+                "sub", "cid", "dim", F.expr("(s - (s % n)) div n").alias("cm")
+            )
+            .groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cm"))).alias("_dm"))
+            .select(
+                "sub", "cid", F.expr("transform(_dm, x -> x.cm)").alias("cvec")
+            )
+        )
+        codebooks = (
+            codebooks.alias("old")
+            .join(updated.alias("new"), ["sub", "cid"], "left")
+            .select(
+                "sub",
+                "cid",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
+    return codebooks
+
+
+def pq_codes(embeddings: DataFrame, codebooks: DataFrame | None = None) -> DataFrame:
+    """(vec_id, codes): the PQ-encoded corpus — m small ints per vector
+    (the 64× memory cut). One broadcast-assign scan + one (vec_id) regroup
+    to pack codes into subspace order."""
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings)
+    return (
+        _assign_codes(subvectors(embeddings), cb)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cid"))).alias("_sc"))
+        .select("vec_id", F.expr("transform(_sc, x -> x.cid)").alias("codes"))
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, topk: int = PQ_TOPK) -> DataFrame:
+    """ADC search: approximate top-k nearest (by PQ distance) to the query
+    (= the min-vec_id vector, matching the IVF query convention). Returns
+    (vec_id, adc_dist) ordered by (adc_dist, vec_id).
+
+    The per-subspace query-to-centroid distance table (m*k rows) and the
+    codes join broadcast-side; the scan sums m lookups per row and
+    TakeOrdered resolves the global top-k without a full sort."""
+    cb = pq_codebooks(embeddings)
+    codes = _assign_codes(subvectors(embeddings), cb)
+    query = (
+        subvectors(embeddings)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("sub").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("sub", F.col("svec").alias("qsvec"))
+    )
+    table = (
+        cb.join(F.broadcast(query), "sub")
+        .select("sub", "cid", _ssqdist(F.col("qsvec"), F.col("cvec")).alias("d"))
+    )
+    return (
+        codes.join(F.broadcast(table), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(topk)
+    )

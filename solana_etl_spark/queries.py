@@ -33,6 +33,7 @@ from solana_etl_spark.functions.hashing import (
     perm_hash_sql,
 )
 from solana_etl_spark.operators import dedup, similarity, text as text_ops
+from solana_etl_spark.operators import pq as pq_ops
 from solana_etl_spark.operators.sessionize import sessionize, SESSION_GAP_SECONDS
 from solana_etl_spark.operators.multimodal import binary_metadata
 
@@ -3033,3 +3034,149 @@ def a17_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return exact_quantiles(cents, "cents", [(1, 2), (9, 10), (99, 100)])
+
+
+def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int) -> str:
+    """Subspace-keyed unrolled-Lloyd CTEs mirroring operators/pq.py — the
+    same exact integer math as _ivf_cte, keyed by (sub, cid)."""
+    dist = (
+        "list_sum([ (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    h = hash64_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""qvecs AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
+        FROM embeddings
+    ),
+    subs AS MATERIALIZED (
+        SELECT vec_id, s AS sub,
+               list_slice(qvec, s * {subdim} + 1, (s + 1) * {subdim}) AS svec
+        FROM qvecs, generate_series(0, {m - 1}) AS g(s)
+    ),
+    cb0 AS (
+        SELECT sub,
+               row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) - 1 AS cid,
+               svec AS cvec
+        FROM subs
+        QUALIFY row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) <= {k}
+    )"""
+    ]
+    for it in range(iters):
+        parts.append(f"""a{it} AS (
+        SELECT vec_id, sub, svec, cid FROM (
+            SELECT v.vec_id, v.sub, v.svec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM subs v JOIN cb{it} c USING (sub)
+        ) WHERE rn = 1
+    ),
+    u{it} AS (
+        SELECT sub, cid, list(cm ORDER BY dim) AS cvec FROM (
+            SELECT sub, cid, dim, CAST((s - (s % n)) // n AS BIGINT) AS cm FROM (
+                SELECT sub, cid, SUM(v) AS s, COUNT(*) AS n, dim FROM (
+                    SELECT sub, cid, unnest(svec) AS v,
+                           unnest(generate_series(1, {subdim})) AS dim
+                    FROM a{it}
+                ) GROUP BY sub, cid, dim
+            )
+        ) GROUP BY sub, cid
+    ),
+    cb{it + 1} AS (
+        SELECT p.sub, p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+        FROM cb{it} p LEFT JOIN u{it} u USING (sub, cid)
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _pq_codes_oracle(m: int, subdim: int, k: int, iters: int, scale: int) -> str:
+    dist = (
+        "list_sum([ (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    return f"""
+    WITH {_pq_cte(m, subdim, k, iters, scale)},
+    codes AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT v.vec_id, v.sub, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM subs v JOIN cb{iters} c USING (sub)
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(cid ORDER BY sub), '-') AS codes_str
+    FROM codes GROUP BY vec_id
+    """
+
+
+def _pq_adc_oracle(m: int, subdim: int, k: int, iters: int, scale: int, topk: int) -> str:
+    dist = (
+        "list_sum([ (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    qdist = (
+        "list_sum([ (q.qsvec[i] - c.cvec[i]) * (q.qsvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    return f"""
+    WITH {_pq_cte(m, subdim, k, iters, scale)},
+    codes AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT v.vec_id, v.sub, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM subs v JOIN cb{iters} c USING (sub)
+        ) WHERE rn = 1
+    ),
+    qry AS (
+        SELECT sub, svec AS qsvec FROM subs
+        QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) = 1
+    ),
+    tbl AS (
+        SELECT c.sub, c.cid, {qdist} AS d
+        FROM cb{iters} c JOIN qry q USING (sub)
+    )
+    SELECT vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+    FROM codes JOIN tbl t USING (sub, cid)
+    GROUP BY vec_id
+    ORDER BY adc_dist, vec_id LIMIT {topk}
+    """
+
+
+@_register(
+    "ann_pq_codes",
+    _pq_codes_oracle(pq_ops.PQ_M, pq_ops.PQ_SUBDIM, pq_ops.PQ_K, pq_ops.PQ_ITERS, similarity.IVF_SCALE),
+    local_only=True,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (operators/pq.py): every vector → M=8
+    sub-centroid codes under jointly-trained exact-integer codebooks — the
+    64× ANN memory cut. Codes emitted subspace-ordered as a '-'-joined
+    string for a type-stable cross-engine hash. local_only: driver cap."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ops.pq_codes(emb).select(
+        "vec_id", F.array_join("codes", "-").alias("codes_str")
+    )
+
+
+@_register(
+    "ann_pq_adc_topk",
+    _pq_adc_oracle(
+        pq_ops.PQ_M, pq_ops.PQ_SUBDIM, pq_ops.PQ_K, pq_ops.PQ_ITERS,
+        similarity.IVF_SCALE, pq_ops.PQ_TOPK,
+    ),
+    local_only=True,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (operators/pq.py): broadcast M*K
+    query-to-sub-centroid distance table, approximate distance = sum of M
+    lookups per encoded vector, global top-k. Exact integer ADC → value-
+    hash oracle. local_only: driver cap."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ops.pq_adc_topk(emb)
