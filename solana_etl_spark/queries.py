@@ -3180,3 +3180,38 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash oracle. local_only: driver cap."""
     emb = _t(spark, sf_dir, "embeddings")
     return pq_ops.pq_adc_topk(emb)
+
+
+@_register(
+    "scd2_user_history",
+    """
+    WITH hist AS (
+        SELECT event_id, user_id, event_type, value, props,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           valid_from, valid_to
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '2024-03-01 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-03-01 00:00:00')
+    """,
+    local_only=True,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd.py): every change row
+    becomes a [valid_from, valid_to) version interval in ONE key-window
+    pass (no self-join), then the as-of lookup reads the dimension exactly
+    as it was at a timestamp with a pure per-row interval filter.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.scd import as_of, scd2_history
+
+    hist = scd2_history(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        tiebreak=["event_id"],
+    )
+    return as_of(hist, "2024-03-01 00:00:00").select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to"
+    )
