@@ -153,6 +153,74 @@ def pq_codes(embeddings: DataFrame, codebooks: DataFrame | None = None) -> DataF
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    topk: int = PQ_TOPK,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """The composed billion-vector index: IVF coarse probe × PQ scoring.
+
+    IVF prunes the candidate set to ``nprobe`` inverted lists (scan
+    touches nprobe/k of the corpus); PQ's ADC table scores ONLY those
+    candidates from their codes — no full-precision vector is read at
+    query time, which is the whole point at 10^9 vectors (the corpus
+    resident set is codes + assignments, 9 bytes/vector). This variant
+    encodes raw vectors (not residuals): simpler, and every stage stays
+    exact-integer → value-hash oracle-able end to end.
+
+    Plan: centroids (k rows) and the probe list broadcast; candidates =
+    assignment ⋈ probe (broadcast semi); ADC = candidates' codes ⋈
+    broadcast M*K table, sum, TakeOrdered."""
+    from solana_etl_spark.operators.similarity import (
+        IVF_NPROBE,
+        kmeans_centroids,
+        _sqdist,
+        quantized,
+    )
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    vecs = quantized(embeddings)
+    centroids = kmeans_centroids(embeddings)
+    query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
+    probe_cids = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
+        .orderBy("qd", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    from solana_etl_spark.operators.similarity import _assign
+
+    assigned = _assign(vecs, centroids).select("vec_id", "cid")
+    cb = pq_codebooks(embeddings)
+    codes = _assign_codes(subvectors(embeddings), cb).select(
+        "vec_id", "sub", F.col("cid").alias("code")
+    )
+    qsubs = (
+        subvectors(embeddings)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("sub").orderBy("vec_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("sub", F.col("svec").alias("qsvec"))
+    )
+    table = cb.join(F.broadcast(qsubs), "sub").select(
+        "sub",
+        F.col("cid").alias("code"),
+        _ssqdist(F.col("qsvec"), F.col("cvec")).alias("d"),
+    )
+    candidates = assigned.join(F.broadcast(probe_cids), "cid").select("vec_id")
+    return (
+        codes.join(F.broadcast(candidates), "vec_id", "left_semi")
+        .join(F.broadcast(table), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(topk)
+    )
+
+
 def pq_adc_topk(embeddings: DataFrame, topk: int = PQ_TOPK) -> DataFrame:
     """ADC search: approximate top-k nearest (by PQ distance) to the query
     (= the min-vec_id vector, matching the IVF query convention). Returns

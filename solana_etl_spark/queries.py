@@ -3036,22 +3036,25 @@ def a17_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(cents, "cents", [(1, 2), (9, 10), (99, 100)])
 
 
-def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int) -> str:
+def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int, with_qvecs: bool = True) -> str:
     """Subspace-keyed unrolled-Lloyd CTEs mirroring operators/pq.py — the
-    same exact integer math as _ivf_cte, keyed by (sub, cid)."""
+    same exact integer math as _ivf_cte, keyed by (sub, cid). with_qvecs=False
+    omits the qvecs CTE (for composition with _ivf_cte, which defines the
+    identical one)."""
     dist = (
         "list_sum([ (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]) "
         f"for i in generate_series(1, {subdim}) ])"
     )
     h = hash64_sql("CAST(vec_id AS VARCHAR)")
-    parts = [
-        f"""qvecs AS MATERIALIZED (
+    qvecs_cte = f"""qvecs AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
         FROM embeddings
     ),
-    subs AS MATERIALIZED (
+    """
+    parts = [
+        (qvecs_cte if with_qvecs else "") + f"""subs AS MATERIALIZED (
         SELECT vec_id, s AS sub,
                list_slice(qvec, s * {subdim} + 1, (s + 1) * {subdim}) AS svec
         FROM qvecs, generate_series(0, {m - 1}) AS g(s)
@@ -3065,7 +3068,7 @@ def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int) -> str:
     )"""
     ]
     for it in range(iters):
-        parts.append(f"""a{it} AS (
+        parts.append(f"""pa{it} AS (
         SELECT vec_id, sub, svec, cid FROM (
             SELECT v.vec_id, v.sub, v.svec, c.cid,
                    row_number() OVER (
@@ -3074,20 +3077,20 @@ def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int) -> str:
             FROM subs v JOIN cb{it} c USING (sub)
         ) WHERE rn = 1
     ),
-    u{it} AS (
+    pu{it} AS (
         SELECT sub, cid, list(cm ORDER BY dim) AS cvec FROM (
             SELECT sub, cid, dim, CAST((s - (s % n)) // n AS BIGINT) AS cm FROM (
                 SELECT sub, cid, SUM(v) AS s, COUNT(*) AS n, dim FROM (
                     SELECT sub, cid, unnest(svec) AS v,
                            unnest(generate_series(1, {subdim})) AS dim
-                    FROM a{it}
+                    FROM pa{it}
                 ) GROUP BY sub, cid, dim
             )
         ) GROUP BY sub, cid
     ),
     cb{it + 1} AS (
         SELECT p.sub, p.cid, COALESCE(u.cvec, p.cvec) AS cvec
-        FROM cb{it} p LEFT JOIN u{it} u USING (sub, cid)
+        FROM cb{it} p LEFT JOIN pu{it} u USING (sub, cid)
     )""")
     return ",\n    ".join(parts)
 
@@ -3215,3 +3218,86 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of(hist, "2024-03-01 00:00:00").select(
         "user_id", "event_id", "event_type", "valid_from", "valid_to"
     )
+
+
+def _ivfpq_oracle(
+    k: int, iters: int, dim: int, scale: int, nprobe: int,
+    m: int, subdim: int, pk: int, piters: int, topk: int,
+) -> str:
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    cdist = (
+        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    sdist = (
+        "list_sum([ (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    qdist = (
+        "list_sum([ (q.qsvec[i] - c.cvec[i]) * (q.qsvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    {_pq_cte(m, subdim, pk, piters, scale, with_qvecs=False)},
+    qry AS (SELECT qvec AS q FROM qvecs ORDER BY vec_id LIMIT 1),
+    probe AS (
+        SELECT cid FROM c{iters} c CROSS JOIN qry q
+        ORDER BY {cdist}, cid LIMIT {nprobe}
+    ),
+    afinal AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    cand AS (SELECT vec_id FROM afinal JOIN probe USING (cid)),
+    codes AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT v.vec_id, v.sub, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub ORDER BY {sdist}, c.cid
+                   ) AS rn
+            FROM subs v JOIN cb{piters} c USING (sub)
+        ) WHERE rn = 1
+    ),
+    qsub AS (
+        SELECT sub, svec AS qsvec FROM subs
+        QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) = 1
+    ),
+    tbl AS (
+        SELECT c.sub, c.cid, {qdist} AS d
+        FROM cb{piters} c JOIN qsub q USING (sub)
+    )
+    SELECT codes.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+    FROM codes
+    JOIN cand USING (vec_id)
+    JOIN tbl t USING (sub, cid)
+    GROUP BY codes.vec_id
+    ORDER BY adc_dist, vec_id LIMIT {topk}
+    """
+
+
+@_register(
+    "ann_ivfpq_topk",
+    _ivfpq_oracle(
+        similarity.IVF_K, similarity.IVF_ITERS, similarity.IVF_DIM,
+        similarity.IVF_SCALE, similarity.IVF_NPROBE,
+        pq_ops.PQ_M, pq_ops.PQ_SUBDIM, pq_ops.PQ_K, pq_ops.PQ_ITERS,
+        pq_ops.PQ_TOPK,
+    ),
+    local_only=True,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-vector ANN index (operators/pq.py ivfpq_topk):
+    IVF coarse probe prunes to nprobe inverted lists, PQ's broadcast ADC
+    table scores only those candidates from their 8-byte codes — query
+    time never touches a full-precision vector. Exact integer end-to-end.
+    local_only: driver cap."""
+    return pq_ops.ivfpq_topk(_t(spark, sf_dir, "embeddings"))

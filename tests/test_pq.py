@@ -51,3 +51,11 @@ def test_adc_topk_ordering_and_size(spark):
     dists = [r["adc_dist"] for r in got]
     assert dists == sorted(dists)
     assert all(d >= 0 for d in dists)
+
+
+def test_ivfpq_topk_deterministic_and_ordered(spark):
+    a = [tuple(r) for r in pq.ivfpq_topk(_emb(spark, parts=1), topk=5).collect()]
+    b = [tuple(r) for r in pq.ivfpq_topk(_emb(spark, parts=16), topk=5).collect()]
+    assert a == b
+    dists = [d for _, d in a]
+    assert dists == sorted(dists) and len(a) == 5
