@@ -145,3 +145,43 @@ def test_backfill_overwrites_only_affected_partitions(spark, tmp_path):
     assert got[("d1", 3)] == 3.0
     assert got[("d2", 3)] == 6.0  # recomputed
     assert got[("d4", 4)] == 4.0  # new partition
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partition-pruned fact scans under a selective dim join: the scan's
+    PartitionFilters must carry a runtime dynamicpruning expression (DPP),
+    so at scale the fact side reads only the dim-selected partitions
+    instead of the whole table. Results must equal the unpruned join."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fact_part")
+    ev = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 20).alias("day"),
+        (F.col("id") * 7 % 100).alias("v"),
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.range(0, 20)
+        .select(F.col("id").alias("day"), (F.col("id") % 5).alias("grp"))
+        .filter(F.col("grp") == 0)
+    )
+    joined = fact.join(dim, fact["day"] == dim["day"]).groupBy(fact["day"]).count()
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()
+
+    got = {(r[0], r[1]) for r in joined.collect()}
+    want = {
+        (r[0], r[1])
+        for r in ev.join(dim, ev["day"] == dim["day"])
+        .groupBy(ev["day"])
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) == 4
