@@ -3301,3 +3301,127 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     time never touches a full-precision vector. Exact integer end-to-end.
     local_only: driver cap."""
     return pq_ops.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_revenue, 4) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    local_only=True,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + argmax-with-ties against its own
+    MAX. The max is resolved with a single-partition window rank over the
+    per-supplier aggregate (supplier-cardinality rows — driver-small), not
+    a re-aggregation self-join; revenue stays exact DECIMAL until the final
+    projection so ties are exact, not float-fuzzy. local_only: driver
+    cap."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.withColumn(
+        "_rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).filter(F.col("_rk") == 1)
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(top), s.s_suppkey == top.supplier_no
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round("total_revenue", 4).cast("double").alias("total_revenue"),
+    )
+
+
+@_register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+    local_only=True,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who were the ONLY late shipper in a
+    multi-supplier order): correlated EXISTS / NOT EXISTS decorrelated into
+    plain aggregates on the lineitem side — per-order supplier set and
+    per-order late-supplier set computed once (two map-side-combined
+    aggregates), then joined instead of probing correlated subqueries per
+    row. 'Late' = shipped >60 days after o_orderdate (this schema carries
+    no receipt/commit dates). local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+
+    late = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+
+    # per-order distinct supplier counts (all lineitems vs late lineitems)
+    all_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_supp = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late"),
+        F.min("l_suppkey").alias("_late_min"),
+    )
+    # EXISTS other-supplier: n_supp > 1; NOT EXISTS other late supplier:
+    # n_late == 1 and its only member is this row's supplier
+    qual = (
+        late.join(all_supp, "l_orderkey")
+        .join(late_supp, "l_orderkey")
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+            & (F.col("_late_min") == F.col("l_suppkey"))
+        )
+    )
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -81,3 +81,43 @@ def test_sessionize_single_exchange(spark):
     # one Exchange NODE ("Exchange (id)" in the tree; the id detail section
     # repeats the word, so count node occurrences, not substring hits)
     assert plan.count("Exchange (") == 1
+
+
+def test_bloom_runtime_filter_injected_on_selective_join(spark, tmp_path):
+    """Spark's runtime bloom filter must fire for a selective non-broadcast
+    join: the big side's scan gets a bloom_filter_agg-built semi-filter,
+    cutting shuffled rows before the exchange. The size thresholds that
+    gate it locally (10 GB application-side scan) are exactly what a 100 TB
+    fact table clears naturally — the test pins them down to prove the
+    session config doesn't disable the rewrite."""
+    from pyspark.sql import functions as F
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        d = str(tmp_path)
+        spark.range(0, 200_000).select(
+            F.col("id"), (F.col("id") % 50_000).alias("k")
+        ).write.mode("overwrite").parquet(d + "/big")
+        spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ).write.mode("overwrite").parquet(d + "/dim")
+        big = spark.read.parquet(d + "/big")
+        dim = spark.read.parquet(d + "/dim").filter(F.col("grp") == 3)
+        joined = big.join(dim, "k").groupBy("grp").count()
+        assert "bloom_filter_agg" in _formatted(joined)
+        # and it must not change results
+        assert joined.collect()[0]["count"] > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
