@@ -3425,3 +3425,56 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@_register(
+    "budget_select_corpus",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               len({_TOKENS_SQL}) AS n_tokens,
+               CAST(round(
+                   1000000.0
+                   * len(list_filter({_TOKENS_SQL}, t -> t IN ({_EN_STOP_IN})))
+                   / len({_TOKENS_SQL})
+               ) AS BIGINT) AS score
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_tokens, score,
+               SUM(n_tokens) OVER (
+                   ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM q
+    )
+    SELECT doc_id, n_tokens, score
+    FROM ranked
+    WHERE cum <= (SELECT 3 * SUM(n_tokens) // 10 FROM q)
+    """,
+    local_only=True,
+)
+def budget_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data selection (operators/budget.py): keep the
+    most stopword-natural documents until 30% of the corpus's tokens are
+    spent — WITHOUT a global sort. The threshold tier is found by weighted
+    bucket refinement (histogram passes shuffling only (bucket, weight)
+    rows); only the boundary tier gets a window cumsum. The oracle is the
+    naive global window-cumsum — identical selection by construction.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.budget import select_to_budget
+    from solana_etl_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*text_ops.EN_STOPWORDS)))
+    q = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.lit(1000000.0) * stop_hits / F.size(toks))
+        .cast("long")
+        .alias("score"),
+    )
+    total = q.agg(F.sum("n_tokens")).collect()[0][0]
+    return select_to_budget(
+        q, "score", "n_tokens", "doc_id", budget=3 * total // 10
+    )
