@@ -3478,3 +3478,68 @@ def budget_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_to_budget(
         q, "score", "n_tokens", "doc_id", budget=3 * total // 10
     )
+
+
+def _cluster_mix_oracle(k: int, iters: int, dim: int, scale: int) -> str:
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    h = hash64_sql("CAST(d.doc_id AS VARCHAR)")
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    afinal AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    counts AS (SELECT cid, COUNT(*) AS n FROM afinal GROUP BY cid),
+    mn AS (SELECT MIN(n) AS n_min FROM counts)
+    SELECT d.doc_id, a.cid, d.source
+    FROM documents d
+    JOIN afinal a ON a.vec_id = d.doc_id
+    JOIN counts c USING (cid)
+    CROSS JOIN mn
+    WHERE {h} % 10000 < least(10000, (10000 * mn.n_min) // c.n)
+    """
+
+
+@_register(
+    "cluster_balanced_sample",
+    _cluster_mix_oracle(
+        similarity.IVF_K, similarity.IVF_ITERS, similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+    ),
+    local_only=True,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus mixing: documents are assigned to LEARNED
+    k-means clusters (the exact-integer IVF assignment), then hash-mixed
+    with per-cluster rates that uniformize cluster mass (rate_g =
+    10000*n_min/n_g bp — the alpha=0 instance of temperature mixing, kept
+    in exact integer math so the whole composition is value-reproducible
+    cross-engine). The shape of semantic/domain-balanced data mixing:
+    cluster counts are a tiny aggregate, the rate map is driver state, and
+    the sampling filter itself is stateless and zero-shuffle.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.sampling import mixture_sample
+    from solana_etl_spark.operators.similarity import ivf_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    assign = ivf_assignments(_t(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("doc_id"), "cid"
+    )
+    counts = {
+        r["cid"]: r["n"]
+        for r in assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    rates = {cid: min(10_000, 10_000 * n_min // n) for cid, n in counts.items()}
+    member = docs.join(assign, "doc_id")
+    return mixture_sample(member, "doc_id", rates, stratum_col="cid").select(
+        "doc_id", "cid", "source"
+    )
