@@ -3543,3 +3543,643 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(member, "doc_id", rates, stratum_col="cid").select(
         "doc_id", "cid", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Remaining TPC-H query shapes (adapted to the synthetic star schema:
+#    no partsupp/commitdate/shipmode columns — each adaptation is noted).
+#    With q1/q3/q5/q6/q13/q15/q17/q20/q21 above this completes all 22
+#    TPC-H query shapes. All local_only (driver registry is at its 50 cap).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name,
+           CAST(l.l_extendedprice AS DOUBLE) AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 3
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    local_only=True,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar MIN subquery: cheapest supplier
+    per part; partsupp stands in as lineitem prices). Decorrelated by hand
+    into the plan Catalyst would pick: per-part MIN aggregate (map-side
+    combined) joined back on (partkey, price). Price equality is exact —
+    MIN copies a stored double, no arithmetic. local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    s = _t(spark, sf_dir, "supplier")
+    minp = li.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("l_extendedprice").alias("_min_price")
+    )
+    return (
+        li.join(
+            minp,
+            (li.l_partkey == F.col("_mk"))
+            & (li.l_extendedprice == F.col("_min_price")),
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("l_extendedprice").cast("double").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@_register(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    local_only=True,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over the fact table ('any lineitem
+    shipped >45 days after order date' stands in for commit<receipt). The
+    EXISTS is a left-semi join with a non-equi residual condition — one
+    shuffle on orderkey, no distinct pass. local_only: driver cap."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@_register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    local_only=True,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The disjunctive nation-pair predicate sits ABOVE two broadcast nation
+    joins (each dim row tagged with its name) so the fact side is filtered
+    without a cross-nation blowup; money stays exact DECIMAL to the final
+    round. local_only: driver cap."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    )
+    pair = (
+        (
+            (F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")
+        )
+        | (
+            (F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1")
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(vol), 4).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT YEAR(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n2.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    local_only=True,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume by
+    year — two conditional DECIMAL sums in ONE aggregate (no second pass,
+    no self-join), ratio taken after exact summation. All five dims
+    broadcast; the only shuffle is the per-year rollup.
+    local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_regionkey").alias("_n2reg")
+    )
+    vol = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    )
+    zero = F.lit(0).cast(DEC)
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .join(F.broadcast(r), F.col("_n2reg") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 4) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,4))
+               - CAST(ROUND(l.l_quantity * p.p_retailprice * 0.1, 4)
+                      AS DECIMAL(18,4)) AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    local_only=True,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over a LIKE'd
+    part subset. Supply cost is 10% of retail price (no partsupp table);
+    the cost term is rounded to money scale per row so the whole amount
+    stays exact DECIMAL through the rollup. local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    )
+    cost = F.round(
+        F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.1), 4
+    ).cast(DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(rev - cost), 4).cast("double").alias("sum_profit"))
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    local_only=True,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    window. Returnflag pushes into the lineitem scan, customer/nation
+    broadcast, top-k as TakeOrderedAndProject with an exact-decimal sum
+    and a custkey tie-break. local_only: driver cap."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * l_quantity, 4)
+                        AS DECIMAL(18,4))) AS val
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(ROUND(val, 4) AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) * (SELECT COUNT(*) FROM v)
+          > (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 1.2
+    """,
+    local_only=True,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value filtered against a global
+    scalar (parts holding >1.2x the average part's value — scale-stable,
+    unlike a fixed fraction). The scalar (total, count) is a one-row
+    broadcast cross join over the SAME per-part aggregate — lineitem is
+    scanned once, not twice; value stays exact DECIMAL into the
+    comparison. local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum(
+        F.round(F.col("l_extendedprice") * F.col("l_quantity"), 4).cast(DEC)
+    ).alias("val")
+    v = li.groupBy("l_partkey").agg(val)
+    total = v.agg(
+        F.sum("val").cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"),
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val").cast("double") * F.col("_nparts")
+            > F.col("_total") * 1.2
+        )
+        .select(
+            "l_partkey", F.round("val", 4).cast("double").alias("part_value")
+        )
+    )
+
+
+@_register(
+    "q12_priority_by_bucket",
+    """
+    SELECT l_linenumber % 3 AS ship_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linenumber % 3
+    """,
+    local_only=True,
+)
+def q12_priority_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of high/low-priority orders per
+    ship group (linenumber buckets stand in for the missing shipmode
+    column). One join + one conditional aggregate; the date range pushes
+    into the lineitem scan. local_only: driver cap."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy((F.col("l_linenumber") % 3).alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+               100.0
+               * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * CAST(1 - l_discount AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE),
+               6) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    local_only=True,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — both the
+    conditional and total DECIMAL sums come out of a single aggregate, the
+    percentage is one rounded double division. Part dim broadcast.
+    local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    )
+    zero = F.lit(0).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    local_only=True,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part class, excluding
+    a NOT-IN supplier denylist. The denylist is a broadcast anti-join
+    (s_suppkey is never null, so NOT IN ≡ anti-join); the count-distinct
+    expands to a two-phase aggregate keyed by (class, suppkey) so hot
+    part classes dedup across the cluster. local_only: driver cap."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 2, 3, 4, 5))
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q18_large_volume_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+    """,
+    local_only=True,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity crosses a threshold —
+    an IN-subquery that aggregates the SAME fact table. The per-order sum
+    is computed once and used BOTH as the semi-join filter and the output
+    value (no second lineitem scan, unlike the literal SQL); quantity sums
+    stay exact DECIMAL. local_only: driver cap."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_qty")
+    )
+    big = per_order.filter(F.col("_qty") > 300)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@_register(
+    "q19_disjunctive_pred",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * CAST(1 - l_discount AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    local_only=True,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of per-brand conjunctive ranges across
+    BOTH join sides. Catalyst factors the cross-side OR into per-side
+    implied filters (quantity range onto the scan, brand/size onto the
+    broadcast dim) with the residual OR evaluated post-join — the pattern
+    that breaks naive pushdown. local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (q >= 10) & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (q >= 20) & (q <= 40)
+        )
+    )
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev), 4).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q22_idle_customers",
+    """
+    WITH threshold AS (
+        SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS totacctbal
+    FROM customer c CROSS JOIN threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    local_only=True,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers gone idle (no orders since 2000) —
+    a global-average scalar subquery (exact DECIMAL sum, rounded once at
+    the cross-engine boundary) plus a NOT EXISTS anti-join on the filtered
+    orders table (the date predicate pushes into the anti-join's build
+    side scan). local_only: driver cap."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("_avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast(DEC)), 4)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
