@@ -4183,3 +4183,161 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Lexical search + hybrid retrieval (operators/search.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "vector", "stream", "join"]
+_BM25_LIST_K = 20  # per-list depth feeding the RRF fusion
+
+
+def _sqld(v: float) -> str:
+    """A double literal DuckDB parses to the exact same IEEE value Spark's
+    F.lit(v) produces (repr round-trips; CAST avoids DuckDB's
+    decimal-literal typing)."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _bm25_ctes(terms: list[str]) -> str:
+    """CTEs ``tfd``/``bm25stats``/``bm`` mirroring
+    operators/search.py:bm25_scores expression-for-expression (same literal
+    values, same left-to-right addition order, same ROUND(_, 9)
+    boundaries)."""
+    from solana_etl_spark.operators.search import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = []
+    for i in range(len(terms)):
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        df = f"CAST(df_{i} AS DOUBLE)"
+        idf = (
+            f"ROUND(ln((CAST(n AS DOUBLE) - {df} + {_sqld(0.5)}) / "
+            f"({df} + {_sqld(0.5)}) + {_sqld(1.0)}), 9)"
+        )
+        norm = (
+            f"({_sqld(one_minus_b)} + {_sqld(b)} * "
+            f"(CAST(dl AS DOUBLE) / avgdl))"
+        )
+        contribs.append(
+            f"ROUND({idf} * ({tf} * {_sqld(k1p1)}) / "
+            f"({tf} + {_sqld(k1)} * {norm}), 9)"
+        )
+    score = " + ".join(contribs)
+    return f"""
+    tfd AS (
+        SELECT doc_id, len(toks) AS dl, {tf_cols}
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    ),
+    bm25stats AS (
+        SELECT COUNT(*) AS n,
+               ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 9) AS avgdl,
+               {df_cols}
+        FROM tfd
+    ),
+    bm AS (
+        SELECT doc_id, ROUND({score}, 9) AS bm25_score
+        FROM tfd CROSS JOIN bm25stats
+        WHERE ROUND({score}, 9) > 0
+    )
+    """
+
+
+def _bm25_oracle() -> str:
+    from solana_etl_spark.operators.search import TOPK as SEARCH_TOPK
+
+    return f"""
+    WITH {_bm25_ctes(_BM25_TERMS)}
+    SELECT doc_id, bm25_score FROM bm
+    ORDER BY bm25_score DESC, doc_id ASC
+    LIMIT {SEARCH_TOPK}
+    """
+
+
+@_register("text_bm25_topk", _bm25_oracle(), local_only=True)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k (operators/search.py): per-doc term frequencies
+    are row-local array expressions (zero corpus shuffle), the (N, avgdl,
+    df) statistics are ONE tiny broadcast aggregate, and the top-k is
+    TakeOrderedAndProject. idf/contribution doubles are rounded at 9
+    decimals — the same cross-engine float boundary the LM scorer uses.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _rrf_oracle() -> str:
+    from solana_etl_spark.operators.search import RRF_C, TOPK as SEARCH_TOPK
+
+    one = "CAST(1.0 AS DOUBLE)"
+    return f"""
+    WITH {_bm25_ctes(_BM25_TERMS)},
+    bmr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS rank
+        FROM bm
+        QUALIFY rank <= {_BM25_LIST_K}
+    ),
+    {_NEMB_CTE},
+    q AS (SELECT vec_id AS q_id, v FROM nemb ORDER BY vec_id LIMIT 1),
+    cos AS (
+        SELECT a.vec_id AS doc_id, ROUND({_NDOT_SQL}, 6) AS cosine_sim
+        FROM nemb a, q b
+        WHERE a.vec_id <> b.q_id
+    ),
+    cosr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank
+        FROM cos
+        QUALIFY rank <= {_BM25_LIST_K}
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           ROUND(
+               (CASE WHEN a.rank IS NOT NULL
+                     THEN {one} / ({RRF_C} + a.rank) ELSE {_sqld(0.0)} END)
+               + (CASE WHEN b.rank IS NOT NULL
+                       THEN {one} / ({RRF_C} + b.rank) ELSE {_sqld(0.0)} END),
+               9) AS rrf_score
+    FROM bmr a FULL OUTER JOIN cosr b ON a.doc_id = b.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {SEARCH_TOPK}
+    """
+
+
+@_register("hybrid_rrf_fusion", _rrf_oracle(), local_only=True)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone #2: reciprocal-rank fusion of the BM25
+    lexical list and the embedding cosine list (the standard
+    score-scale-free way to combine lexical and dense retrieval). Both
+    lists are top-k-sized → the fusion join is broadcast; rank arithmetic
+    is integer, the two reciprocal terms are added in fixed order.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.search import (
+        bm25_topk,
+        rrf_fuse,
+        with_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, _BM25_TERMS, k=_BM25_LIST_K)
+    bmr = bm.select(
+        "doc_id", with_rank(bm, "bm25_score", "doc_id").alias("rank")
+    )
+    cos = similarity.cosine_topk(emb, k=_BM25_LIST_K)
+    cosr = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        with_rank(cos, "cosine_sim", "vec_id").alias("rank"),
+    )
+    return rrf_fuse(bmr, cosr)
