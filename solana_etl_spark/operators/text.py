@@ -321,3 +321,121 @@ def strip_boilerplate_ngrams(
             F.array_join(kept, " ").alias("text_stripped"),
         )
     )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, Table A1 family):
+# a doc is flagged when its most common 2-gram covers >20% of characters,
+# duplicated 5-grams cover >15%, or >80% of tokens are repeats.
+REP_TOP_N = 2
+REP_DUP_N = 5
+REP_TOP_FRAC = 0.20
+REP_DUP_FRAC = 0.15
+REP_TOKEN_FRAC = 0.80
+
+
+def _top_run(sorted_grams: Column) -> Column:
+    """(c, g) = (max occurrence count, lexicographically smallest argmax
+    gram) in ONE O(n) pass over the SORTED gram array: equal grams are
+    adjacent, so occurrence counting is run-length tracking, and the first
+    run to reach the maximum is the smallest gram (sorted order) — strict
+    ``>`` on the update keeps it. State is O(1): (prev, run, c, g)."""
+    seed = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("c"),
+        F.lit("").alias("g"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["c"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["c"]).alias("c"),
+            F.when(better, x).otherwise(acc["g"]).alias("g"),
+        )
+
+    return F.aggregate(
+        sorted_grams,
+        seed,
+        step,
+        lambda acc: F.struct(acc["c"].alias("c"), acc["g"].alias("g")),
+    )
+
+
+def _dup_run_mass(sorted_grams: Column) -> Column:
+    """Characters inside grams occurring >= 2 times: one O(n) run-length
+    pass over the SORTED gram array. A gram with total count k >= 2
+    contributes k*length(gram): 2x at the run's second element, 1x for
+    each element after."""
+    seed = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("long").alias("m"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        add = (
+            F.when(run == 2, F.lit(2) * F.length(x))
+            .when(run > 2, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["m"] + add.cast("long")).alias("m"),
+        )
+
+    return F.aggregate(sorted_grams, seed, step, lambda acc: acc["m"])
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition signals, the Gopher quality-filter family
+    (Rae et al. 2021 §A1.1) adapted to unstructured text (this corpus has
+    no line/paragraph breaks, so the line-level rules are expressed over
+    word n-grams):
+
+    * ``dup_token_frac`` — fraction of tokens that are repeats
+    * ``top_2gram_char_frac`` — characters covered by the most frequent
+      word 2-gram (lexicographically smallest argmax → deterministic)
+    * ``dup_5gram_char_frac`` — characters inside 5-grams occurring twice+
+    * ``is_repetitive`` — any signal past the Gopher-style thresholds
+
+    Pure column expressions, zero shuffle. Each histogram statistic is a
+    single sort + O(n) run-length fold per row (higher-order functions run
+    interpreted, so the naive O(distinct x n) count-by-filter form is
+    ~50x slower — measured 38 ms/doc at ~300 chars). Compute-heavy
+    per-row work → repartition to core count first (tiny parquet inputs
+    otherwise pin one task)."""
+    from solana_etl_spark.functions.parallelism import (
+        ensure_compute_parallelism,
+    )
+
+    toks = tokens(F.col("text"))
+    n_chars = F.greatest(F.length(F.trim(F.col("text"))), F.lit(1))
+    top = _top_run(F.array_sort(F.expr(_ngram_expr(REP_TOP_N))))
+    dup_mass = _dup_run_mass(F.array_sort(F.expr(_ngram_expr(REP_DUP_N))))
+    n_toks = F.size(toks)
+    documents = ensure_compute_parallelism(documents)
+    dup_token_frac = F.round(
+        (n_toks - F.size(F.array_distinct(toks)))
+        / F.greatest(n_toks, F.lit(1)),
+        6,
+    )
+    top_frac = F.round(top["c"] * F.length(top["g"]) / n_chars, 6)
+    dup_frac = F.round(dup_mass / n_chars, 6)
+    return documents.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        dup_token_frac.alias("dup_token_frac"),
+        top["g"].alias("top_2gram"),
+        top_frac.alias("top_2gram_char_frac"),
+        dup_frac.alias("dup_5gram_char_frac"),
+        (
+            (top_frac > REP_TOP_FRAC)
+            | (dup_frac > REP_DUP_FRAC)
+            | (dup_token_frac > REP_TOKEN_FRAC)
+        ).alias("is_repetitive"),
+    )

@@ -4341,3 +4341,94 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_rank(cos, "cosine_sim", "vec_id").alias("rank"),
     )
     return rrf_fuse(bmr, cosr)
+
+
+def _rep_oracle() -> str:
+    top_n, dup_n = text_ops.REP_TOP_N, text_ops.REP_DUP_N
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"[array_to_string(toks[i : i + {n - 1}], ' ') "
+            f"for i in generate_series(1, len(toks) - {n - 1})] "
+            "ELSE [] END"
+        )
+
+    # The oracle is RELATIONAL (unnest → group → argmax), not a mirror of
+    # Spark's per-row run-length folds: DuckDB 1.0.0's list_reduce with a
+    # struct CASE lambda returns wrong elements in full vectorized runs
+    # (verified: same query, WHERE doc_id=100 gives the right answer, the
+    # unfiltered run doesn't). Every statistic is integer until the final
+    # rounded division, so the two formulations agree exactly.
+    # argmax tie-break = lexicographically smallest gram (MIN over the
+    # max-count grams), matching the sorted-run fold's first-run-wins.
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks,
+               greatest(length(trim(text)), 1) AS n_chars
+        FROM documents
+    ), garr AS (
+        SELECT doc_id, toks, n_chars,
+               {grams(top_n)} AS g2arr,
+               {grams(dup_n)} AS g5arr
+        FROM base
+    ), c2 AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(g2arr) AS gram FROM garr)
+        GROUP BY doc_id, gram
+    ), top2 AS (
+        SELECT doc_id, c AS topc, gram AS topg
+        FROM (
+            SELECT doc_id, c, gram,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, gram ASC
+                   ) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    ), c5 AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(g5arr) AS gram FROM garr)
+        GROUP BY doc_id, gram
+    ), dup5 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram)
+                             ELSE 0 END) AS BIGINT) AS dupmass
+        FROM c5 GROUP BY doc_id
+    ), folded AS (
+        SELECT b.doc_id, b.toks, b.n_chars,
+               COALESCE(t.topc, 0) AS topc,
+               COALESCE(t.topg, '') AS topg,
+               COALESCE(d.dupmass, 0) AS dupmass
+        FROM base b
+        LEFT JOIN top2 t ON t.doc_id = b.doc_id
+        LEFT JOIN dup5 d ON d.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND((len(toks) - len(list_distinct(toks)))
+                 / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+               AS dup_token_frac,
+           topg AS top_2gram,
+           ROUND(topc * length(topg) / CAST(n_chars AS DOUBLE), 6)
+               AS top_2gram_char_frac,
+           ROUND(dupmass / CAST(n_chars AS DOUBLE), 6)
+               AS dup_5gram_char_frac,
+           (ROUND(topc * length(topg) / CAST(n_chars AS DOUBLE), 6)
+                > {text_ops.REP_TOP_FRAC}
+            OR ROUND(dupmass / CAST(n_chars AS DOUBLE), 6)
+                > {text_ops.REP_DUP_FRAC}
+            OR ROUND((len(toks) - len(list_distinct(toks)))
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+                > {text_ops.REP_TOKEN_FRAC}) AS is_repetitive
+    FROM folded
+    """
+
+
+@_register("text_repetition_stats", _rep_oracle(), local_only=True)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter signals
+    (operators/text.py:repetition_stats): duplicate-token fraction, most
+    frequent 2-gram character coverage, duplicated-5-gram character
+    coverage, and the composite is_repetitive flag. Zero shuffle — every
+    signal is a per-row array fold. local_only: driver cap."""
+    return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
