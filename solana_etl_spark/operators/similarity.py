@@ -414,3 +414,53 @@ def ivf_batch_topk(
         .filter(F.col("_rn") <= topk)
         .select("q_id", "vec_id", "dist")
     )
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """Recall@k of the IVF probe against exact search under the SAME
+    quantized metric — the measurement every ANN deployment needs before
+    trusting nprobe ("measure, don't guess" applied to the index itself).
+
+    One index pass: the corpus is assigned and scored ONCE; the exact
+    top-k (all inverted lists) and the approximate top-k (nprobe lists)
+    are two TakeOrdered reductions over that shared scored stream.
+    Output is a single row (n_hit, k, recall_at_k) — all-integer until
+    the final rounded division, so the oracle is value-exact."""
+    vecs = quantized(embeddings)
+    centroids = kmeans_centroids(embeddings, k, iters)
+    query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
+    probe_cids = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
+        .orderBy("qd", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    scored = (
+        _assign(vecs, centroids)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", "cid", _sqdist(F.col("qvec"), F.col("q")).alias("qd")
+        )
+        .persist()
+    )
+    exact = scored.orderBy("qd", "vec_id").limit(topk).select("vec_id")
+    approx = (
+        scored.join(F.broadcast(probe_cids), "cid")
+        .orderBy("qd", "vec_id")
+        .limit(topk)
+        .select("vec_id")
+    )
+    return approx.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.lit(topk).alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(float(topk)), 6).alias(
+            "recall_at_k"
+        ),
+    )

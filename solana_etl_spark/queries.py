@@ -4432,3 +4432,120 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage, and the composite is_repetitive flag. Zero shuffle — every
     signal is a per-row array fold. local_only: driver cap."""
     return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# 8. Entity resolution + ANN evaluation
+# ---------------------------------------------------------------------------
+
+
+def _er_oracle() -> str:
+    from solana_etl_spark.operators.er import ER_BLOCK_PREFIX, ER_MAX_EDITS
+
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b
+          ON substring(a.c_name, 1, {ER_BLOCK_PREFIX})
+               = substring(b.c_name, 1, {ER_BLOCK_PREFIX})
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_EDITS}
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (
+        SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT c.c_custkey AS rec_id, c.c_name AS name,
+           COALESCE(cl.cluster_id, c.c_custkey) AS entity_id
+    FROM customer c LEFT JOIN clusters cl ON cl.node = c.c_custkey
+    """
+
+
+@_register("er_entity_resolution", _er_oracle(), local_only=True)
+def er_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the customer roster (operators/er.py):
+    name-prefix blocking -> bounded Levenshtein match pairs -> pointer-
+    jumping connected components -> entity_id per record. Pair volume is
+    bounded by block sizes (never corpus N^2); the oracle resolves the
+    same pair graph with a recursive-CTE closure. local_only: driver
+    cap."""
+    from solana_etl_spark.operators.er import resolve_entities
+
+    return resolve_entities(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+
+
+def _ivf_recall_oracle(
+    k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int
+) -> str:
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    qdist = (
+        "list_sum([ (v.qvec[i] - q.q[i]) * (v.qvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    cdist = (
+        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    qry AS (SELECT qvec AS q FROM qvecs ORDER BY vec_id LIMIT 1),
+    probe AS (
+        SELECT cid FROM c{iters} c CROSS JOIN qry q
+        ORDER BY {cdist}, cid LIMIT {nprobe}
+    ),
+    afinal AS (
+        SELECT vec_id, qvec, cid FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT vec_id, cid, CAST({qdist} AS BIGINT) AS qd
+        FROM afinal v CROSS JOIN qry q
+    ),
+    exact AS (SELECT vec_id FROM scored ORDER BY qd, vec_id LIMIT {topk}),
+    approx AS (
+        SELECT vec_id FROM scored JOIN probe USING (cid)
+        ORDER BY qd, vec_id LIMIT {topk}
+    )
+    SELECT COUNT(*) AS n_hit, {topk} AS k,
+           ROUND(COUNT(*) / CAST({topk} AS DOUBLE), 6) AS recall_at_k
+    FROM approx JOIN exact USING (vec_id)
+    """
+
+
+@_register(
+    "ann_recall_eval",
+    _ivf_recall_oracle(
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+        similarity.IVF_NPROBE,
+        similarity.TOPK,
+    ),
+    local_only=True,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: recall@k of the nprobe IVF probe vs exact
+    search under the same quantized metric, from ONE shared scored pass
+    (operators/similarity.py:ivf_recall). The number that decides whether
+    an nprobe setting is safe to ship. local_only: driver cap."""
+    return similarity.ivf_recall(_t(spark, sf_dir, "embeddings"))
