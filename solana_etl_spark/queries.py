@@ -4549,3 +4549,152 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:ivf_recall). The number that decides whether
     an nprobe setting is safe to ship. local_only: driver cap."""
     return similarity.ivf_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "st_funnel",
+    # stage semantics: strict event-time progression (view, then a click
+    # strictly after the first view, then a purchase strictly after that
+    # first qualifying click)
+    """
+    WITH ev AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'
+    ),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM ev e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM ev e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT stage, COUNT(*) AS n_users FROM (
+        SELECT u.user_id,
+               CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    WHEN v.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS stage
+        FROM users u
+        LEFT JOIN v ON v.user_id = u.user_id
+        LEFT JOIN c ON c.user_id = u.user_id
+        LEFT JOIN p ON p.user_id = u.user_id
+    ) GROUP BY stage
+    """,
+    local_only=True,
+)
+def st_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view -> click -> purchase with strict event-time
+    progression): three per-user conditional MIN aggregates chained on the
+    previous stage's timestamp, then a tiny stage histogram. Each
+    aggregate is map-side combined and keyed by user_id — the stage joins
+    are user-cardinality (orders of magnitude below event volume), so the
+    event log is scanned, never self-joined at event grain. The 48-hour
+    analysis window leaves users spread across all four stages (the whole
+    log funnels everyone to stage 3). local_only: driver cap."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("_vu"), "t1"),
+              F.col("user_id") == F.col("_vu"))
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("_cu"), "t2"),
+              F.col("user_id") == F.col("_cu"))
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    staged = (
+        users.join(v.select(F.col("user_id").alias("_v")),
+                   F.col("user_id") == F.col("_v"), "left")
+        .join(c.select(F.col("user_id").alias("_c")),
+              F.col("user_id") == F.col("_c"), "left")
+        .join(p.select(F.col("user_id").alias("_p")),
+              F.col("user_id") == F.col("_p"), "left")
+        .select(
+            F.when(F.col("_p").isNotNull(), 3)
+            .when(F.col("_c").isNotNull(), 2)
+            .when(F.col("_v").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@_register(
+    "a18_zscore_outliers",
+    # z-scores from exact-decimal sufficient statistics: sum(v) and
+    # sum(v*v) accumulate as DECIMAL (order-independent), mean/var/sigma
+    # derive in fixed double arithmetic, z rounds at the 6-decimal
+    # cross-engine boundary
+    """
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(24,6)))
+                    AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    ),
+    enriched AS (
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND(
+                   (e.value - s.s1 / s.n)
+                   / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)),
+                   6) AS z
+        FROM events e JOIN stats s ON s.event_type = e.event_type
+    )
+    SELECT event_id, event_type, z FROM enriched
+    WHERE abs(z) > 2.5
+    """,
+    local_only=True,
+)
+def a18_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: one sufficient-statistics
+    aggregate per event_type (count, exact-decimal sum, exact-decimal sum
+    of squares — order-independent, partition-safe), broadcast back, z
+    computed per row in fixed double arithmetic. Never a per-group sort or
+    second scan at event grain. local_only: driver cap."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_s1"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = F.col("_s2") / F.col("_n") - mean * mean
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("_et"))
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
