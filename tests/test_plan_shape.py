@@ -121,3 +121,61 @@ def test_bloom_runtime_filter_injected_on_selective_join(spark, tmp_path):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thr,
         )
+
+
+def test_bm25_corpus_side_never_shuffles(spark):
+    """BM25's corpus work (per-doc tf/dl) must stay per-row: the only
+    exchanges are the single-partition reductions of the tiny (N, avgdl,
+    df) statistics aggregate and the final top-k — never a shuffle keyed
+    by corpus data. Plan signature: every Exchange is SinglePartition."""
+    from solana_etl_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(bm25_topk(docs, ["spark", "join"]))
+    # no exchange is keyed by corpus data: the stats reduction is
+    # SinglePartition (tiny), the stats join is a broadcast, the top-k is
+    # TakeOrderedAndProject
+    assert "hashpartitioning" not in plan.lower()
+    assert "SinglePartition" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    """The repetition histograms are per-row sorted run-length folds: no
+    exchange beyond the compute-parallelism repartition (round-robin, not
+    keyed)."""
+    from solana_etl_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(repetition_stats(docs))
+    assert plan.count("Exchange (") == 1  # the round-robin repartition
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_er_pairs_single_block_shuffle(spark):
+    """ER candidate pairs shuffle ONLY on the block key (the join), and the
+    edit-distance filter evaluates inside the join — no post-join exchange
+    before the pair output."""
+    from solana_etl_spark.operators.er import blocked_match_pairs
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    plan = _formatted(blocked_match_pairs(cust, "c_custkey", "c_name"))
+    # levenshtein must be in the join condition or immediately post-join,
+    # never driving an extra exchange
+    assert "levenshtein" in plan
+    # block-keyed equi-join: hash partitioning on the substring key only
+    assert plan.count("Exchange (") <= 2  # one per join side
+
+
+def test_q19_disjunction_pushes_quantity_range(spark):
+    """Q19's cross-side OR must still push an l_quantity range into the
+    lineitem scan (Catalyst factors the per-side implications out of the
+    disjunction)."""
+    from solana_etl_spark.queries import all_queries
+
+    plan = _formatted(
+        all_queries()["q19_disjunctive_pred"](spark, "/root/testdata/sf0.001")
+    )
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_quantity" in pushed
