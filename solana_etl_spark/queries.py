@@ -4698,3 +4698,98 @@ def a18_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@_register(
+    "ts_gapfill",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id < 30),
+    sums AS (
+        SELECT user_id AS k, date_trunc('hour', ts) AS b,
+               CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 4)
+                    AS DOUBLE) AS bucket_sum
+        FROM ev GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id AS key,
+               date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM ev GROUP BY 1
+    ),
+    spine AS (
+        SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM spans
+    ),
+    j AS (
+        SELECT s.key, s.bucket, m.bucket_sum
+        FROM spine s LEFT JOIN sums m ON m.k = s.key AND m.b = s.bucket
+    )
+    SELECT key, bucket, bucket_sum,
+           last_value(bucket_sum IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled,
+           bucket_sum IS NULL AS was_gap
+    FROM j
+    """,
+    local_only=True,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): hourly bucket
+    sums per user, gap-filled against an executor-generated time spine and
+    forward-filled with one `last(ignorenulls)` window pass — no driver
+    loops, no self-joins; values are exact-decimal sums carried through
+    the fill unchanged. local_only: driver cap."""
+    from solana_etl_spark.operators.timeseries import gapfill_ffill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return gapfill_ffill(ev)
+
+
+@_register(
+    "graph_triangles",
+    # naive orientation-free oracle: each triangle exactly once as a<b<c
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (
+        SELECT COUNT(DISTINCT n) AS n_nodes
+        FROM (SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n.n_nodes, (SELECT COUNT(*) FROM edges) AS n_edges, t.n_triangles
+    FROM nodes n, tri t
+    """,
+    local_only=True,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts sharing an
+    order), by degree-ordered edge orientation
+    (operators/graph.py:triangle_count): each triangle counted at its
+    lowest-ranked vertex, wedge volume bounded O(|E|^1.5) with no
+    hot-vertex blowup. The oracle is the naive a<b<c three-way self-join —
+    same count, orientation-free. local_only: driver cap."""
+    from solana_etl_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_o2"), F.col("l_partkey").alias("dst"))
+    edges = a.join(
+        b, (F.col("_o") == F.col("_o2")) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    return triangle_count(edges)
