@@ -54,3 +54,29 @@ def test_triangle_count_star_has_none(spark):
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == 0
     assert row["n_edges"] == 6
+
+
+def test_gapfill_empty_input(spark):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    assert gapfill_ffill(df).count() == 0
+
+
+def test_triangle_count_empty_and_selfloop(spark):
+    df = spark.createDataFrame([(1, 1)], ["src", "dst"])  # self-loop only
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
