@@ -30,10 +30,16 @@ def word_ngram_hashes(text: Column, n: int = DECONTAM_NGRAM_N) -> Column:
     """Distinct 64-bit hashes of the word n-grams of ``text`` (whitespace
     tokens of lowercased text, space-joined). Pure per-row expressions."""
     toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty, and
+    # slice() rejects start=0 — docs shorter than n tokens must yield an
+    # empty gram array, not an error
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(F.transform(grams, hash64))
 
 
