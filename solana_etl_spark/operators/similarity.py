@@ -464,3 +464,64 @@ def ivf_recall(
             "recall_at_k"
         ),
     )
+
+
+def ivf_ndcg(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """NDCG@k of the IVF probe against exact search (binary relevance:
+    membership in the exact top-k). Where recall@k ignores ORDER, NDCG
+    weights each hit by 1/log2(position+1) — a probe that finds the right
+    vectors in the wrong order scores below one that ranks them correctly.
+
+    Same one-pass shape as :func:`ivf_recall`; the per-position discount
+    terms are rounded to 9 decimals and summed as exact DECIMAL so the
+    k-term float sum is addition-order-independent (cross-engine + any
+    partitioning)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    vecs = quantized(embeddings)
+    centroids = kmeans_centroids(embeddings, k, iters)
+    query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
+    probe_cids = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
+        .orderBy("qd", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    scored = (
+        _assign(vecs, centroids)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", "cid", _sqdist(F.col("qvec"), F.col("q")).alias("qd")
+        )
+    )
+    exact = scored.orderBy("qd", "vec_id").limit(topk).select("vec_id")
+    approx = scored.join(F.broadcast(probe_cids), "cid").orderBy(
+        "qd", "vec_id"
+    ).limit(topk)
+    pos = F.row_number().over(Window.orderBy("qd", "vec_id"))
+    ranked = approx.select("vec_id", pos.alias("pos"))
+    # discount of a hit at position i: round(1/log2(i+1), 9), summed exact
+    term = F.round(
+        F.lit(1.0) / F.log(2.0, F.col("pos") + F.lit(1.0)), 9
+    ).cast("decimal(28,9)")
+    dcg = (
+        ranked.join(exact, "vec_id")
+        .agg(F.coalesce(F.sum(term), F.lit(0).cast("decimal(28,9)")).alias("_dcg"))
+    )
+    idcg = sum(round(1.0 / math.log2(i + 1), 9) for i in range(1, topk + 1))
+    return dcg.select(
+        F.col("_dcg").cast("double").alias("dcg"),
+        F.lit(topk).alias("k"),
+        F.round(F.col("_dcg").cast("double") / F.lit(idcg), 6).alias(
+            "ndcg_at_k"
+        ),
+    )

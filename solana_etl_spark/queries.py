@@ -4793,3 +4793,87 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("_o") == F.col("_o2")) & (F.col("src") < F.col("dst"))
     ).select("src", "dst")
     return triangle_count(edges)
+
+
+def _ivf_ndcg_oracle(
+    k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int
+) -> str:
+    import math
+
+    idcg = sum(round(1.0 / math.log2(i + 1), 9) for i in range(1, topk + 1))
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    qdist = (
+        "list_sum([ (v.qvec[i] - q.q[i]) * (v.qvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    cdist = (
+        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    # discount mirrors Spark's F.log(2.0, x) = ln(x)/ln(2) exactly
+    term = (
+        "CAST(ROUND(CAST(1.0 AS DOUBLE) / "
+        "(ln(CAST(pos + 1 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE))), 9) "
+        "AS DECIMAL(28,9))"
+    )
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    qry AS (SELECT qvec AS q FROM qvecs ORDER BY vec_id LIMIT 1),
+    probe AS (
+        SELECT cid FROM c{iters} c CROSS JOIN qry q
+        ORDER BY {cdist}, cid LIMIT {nprobe}
+    ),
+    afinal AS (
+        SELECT vec_id, qvec, cid FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT vec_id, cid, CAST({qdist} AS BIGINT) AS qd
+        FROM afinal v CROSS JOIN qry q
+    ),
+    exact AS (SELECT vec_id FROM scored ORDER BY qd, vec_id LIMIT {topk}),
+    ranked AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY qd, vec_id) AS pos
+        FROM (
+            SELECT s.vec_id, s.qd FROM scored s JOIN probe USING (cid)
+            ORDER BY s.qd, s.vec_id LIMIT {topk}
+        )
+    ),
+    dcg AS (
+        SELECT COALESCE(SUM({term}), CAST(0 AS DECIMAL(28,9))) AS d
+        FROM ranked JOIN exact USING (vec_id)
+    )
+    SELECT CAST(d AS DOUBLE) AS dcg, {topk} AS k,
+           ROUND(CAST(d AS DOUBLE) / {idcg!r}, 6) AS ndcg_at_k
+    FROM dcg
+    """
+
+
+@_register(
+    "ann_ndcg_eval",
+    _ivf_ndcg_oracle(
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+        similarity.IVF_NPROBE,
+        similarity.TOPK,
+    ),
+    local_only=True,
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware ANN evaluation: NDCG@k of the IVF probe vs exact search
+    (operators/similarity.py:ivf_ndcg) — complements recall@k by weighting
+    each hit with 1/log2(position+1); discount terms round at 9 decimals
+    and sum as exact DECIMAL so the float sum is order-independent.
+    local_only: driver cap."""
+    return similarity.ivf_ndcg(_t(spark, sf_dir, "embeddings"))
