@@ -4877,3 +4877,64 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sum as exact DECIMAL so the float sum is order-independent.
     local_only: driver cap."""
     return similarity.ivf_ndcg(_t(spark, sf_dir, "embeddings"))
+
+
+def _diff_oracle() -> str:
+    # synthetic snapshots from orders: v1 drops %7 keys, v2 drops %11 keys
+    # and rewrites priority for %5 keys — added/removed/changed all occur
+    # chr(1) mirrors operators/diff.py _SEP (field-boundary separator)
+    sig_v1 = hash64_sql(
+        "concat_ws(chr(1), CAST(o_custkey AS VARCHAR), o_orderstatus, "
+        "o_orderpriority)"
+    )
+    sig_v2 = hash64_sql(
+        "concat_ws(chr(1), CAST(o_custkey AS VARCHAR), o_orderstatus, prio2)"
+    )
+    return f"""
+    WITH v1 AS (
+        SELECT o_orderkey, {sig_v1} AS old_sig
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v2base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                    ELSE o_orderpriority END AS prio2
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    v2 AS (SELECT o_orderkey, {sig_v2} AS new_sig FROM v2base)
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN old_sig <> new_sig THEN 'changed' END AS status,
+           old_sig, new_sig
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE (CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN old_sig <> new_sig THEN 'changed' END) IS NOT NULL
+    """
+
+
+@_register("snapshot_diff", _diff_oracle(), local_only=True)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): added/removed/changed keys
+    between two table versions, each side reduced to (key, md5-hash64 row
+    signature) in the scan projection — the full-outer join shuffles ~24
+    bytes/row regardless of table width. Snapshots are synthesized
+    deterministically from orders (drop %7 / drop %11 + rewrite %5).
+    local_only: driver cap."""
+    from solana_etl_spark.operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_orderpriority").alias("prio"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    return snapshot_diff(
+        v1, v2, "o_orderkey", ["o_custkey", "o_orderstatus", "prio"]
+    )
