@@ -179,3 +179,28 @@ def test_q19_disjunction_pushes_quantity_range(spark):
     )
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "l_quantity" in pushed
+
+
+def test_parquet_aggregate_pushdown_fires(spark):
+    """COUNT(*)/MIN/MAX over a bare parquet scan must resolve from footer
+    statistics (DSv2 PushedAggregation) — at 100 TB these are metadata
+    reads, not scans. Guarded behind the session confs so a config change
+    that silently disables the rewrite fails here."""
+    old_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        ).createOrReplaceTempView("_li_push")
+        agg = spark.sql(
+            "SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo,"
+            " MAX(l_orderkey) AS hi FROM _li_push"
+        )
+        assert "PushedAggregation: [COUNT(*)" in _formatted(agg)
+        row = agg.collect()[0]
+        assert row["n"] > 0 and row["lo"] <= row["hi"]
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
