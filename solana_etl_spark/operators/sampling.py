@@ -223,3 +223,35 @@ def temperature_rates_bp(
         expected = open_budget * (n**alpha / z)
         rates[g] = min(10_000, int(round(expected / n * 10_000)))
     return rates
+
+
+# weighted-sample key precision: u is derived from the hash at this denom,
+# keys round at 9 decimals (the cross-engine float boundary)
+WEIGHTED_DENOM = 2**40
+
+
+def es_key(key: Column, weight: Column) -> Column:
+    """Efraimidis-Spirakis weighted-sampling key: k = ln(u)/w with
+    deterministic u ∈ (0, 1] derived from the row-key hash. Taking the
+    TOP-n rows by DESCENDING k (k is negative; larger = closer to 0) is an
+    exact weighted sample without replacement — heavier rows win more
+    often, but any row can win, and the whole draw is a pure function of
+    row content (retry-safe, cross-engine-reproducible).
+
+    Float discipline: u = (h+1)/2^40 and ln(u)/w round at 9 decimals —
+    both engines compute the identical double."""
+    u = (hash64(key.cast("string")) % F.lit(WEIGHTED_DENOM) + F.lit(1)) / (
+        F.lit(WEIGHTED_DENOM).cast("double")
+    )
+    return F.round(F.log(u) / weight, 9)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Top-n weighted sample without replacement [Efraimidis & Spirakis
+    2006]: order by the ES key descending (deterministic key tie-break),
+    keep n. Runs as TakeOrderedAndProject — per-partition partial top-n,
+    no global sort. Weights must be > 0."""
+    keyed = df.withColumn("_es", es_key(F.col(key_col), F.col(weight_col)))
+    return keyed.orderBy(F.desc("_es"), F.asc(key_col)).limit(n).drop("_es")

@@ -4938,3 +4938,32 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         v1, v2, "o_orderkey", ["o_custkey", "o_orderstatus", "prio"]
     )
+
+
+def _weighted_sample_oracle(n: int) -> str:
+    from solana_etl_spark.operators.sampling import WEIGHTED_DENOM
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR)")
+    u = f"((({h}) % {WEIGHTED_DENOM}) + 1) / CAST({WEIGHTED_DENOM} AS DOUBLE)"
+    return f"""
+    SELECT doc_id, n_chars, source FROM (
+        SELECT doc_id, n_chars, source,
+               ROUND(ln({u}) / n_chars, 9) AS es
+        FROM documents
+    )
+    ORDER BY es DESC, doc_id ASC
+    LIMIT {n}
+    """
+
+
+@_register("s6_weighted_sample", _weighted_sample_oracle(40), local_only=True)
+def s6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis, operators/
+    sampling.py): top-n documents by the deterministic ln(u)/weight key,
+    weighted by length — heavier documents win more often, the draw is a
+    pure function of row content (retry-safe), and the top-n runs as
+    TakeOrderedAndProject, never a global sort. local_only: driver cap."""
+    from solana_etl_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    return weighted_sample(docs, "doc_id", "n_chars", 40)

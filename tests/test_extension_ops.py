@@ -629,3 +629,44 @@ def test_temperature_mixture_rebalances_strata(spark):
         for g, n in (("big", 9_000), ("mid", 900), ("small", 100))
     )
     assert abs(exp_total - 5_000) < 60  # water-filling hits the budget
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """ES weighted sampling: the exact top-n by ln(u)/w computed in Python
+    must equal the Spark draw (pure function of row content)."""
+    import hashlib
+    import math
+
+    from solana_etl_spark.operators.sampling import (
+        WEIGHTED_DENOM,
+        weighted_sample,
+    )
+
+    rows = [(i, (i % 7) + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+
+    def es(k, w):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        u = (h % WEIGHTED_DENOM + 1) / float(WEIGHTED_DENOM)
+        return round(math.log(u) / w, 9)
+
+    want = [
+        k
+        for k, w in sorted(rows, key=lambda r: (-es(r[0], r[1]), r[0]))[:10]
+    ]
+    got = [r["k"] for r in weighted_sample(df, "k", "w", 10).collect()]
+    assert got == want
+
+
+def test_weighted_sample_is_retry_stable(spark):
+    from solana_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(50)], ["k", "w"]
+    )
+    a = [r["k"] for r in weighted_sample(df, "k", "w", 5).collect()]
+    b = [
+        r["k"]
+        for r in weighted_sample(df.repartition(13), "k", "w", 5).collect()
+    ]
+    assert a == b  # partitioning never changes the draw
