@@ -108,3 +108,32 @@ def kmv_estimate(kmv_col: str, k: int = KMV_K) -> F.Column:
     return F.when(n < k, n.cast("double")).otherwise(
         F.round((F.lit(k) - 1) / (kth.cast("double") / F.lit(_HASH_SPACE)), 4)
     )
+
+
+def maintain_join_append(
+    old_result: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    da: DataFrame,
+    db: DataFrame,
+    on,
+) -> DataFrame:
+    """Incremental JOIN maintenance under append-only deltas (the classic
+    delta rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB):
+
+        new_result = old_result ∪ (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    The stored ``old_result`` is reused verbatim — A_old ⋈ B_old, the
+    dominant term at scale, is NEVER recomputed; each delta term joins a
+    (small) delta against a base side, which broadcasts or
+    bloom-prunes naturally. Appends only: updates/deletes need retraction
+    counts (see merge.py for keyed upserts — the two compose: deltas of a
+    keyed table are derived by snapshot_diff, applied by merge).
+
+    Equality with the full recompute over (A_old∪ΔA) ⋈ (B_old∪ΔB) is the
+    oracle contract."""
+    return (
+        old_result.unionByName(da.join(b_old, on))
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(db, on))
+    )

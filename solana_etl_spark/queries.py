@@ -4967,3 +4967,49 @@ def s6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
     return weighted_sample(docs, "doc_id", "n_chars", 40)
+
+
+@_register(
+    "incr_join_maintenance",
+    # oracle = the full recompute the incremental plan must equal
+    """
+    SELECT o.o_orderkey, o.o_custkey, l.l_linenumber,
+           CAST(l.l_quantity AS DOUBLE) AS qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 3 = 0
+    """,
+    local_only=True,
+)
+def incr_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (operators/incremental.py:
+    maintain_join_append): the orders⋈lineitem view under append-only
+    deltas — old result reused verbatim, only the three delta terms
+    computed (delta rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB). The oracle is the full
+    recompute; equality proves the algebra. local_only: driver cap."""
+    from solana_etl_spark.operators.incremental import maintain_join_append
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+            "l_shipdate",
+        )
+    )
+    cut_a = F.lit("2000-01-01").cast("timestamp")
+    cut_b = F.lit("2000-07-01").cast("timestamp")
+    a_old = o.filter(F.col("o_orderdate") < cut_a).drop("o_orderdate")
+    da = o.filter(F.col("o_orderdate") >= cut_a).drop("o_orderdate")
+    b_old = li.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
+    db = li.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
+    old_result = a_old.join(b_old, "o_orderkey")
+    return maintain_join_append(
+        old_result, a_old, b_old, da, db, ["o_orderkey"]
+    ).select("o_orderkey", "o_custkey", "l_linenumber", "qty")

@@ -67,3 +67,26 @@ def test_kmv_exact_below_k(spark):
     state = agg_state(df, keys=["g"], kmv_cols=["u"], k=64)
     for r in state.select(kmv_estimate("u_kmv", k=64)).collect():
         assert r[0] == 10.0  # 10 distinct per group, exact
+
+
+def test_join_maintenance_equals_full_recompute(spark):
+    """Delta-rule join maintenance over crafted snapshots: the incremental
+    union must equal the recompute on the combined tables — including
+    delta-delta matches (a new order matched only by a new lineitem)."""
+    from solana_etl_spark.operators.incremental import maintain_join_append
+
+    a_old = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "a"])
+    da = spark.createDataFrame([(3, "z")], ["k", "a"])
+    b_old = spark.createDataFrame([(1, 10), (3, 30)], ["k", "b"])
+    db = spark.createDataFrame([(2, 20), (3, 31)], ["k", "b"])
+
+    old = a_old.join(b_old, ["k"])
+    inc = maintain_join_append(old, a_old, b_old, da, db, ["k"])
+    full = (
+        a_old.unionByName(da).join(b_old.unionByName(db), ["k"])
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the delta-delta pair (3, z, 31) must be present
+    assert (3, "z", 31) in {tuple(r) for r in inc.collect()}
