@@ -23,11 +23,20 @@ from pyspark.sql import functions as F
 from solana_etl_spark.functions.hashing import hash64
 
 _SEP = "\x01"  # field separator: prevents ("ab","c") == ("a","bc")
+_NULL = "\x02"  # NULL sentinel: concat_ws silently DROPS nulls (and their
+# separator), so without it ('a', NULL) and (NULL, 'a') hash identically
+# and a NULL-involved change is invisible to the diff
 
 
 def row_signature(compare_cols: list[str]) -> F.Column:
     return hash64(
-        F.concat_ws(_SEP, *[F.col(c).cast("string") for c in compare_cols])
+        F.concat_ws(
+            _SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                for c in compare_cols
+            ],
+        )
     )
 
 

@@ -51,6 +51,8 @@ def bm25_scores(
     Jones; the formulation Lucene uses]. tf is exact (array filter), df/N/
     avgdl come from one aggregate over the same scan.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = tokens(F.col("text"))
     tfd = documents.select(
         "doc_id",

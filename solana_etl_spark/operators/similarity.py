@@ -416,22 +416,14 @@ def ivf_batch_topk(
     )
 
 
-def ivf_recall(
-    embeddings: DataFrame,
-    k: int = IVF_K,
-    iters: int = IVF_ITERS,
-    nprobe: int = IVF_NPROBE,
-    topk: int = TOPK,
-) -> DataFrame:
-    """Recall@k of the IVF probe against exact search under the SAME
-    quantized metric — the measurement every ANN deployment needs before
-    trusting nprobe ("measure, don't guess" applied to the index itself).
-
-    One index pass: the corpus is assigned and scored ONCE; the exact
-    top-k (all inverted lists) and the approximate top-k (nprobe lists)
-    are two TakeOrdered reductions over that shared scored stream.
-    Output is a single row (n_hit, k, recall_at_k) — all-integer until
-    the final rounded division, so the oracle is value-exact."""
+def _probe_scored(
+    embeddings: DataFrame, k: int, iters: int, nprobe: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared eval scaffolding: the corpus assigned and scored against the
+    min-vec_id query ONCE (persisted — both the exact and the approx
+    branch read it), plus the nprobe probe-list cids. Single source of
+    truth for the probe/assignment logic the recall and NDCG evals (and
+    their oracles) must agree on."""
     vecs = quantized(embeddings)
     centroids = kmeans_centroids(embeddings, k, iters)
     query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
@@ -450,6 +442,26 @@ def ivf_recall(
         )
         .persist()
     )
+    return scored, probe_cids
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """Recall@k of the IVF probe against exact search under the SAME
+    quantized metric — the measurement every ANN deployment needs before
+    trusting nprobe ("measure, don't guess" applied to the index itself).
+
+    One index pass: the corpus is assigned and scored ONCE; the exact
+    top-k (all inverted lists) and the approximate top-k (nprobe lists)
+    are two TakeOrdered reductions over that shared scored stream.
+    Output is a single row (n_hit, k, recall_at_k) — all-integer until
+    the final rounded division, so the oracle is value-exact."""
+    scored, probe_cids = _probe_scored(embeddings, k, iters, nprobe)
     exact = scored.orderBy("qd", "vec_id").limit(topk).select("vec_id")
     approx = (
         scored.join(F.broadcast(probe_cids), "cid")
@@ -486,23 +498,7 @@ def ivf_ndcg(
 
     from pyspark.sql.window import Window
 
-    vecs = quantized(embeddings)
-    centroids = kmeans_centroids(embeddings, k, iters)
-    query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
-    probe_cids = (
-        centroids.crossJoin(F.broadcast(query))
-        .select("cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
-        .orderBy("qd", "cid")
-        .limit(nprobe)
-        .select("cid")
-    )
-    scored = (
-        _assign(vecs, centroids)
-        .crossJoin(F.broadcast(query))
-        .select(
-            "vec_id", "cid", _sqdist(F.col("qvec"), F.col("q")).alias("qd")
-        )
-    )
+    scored, probe_cids = _probe_scored(embeddings, k, iters, nprobe)
     exact = scored.orderBy("qd", "vec_id").limit(topk).select("vec_id")
     approx = scored.join(F.broadcast(probe_cids), "cid").orderBy(
         "qd", "vec_id"

@@ -60,6 +60,22 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_predicate() -> Column:
+    """The quality gate as a bare per-row boolean expression — usable as a
+    plain ``filter`` (fuses into the scan; no join). Identical semantics
+    to ``quality_score().is_quality``."""
+    toks = tokens(F.col("text"))
+    s = F.trim(F.col("text"))
+    n_chars = F.length(s)
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(s, r"[0-9]", ""))
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    digit_ratio = F.round(n_digit / n_chars, 6)
+    return (
+        (F.size(toks) >= 10) & (punct_ratio <= 0.2) & (digit_ratio <= 0.3)
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Length / punctuation / digit / stopword heuristics with a boolean
     quality flag (typical pre-training quality filter shape)."""
@@ -438,4 +454,27 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             | (dup_frac > REP_DUP_FRAC)
             | (dup_token_frac > REP_TOKEN_FRAC)
         ).alias("is_repetitive"),
+    )
+
+
+def repetitive_predicate() -> Column:
+    """The Gopher repetition flag as a bare per-row boolean — usable as a
+    plain ``filter`` (no join). Identical semantics to
+    ``repetition_stats().is_repetitive``."""
+    toks = tokens(F.col("text"))
+    n_chars = F.greatest(F.length(F.trim(F.col("text"))), F.lit(1))
+    top = _top_run(F.array_sort(F.expr(_ngram_expr(REP_TOP_N))))
+    dup_mass = _dup_run_mass(F.array_sort(F.expr(_ngram_expr(REP_DUP_N))))
+    n_toks = F.size(toks)
+    dup_token_frac = F.round(
+        (n_toks - F.size(F.array_distinct(toks)))
+        / F.greatest(n_toks, F.lit(1)),
+        6,
+    )
+    top_frac = F.round(top["c"] * F.length(top["g"]) / n_chars, 6)
+    dup_frac = F.round(dup_mass / n_chars, 6)
+    return (
+        (top_frac > REP_TOP_FRAC)
+        | (dup_frac > REP_DUP_FRAC)
+        | (dup_token_frac > REP_TOKEN_FRAC)
     )

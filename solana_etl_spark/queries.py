@@ -4485,9 +4485,14 @@ def er_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_recall_oracle(
+def _ivf_eval_ctes(
     k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int
 ) -> str:
+    """Shared CTE prefix for the IVF eval oracles (recall + NDCG) —
+    mirrors operators/similarity.py:_probe_scored, the single source of
+    truth on the Spark side: qry (min-vec_id query), probe (nprobe
+    centroids), afinal (inverted-list assignment), scored (integer
+    distance per vector), exact (ground-truth top-k)."""
     dist = (
         "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
         f"for i in generate_series(1, {dim}) ])"
@@ -4500,8 +4505,7 @@ def _ivf_recall_oracle(
         "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
         f"for i in generate_series(1, {dim}) ])"
     )
-    return f"""
-    WITH {_ivf_cte(k, iters, dim, scale)},
+    return f"""{_ivf_cte(k, iters, dim, scale)},
     qry AS (SELECT qvec AS q FROM qvecs ORDER BY vec_id LIMIT 1),
     probe AS (
         SELECT cid FROM c{iters} c CROSS JOIN qry q
@@ -4520,7 +4524,14 @@ def _ivf_recall_oracle(
         SELECT vec_id, cid, CAST({qdist} AS BIGINT) AS qd
         FROM afinal v CROSS JOIN qry q
     ),
-    exact AS (SELECT vec_id FROM scored ORDER BY qd, vec_id LIMIT {topk}),
+    exact AS (SELECT vec_id FROM scored ORDER BY qd, vec_id LIMIT {topk})"""
+
+
+def _ivf_recall_oracle(
+    k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int
+) -> str:
+    return f"""
+    WITH {_ivf_eval_ctes(k, iters, dim, scale, nprobe, topk)},
     approx AS (
         SELECT vec_id FROM scored JOIN probe USING (cid)
         ORDER BY qd, vec_id LIMIT {topk}
@@ -4801,18 +4812,6 @@ def _ivf_ndcg_oracle(
     import math
 
     idcg = sum(round(1.0 / math.log2(i + 1), 9) for i in range(1, topk + 1))
-    dist = (
-        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
-        f"for i in generate_series(1, {dim}) ])"
-    )
-    qdist = (
-        "list_sum([ (v.qvec[i] - q.q[i]) * (v.qvec[i] - q.q[i]) "
-        f"for i in generate_series(1, {dim}) ])"
-    )
-    cdist = (
-        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
-        f"for i in generate_series(1, {dim}) ])"
-    )
     # discount mirrors Spark's F.log(2.0, x) = ln(x)/ln(2) exactly
     term = (
         "CAST(ROUND(CAST(1.0 AS DOUBLE) / "
@@ -4820,26 +4819,7 @@ def _ivf_ndcg_oracle(
         "AS DECIMAL(28,9))"
     )
     return f"""
-    WITH {_ivf_cte(k, iters, dim, scale)},
-    qry AS (SELECT qvec AS q FROM qvecs ORDER BY vec_id LIMIT 1),
-    probe AS (
-        SELECT cid FROM c{iters} c CROSS JOIN qry q
-        ORDER BY {cdist}, cid LIMIT {nprobe}
-    ),
-    afinal AS (
-        SELECT vec_id, qvec, cid FROM (
-            SELECT v.vec_id, v.qvec, c.cid,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
-                   ) AS rn
-            FROM qvecs v CROSS JOIN c{iters} c
-        ) WHERE rn = 1
-    ),
-    scored AS (
-        SELECT vec_id, cid, CAST({qdist} AS BIGINT) AS qd
-        FROM afinal v CROSS JOIN qry q
-    ),
-    exact AS (SELECT vec_id FROM scored ORDER BY qd, vec_id LIMIT {topk}),
+    WITH {_ivf_eval_ctes(k, iters, dim, scale, nprobe, topk)},
     ranked AS (
         SELECT vec_id,
                row_number() OVER (ORDER BY qd, vec_id) AS pos
@@ -4882,13 +4862,16 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _diff_oracle() -> str:
     # synthetic snapshots from orders: v1 drops %7 keys, v2 drops %11 keys
     # and rewrites priority for %5 keys — added/removed/changed all occur
-    # chr(1) mirrors operators/diff.py _SEP (field-boundary separator)
+    # chr(1)/chr(2) mirror operators/diff.py _SEP/_NULL (field separator +
+    # NULL sentinel — concat_ws drops nulls)
     sig_v1 = hash64_sql(
-        "concat_ws(chr(1), CAST(o_custkey AS VARCHAR), o_orderstatus, "
-        "o_orderpriority)"
+        "concat_ws(chr(1), COALESCE(CAST(o_custkey AS VARCHAR), chr(2)), "
+        "COALESCE(o_orderstatus, chr(2)), "
+        "COALESCE(o_orderpriority, chr(2)))"
     )
     sig_v2 = hash64_sql(
-        "concat_ws(chr(1), CAST(o_custkey AS VARCHAR), o_orderstatus, prio2)"
+        "concat_ws(chr(1), COALESCE(CAST(o_custkey AS VARCHAR), chr(2)), "
+        "COALESCE(o_orderstatus, chr(2)), COALESCE(prio2, chr(2)))"
     )
     return f"""
     WITH v1 AS (

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from solana_etl_spark.operators.incremental import maintain_join_append
+
 _BDIR = re.compile(r"^batch=(\d+)$")
 _VDIR = re.compile(r"^v=(\d+)$")
 
@@ -96,19 +98,19 @@ def apply_view_batch(
 
     view_dir = os.path.join(state_dir, "view")
     parents = [v for v in _committed(view_dir, _VDIR) if v < batch_id]
-    delta = (
-        da.join(b_old, "user_id")
-        .unionByName(a_old.join(db, "user_id"))
-        .unionByName(da.join(db, "user_id"))
-        .select("user_id", "signup_ts", "purchase_ts", "value")
-    )
+    cols = ["user_id", "signup_ts", "purchase_ts", "value"]
     if parents:
         parent = spark.read.parquet(
             os.path.join(view_dir, f"v={parents[-1]}")
         )
-        new_view = parent.unionByName(delta)
     else:
-        new_view = delta
+        parent = spark.createDataFrame(
+            [], a_old.join(db, "user_id").select(*cols).schema
+        )
+    # one shared implementation of the delta rule (batch + streaming)
+    new_view = maintain_join_append(
+        parent, a_old, b_old, da, db, ["user_id"]
+    ).select(*cols)
     new_view.write.mode("overwrite").parquet(
         os.path.join(view_dir, f"v={batch_id}")
     )
