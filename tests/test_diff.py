@@ -31,3 +31,25 @@ def test_diff_separator_prevents_boundary_collisions(spark):
         for r in snapshot_diff(old, new, "k", ["x", "y"]).collect()
     ]
     assert got == ["changed"]
+
+
+def test_diff_null_position_shift_is_detected(spark):
+    # concat_ws drops NULLs: without the sentinel, ('a', NULL) and
+    # (NULL, 'a') hash identically and the change disappears
+    old = spark.createDataFrame([(1, "a", None)], "k long, x string, y string")
+    new = spark.createDataFrame([(1, None, "a")], "k long, x string, y string")
+    got = [
+        r["status"]
+        for r in snapshot_diff(old, new, "k", ["x", "y"]).collect()
+    ]
+    assert got == ["changed"]
+
+
+def test_diff_null_to_value_is_detected(spark):
+    old = spark.createDataFrame([(1, "a", None)], "k long, x string, y string")
+    new = spark.createDataFrame([(1, "a", "b")], "k long, x string, y string")
+    got = [
+        r["status"]
+        for r in snapshot_diff(old, new, "k", ["x", "y"]).collect()
+    ]
+    assert got == ["changed"]
