@@ -4996,3 +4996,75 @@ def incr_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintain_join_append(
         old_result, a_old, b_old, da, db, ["o_orderkey"]
     ).select("o_orderkey", "o_custkey", "l_linenumber", "qty")
+
+
+@_register(
+    "pipeline_chunk_dedup",
+    # chunk-granularity dedup: a chunk is a duplicate if an identical chunk
+    # exists earlier in (doc_id, chunk_idx) order — the RAG-index dedup step
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    s AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0,
+                   CASE WHEN n <= {_CHUNK} THEN 0
+                        ELSE CAST(floor((n - 1) / {_STRIDE}) AS BIGINT) * {_STRIDE}
+                   END,
+                   {_STRIDE}
+               )) AS s
+        FROM d
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(s / {_STRIDE} AS BIGINT) AS chunk_idx,
+               md5(substring(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS chunk_md5
+        FROM s
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_idx,
+               row_number() OVER (
+                   PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx
+               ) > 1 AS is_dup
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_chunk_frac
+    FROM flagged GROUP BY doc_id
+    """,
+    local_only=True,
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity cross-document dedup (the RAG-index dedup step,
+    composing chunk_documents with first-occurrence-wins window dedup):
+    per document, how many of its stride-overlapped chunks already exist
+    verbatim elsewhere. One shuffle keyed by chunk hash (16 bytes/chunk),
+    one per-doc rollup. local_only: driver cap."""
+    from solana_etl_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=_CHUNK, stride=_STRIDE
+    )
+    is_dup = (
+        F.row_number().over(
+            Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+        )
+        > 1
+    )
+    return (
+        chunks.select("doc_id", "chunk_idx", is_dup.alias("is_dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
