@@ -5068,3 +5068,56 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+@_register(
+    "st_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    j AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT)
+                   AS week_offset
+        FROM firsts f JOIN active a ON a.user_id = f.user_id
+    )
+    SELECT CAST(cohort AS DATE) AS cohort, week_offset,
+           COUNT(*) AS n_users
+    FROM j GROUP BY cohort, week_offset
+    """,
+    local_only=True,
+)
+def st_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (the standard growth-analytics triangle):
+    users grouped by first-activity week, counted in each later active
+    week. Two per-user aggregates (first week, distinct active weeks) and
+    a user-keyed join — event grain is scanned, never self-joined; week
+    offsets are exact integer day arithmetic on week-truncated timestamps
+    (both engines truncate to ISO Monday). local_only: driver cap."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    j = firsts.join(active, "user_id").select(
+        "cohort",
+        (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "week_offset",
+            "n_users",
+        )
+    )
