@@ -5121,3 +5121,28 @@ def st_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@_register(
+    "dq_k_anonymity",
+    # quasi-identifier groups smaller than k: the re-identification risk
+    # audit run before releasing a dataset
+    """
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+           COUNT(*) < 5 AS violates_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    local_only=True,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (data-governance family, alongside the constraint
+    gate and PII redaction): size of every quasi-identifier group
+    (nationality x market segment) with a violates-k flag — one map-side-
+    combined aggregate; groups below k are the re-identification risk a
+    release gate blocks on. local_only: driver cap."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("violates_k"),
+    )
