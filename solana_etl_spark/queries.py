@@ -5146,3 +5146,64 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < 5).alias("violates_k"),
     )
+
+
+@_register(
+    "dq_l_diversity",
+    # l-diversity companion to the k-anonymity audit: a QI group can be
+    # large yet still leak if the SENSITIVE attribute barely varies inside
+    # it — count distinct sensitive values (account-balance band) per group
+    """
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+               AS distinct_sensitive,
+           COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+               AS violates_l
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    local_only=True,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: distinct sensitive-attribute values (1k-wide
+    balance bands) per quasi-identifier group — the leak k-anonymity
+    misses when a big group is homogeneous. One two-phase count-distinct
+    aggregate. local_only: driver cap."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(band).alias("distinct_sensitive"),
+        (F.countDistinct(band) < 3).alias("violates_l"),
+    )
+
+
+@_register(
+    "a19_value_histogram",
+    # equi-width histogram of event values per type: integer bucket edges,
+    # exact counts — the profile statistic optimizers and data cards both use
+    """
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 50) AS BIGINT)
+    """,
+    local_only=True,
+)
+def a19_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (width-50 buckets): one
+    map-side-combined aggregate producing exact counts and exact-decimal
+    bucket sums — the distribution statistic data cards and join-size
+    estimators consume. local_only: driver cap."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("bucket_sum"),
+    )
