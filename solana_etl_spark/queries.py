@@ -5207,3 +5207,63 @@ def a19_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bucket_sum"),
     )
+
+
+@_register(
+    "st_disorder_stats",
+    # per-user event-time disorder under arrival order (event_id): how late
+    # an event is vs the latest event time already seen for that user —
+    # integer epoch seconds end-to-end
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               MAX(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM events
+    ),
+    lateness AS (
+        SELECT CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+                    THEN date_diff('second', ts, prev_max) ELSE 0 END AS late_s
+        FROM seq
+    )
+    SELECT COUNT(*) AS n_events,
+           SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+           MAX(late_s) AS max_late_s,
+           SUM(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+               AS n_beyond_1h_watermark
+    FROM lateness
+    """,
+    local_only=True,
+)
+def st_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder measurement ("measure, don't guess" applied to
+    watermarks): per user, how late each event arrives vs the latest event
+    time already seen (arrival order = event_id), rolled into corpus-wide
+    counts and the max lateness — the numbers that justify a streaming
+    watermark delay, and the events a 1-hour watermark would drop. One
+    per-user window pass, integer seconds end-to-end.
+    local_only: driver cap."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("ts").over(w)
+    late_s = F.when(
+        prev_max.isNotNull() & (F.col("ts") < prev_max),
+        F.col("ts").cast("long") * -1 + prev_max.cast("long"),
+    ).otherwise(F.lit(0))
+    lateness = ev.select(late_s.alias("late_s"))
+    return lateness.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).alias(
+            "n_out_of_order"
+        ),
+        F.max("late_s").alias("max_late_s"),
+        F.sum(F.when(F.col("late_s") > 3600, 1).otherwise(0)).alias(
+            "n_beyond_1h_watermark"
+        ),
+    )
