@@ -2637,11 +2637,10 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK, _STRIDE = 256, 192
 
-
-@_register(
-    "text_chunk_windows",
-    f"""
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+# shared chunk-spine CTEs (d, s): the last-start formula mirrors
+# operators/packing.py::chunk_documents — ONE copy, used by every
+# chunking oracle so the boundary rule can't drift between them
+_CHUNK_SPINE_CTE = f"""d AS (SELECT doc_id, text, length(text) AS n FROM documents),
     s AS (
         SELECT doc_id, text,
                unnest(generate_series(
@@ -2652,7 +2651,13 @@ _CHUNK, _STRIDE = 256, 192
                    {_STRIDE}
                )) AS s
         FROM d
-    )
+    )"""
+
+
+@_register(
+    "text_chunk_windows",
+    f"""
+    WITH {_CHUNK_SPINE_CTE}
     SELECT doc_id, CAST(s / {_STRIDE} AS BIGINT) AS chunk_idx, s AS chunk_start,
            length(substring(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS chunk_len,
            md5(substring(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS chunk_md5
@@ -5003,18 +5008,7 @@ def incr_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk-granularity dedup: a chunk is a duplicate if an identical chunk
     # exists earlier in (doc_id, chunk_idx) order — the RAG-index dedup step
     f"""
-    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-    s AS (
-        SELECT doc_id, text,
-               unnest(generate_series(
-                   0,
-                   CASE WHEN n <= {_CHUNK} THEN 0
-                        ELSE CAST(floor((n - 1) / {_STRIDE}) AS BIGINT) * {_STRIDE}
-                   END,
-                   {_STRIDE}
-               )) AS s
-        FROM d
-    ),
+    WITH {_CHUNK_SPINE_CTE},
     chunks AS (
         SELECT doc_id, CAST(s / {_STRIDE} AS BIGINT) AS chunk_idx,
                md5(substring(text, CAST(s + 1 AS BIGINT), {_CHUNK})) AS chunk_md5
@@ -5072,13 +5066,25 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "st_cohort_retention",
-    """
-    WITH firsts AS (
+    # the fixture's users are ALL active from week 1 (uniform synthetic
+    # activity), which would collapse the triangle to one cohort; a
+    # deterministic hash keeps ~25% of each user's user-weeks, modeling
+    # sparse engagement so first-activity weeks genuinely differ (5
+    # cohorts at both sf) and the cross-cohort arithmetic is exercised
+    f"""
+    WITH surv AS (
+        SELECT * FROM events
+        WHERE {hash64_sql(
+            "CAST(user_id AS VARCHAR) || '|' || "
+            "CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR)"
+        )} % 10000 < 2500
+    ),
+    firsts AS (
         SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
-        FROM events GROUP BY user_id
+        FROM surv GROUP BY user_id
     ),
     active AS (
-        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM surv
     ),
     j AS (
         SELECT f.cohort,
@@ -5098,8 +5104,19 @@ def st_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     week. Two per-user aggregates (first week, distinct active weeks) and
     a user-keyed join — event grain is scanned, never self-joined; week
     offsets are exact integer day arithmetic on week-truncated timestamps
-    (both engines truncate to ISO Monday). local_only: driver cap."""
-    ev = _t(spark, sf_dir, "events")
+    (both engines truncate to ISO Monday). A deterministic hash keeps
+    ~25% of user-weeks (sparse engagement) so cohorts spread over 5 weeks
+    instead of collapsing to one. local_only: driver cap."""
+    from solana_etl_spark.functions.hashing import hash64
+
+    # date form on both sides: DuckDB's date_trunc('week') yields DATE
+    # while Spark's yields TIMESTAMP — cast to DATE before stringifying
+    wk_key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.date_trunc("week", F.col("ts")).cast("date").cast("string"),
+    )
+    ev = _t(spark, sf_dir, "events").filter(hash64(wk_key) % 10000 < 2500)
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
     )
@@ -5127,22 +5144,32 @@ def st_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_k_anonymity",
     # quasi-identifier groups smaller than k: the re-identification risk
     # audit run before releasing a dataset
+    # the 3-column QI (nation x segment x 2k-wide balance band) leaves
+    # BOTH violating and passing groups at both sf (578/623 violate at
+    # sf0.01, 2/750 at sf0.1) so the flag's true branch is gate-checked
     """
-    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           COUNT(*) AS group_size,
            COUNT(*) < 5 AS violates_k
     FROM customer
-    GROUP BY c_nationkey, c_mktsegment
+    GROUP BY c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT)
     """,
     local_only=True,
 )
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (data-governance family, alongside the constraint
     gate and PII redaction): size of every quasi-identifier group
-    (nationality x market segment) with a violates-k flag — one map-side-
-    combined aggregate; groups below k are the re-identification risk a
-    release gate blocks on. local_only: driver cap."""
+    (nationality x market segment x coarse balance band) with a
+    violates-k flag — one map-side-combined aggregate; groups below k are
+    the re-identification risk a release gate blocks on.
+    local_only: driver cap."""
     c = _t(spark, sf_dir, "customer")
-    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+    band = F.floor(F.col("c_acctbal") / 2000).cast("long")
+    return c.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    ).agg(
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < 5).alias("violates_k"),
     )
@@ -5153,15 +5180,19 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l-diversity companion to the k-anonymity audit: a QI group can be
     # large yet still leak if the SENSITIVE attribute barely varies inside
     # it — count distinct sensitive values (account-balance band) per group
+    # the custkey-block third QI column leaves both violating and passing
+    # groups at both sf (605/766 at sf0.01, 5912/7541 at sf0.1)
     """
     SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_custkey / 200) AS BIGINT) AS cust_block,
            COUNT(*) AS group_size,
            COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
                AS distinct_sensitive,
            COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
                AS violates_l
     FROM customer
-    GROUP BY c_nationkey, c_mktsegment
+    GROUP BY c_nationkey, c_mktsegment,
+             CAST(floor(c_custkey / 200) AS BIGINT)
     """,
     local_only=True,
 )
@@ -5172,7 +5203,10 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. local_only: driver cap."""
     c = _t(spark, sf_dir, "customer")
     band = F.floor(F.col("c_acctbal") / 1000).cast("long")
-    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+    block = F.floor(F.col("c_custkey") / 200).cast("long")
+    return c.groupBy(
+        "c_nationkey", "c_mktsegment", block.alias("cust_block")
+    ).agg(
         F.count(F.lit(1)).alias("group_size"),
         F.countDistinct(band).alias("distinct_sensitive"),
         (F.countDistinct(band) < 3).alias("violates_l"),
@@ -5211,27 +5245,37 @@ def a19_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "st_disorder_stats",
-    # per-user event-time disorder under arrival order (event_id): how late
-    # an event is vs the latest event time already seen for that user —
-    # integer epoch seconds end-to-end
-    """
-    WITH seq AS (
-        SELECT user_id, ts,
-               MAX(ts) OVER (
-                   PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ) AS prev_max
+    # per-user event-time disorder under arrival order. The fixture stream
+    # is perfectly ordered (event_id order == ts order per user), so
+    # arrival is modeled with a deterministic per-event network delay
+    # (hash(event_id) % 2h) — exactly how one stress-tests watermark
+    # sizing on clean synthetic data. All arithmetic is exact integer
+    # MICROseconds (the guard and the counters agree at full precision).
+    f"""
+    WITH arr AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+                 + ({hash64_sql("CAST(event_id AS VARCHAR)")} % 7200)
+                   * 1000000 AS arrival_us
         FROM events
     ),
+    seq AS (
+        SELECT user_id, ts_us,
+               MAX(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_us
+        FROM arr
+    ),
     lateness AS (
-        SELECT CASE WHEN prev_max IS NOT NULL AND ts < prev_max
-                    THEN date_diff('second', ts, prev_max) ELSE 0 END AS late_s
+        SELECT CASE WHEN prev_max_us IS NOT NULL AND ts_us < prev_max_us
+                    THEN prev_max_us - ts_us ELSE 0 END AS late_us
         FROM seq
     )
     SELECT COUNT(*) AS n_events,
-           SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
-           MAX(late_s) AS max_late_s,
-           SUM(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+           SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+           CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s,
+           SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
                AS n_beyond_1h_watermark
     FROM lateness
     """,
@@ -5239,31 +5283,45 @@ def a19_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time disorder measurement ("measure, don't guess" applied to
-    watermarks): per user, how late each event arrives vs the latest event
-    time already seen (arrival order = event_id), rolled into corpus-wide
-    counts and the max lateness — the numbers that justify a streaming
-    watermark delay, and the events a 1-hour watermark would drop. One
-    per-user window pass, integer seconds end-to-end.
+    watermarks): per user, how late each event's time is vs the latest
+    event time already ARRIVED (arrival = event time + a deterministic
+    hash-derived network delay up to 2h — the fixture stream itself is
+    perfectly ordered), rolled into corpus counts, max lateness, and how
+    many events a 1-hour watermark would drop. One per-user window pass;
+    guard and counters share the same exact-microsecond comparison.
     local_only: driver cap."""
-    ev = _t(spark, sf_dir, "events")
+    from solana_etl_spark.functions.hashing import hash64
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (hash64(F.col("event_id").cast("string")) % 7200)
+            * F.lit(1_000_000)
+        ).alias("arrival_us"),
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("arrival_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prev_max = F.max("ts").over(w)
-    late_s = F.when(
-        prev_max.isNotNull() & (F.col("ts") < prev_max),
-        F.col("ts").cast("long") * -1 + prev_max.cast("long"),
+    prev_max = F.max("ts_us").over(w)
+    late_us = F.when(
+        prev_max.isNotNull() & (F.col("ts_us") < prev_max),
+        prev_max - F.col("ts_us"),
     ).otherwise(F.lit(0))
-    lateness = ev.select(late_s.alias("late_s"))
+    lateness = ev.select(late_us.alias("late_us"))
     return lateness.agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).alias(
             "n_out_of_order"
         ),
-        F.max("late_s").alias("max_late_s"),
-        F.sum(F.when(F.col("late_s") > 3600, 1).otherwise(0)).alias(
-            "n_beyond_1h_watermark"
-        ),
+        F.floor(F.max("late_us") / 1_000_000)
+        .cast("long")
+        .alias("max_late_s"),
+        F.sum(
+            F.when(F.col("late_us") > 3600 * 1_000_000, 1).otherwise(0)
+        ).alias("n_beyond_1h_watermark"),
     )
