@@ -20,6 +20,55 @@ from solana_etl_spark.session import get_spark  # noqa: E402
 from solana_etl_spark.sources.tables import TESTDATA_TABLES  # noqa: E402
 
 
+def _type_class(t: str) -> str:
+    """Collapse a type name (DuckDB column_type or Spark simpleString) into a
+    comparison class. The driver's value hash is type-sensitive, so an oracle
+    that emits HUGEINT where Spark emits int64 hash-fails even when every value
+    is bit-identical (the r1/r2 a9/solana_e2e bug). 'int128' never matches."""
+    t = t.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "int128"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith(("DATE", "TIMESTAMP")):
+        return "temporal"
+    return t.lower()
+
+
+def type_parity_problems(spark_schema, duck_typed_cols):
+    """Compare result types column-by-name; return a list of mismatch strings.
+
+    spark_schema: dict name -> simpleString; duck_typed_cols: list of
+    (name, column_type) from DESCRIBE. Any HUGEINT/UHUGEINT on the oracle
+    side is an unconditional failure (Spark cannot emit int128, so the
+    driver hash can never match); otherwise the collapsed classes must agree.
+    """
+    problems = []
+    for name, duck_t in duck_typed_cols:
+        if name not in spark_schema:
+            continue  # column-name mismatch is reported separately
+        dc, sc = _type_class(duck_t), _type_class(spark_schema[name])
+        if dc == "int128":
+            problems.append(
+                f"type[{name}]: oracle {duck_t} (int128 — CAST to BIGINT) "
+                f"vs spark {spark_schema[name]}"
+            )
+        elif dc != sc:
+            problems.append(
+                f"type[{name}]: oracle {duck_t} vs spark {spark_schema[name]}"
+            )
+    return problems
+
+
 def normalize(rows, cols):
     """Sort columns by name, canonicalize values, sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -83,12 +132,18 @@ def main():
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            duck_typed = con.execute(
+                f"DESCRIBE {oracles[name]}"
+            ).fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
 
-        problems = []
+        spark_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        problems = type_parity_problems(
+            spark_schema, [(r[0], r[1]) for r in duck_typed]
+        )
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):

@@ -325,9 +325,9 @@ def f6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT YEAR(o_orderdate) AS order_year,
            COUNT(*) AS num_orders,
-           COUNT_IF(o_orderstatus = 'F') AS num_finished,
-           COUNT_IF(o_orderstatus = 'O') AS num_open,
-           COUNT_IF(o_orderpriority = '1-URGENT') AS num_urgent,
+           CAST(COUNT_IF(o_orderstatus = 'F') AS BIGINT) AS num_finished,
+           CAST(COUNT_IF(o_orderstatus = 'O') AS BIGINT) AS num_open,
+           CAST(COUNT_IF(o_orderpriority = '1-URGENT') AS BIGINT) AS num_urgent,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS finished_value_e4,
            COUNT(DISTINCT o_custkey) AS n_customers
     FROM orders
@@ -340,10 +340,13 @@ def a9_conditional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``finished_value_e4`` is the money sum as an unscaled fixed-point BIGINT
     (value x 10^4, the reference's NumberWithScale persistence style —
-    TransformTask.py:143-144): the r1 driver gate hash-failed the DOUBLE form
-    of this column despite locally bit-identical values (engine-internal
-    DECIMAL->DOUBLE conversion is the only non-reproducible step), so the
-    checked output carries no float at all."""
+    TransformTask.py:143-144), so the checked output carries no float at all.
+
+    The r1/r2 driver hash-red on this query was a result-TYPE mismatch, not
+    value drift: DuckDB's ``COUNT_IF`` returns HUGEINT (int128) while Spark
+    emits int64, and the driver's value hash is type-sensitive. The oracle
+    now CASTs each conditional count to BIGINT (same class of fix as
+    solana_e2e's ``list_sum`` columns)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
         F.count(F.lit(1)).alias("num_orders"),
@@ -2087,13 +2090,13 @@ def _e2e_oracle() -> str:
            time,
            t.meta.fee AS fee,
            t.meta.err IS NULL AS isSuccessful,
-           len(t.transaction.message.instructions)
-             + coalesce(list_sum([len(x.instructions) for x in t.meta.innerInstructions]), 0) AS numInstructions,
+           CAST(len(t.transaction.message.instructions)
+             + coalesce(list_sum([len(x.instructions) for x in t.meta.innerInstructions]), 0) AS BIGINT) AS numInstructions,
            len(t.transaction.message.accountKeys) AS numAccounts,
-           coalesce(list_sum([CASE WHEN {delta} < 0 THEN {delta} ELSE 0 END
-                              for i in {series}]), 0) AS lamportsOut,
-           coalesce(list_sum([CASE WHEN {delta} > 0 THEN {delta} ELSE 0 END
-                              for i in {series}]), 0) AS lamportsIn,
+           CAST(coalesce(list_sum([CASE WHEN {delta} < 0 THEN {delta} ELSE 0 END
+                              for i in {series}]), 0) AS BIGINT) AS lamportsOut,
+           CAST(coalesce(list_sum([CASE WHEN {delta} > 0 THEN {delta} ELSE 0 END
+                              for i in {series}]), 0) AS BIGINT) AS lamportsIn,
            blockhash
     FROM b
     """
@@ -2757,7 +2760,8 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_orderkey IS NOT NULL
           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
     )
-    SELECT rule, "column", n_rows, n_violations, n_violations = 0 AS passed
+    SELECT rule, "column", n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
     FROM (
         SELECT 'not_null' AS rule, 'o_custkey' AS "column",
                n_rows, v0 AS n_violations FROM rowagg
@@ -3920,10 +3924,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_bucket",
     """
     SELECT l_linenumber % 3 AS ship_bucket,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -5023,7 +5027,7 @@ def incr_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
            ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS dup_chunk_frac
     FROM flagged GROUP BY doc_id
@@ -5273,9 +5277,10 @@ def a19_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq
     )
     SELECT COUNT(*) AS n_events,
-           SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
            CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s,
-           SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_beyond_1h_watermark
     FROM lateness
     """,
