@@ -239,11 +239,17 @@ def es_key(key: Column, weight: Column) -> Column:
     row content (retry-safe, cross-engine-reproducible).
 
     Float discipline: u = (h+1)/2^40 and ln(u)/w round at 9 decimals —
-    both engines compute the identical double."""
+    both engines compute the identical double.
+
+    Weight contract: weights must be strictly positive. A weight ≤ 0 (or
+    NULL) has no valid ES key — dividing by it would yield NULL (silently
+    sorting last in Spark but engine-dependent elsewhere) or an inverted
+    draw — so the key is NULL'd explicitly and :func:`weighted_sample`
+    raises before sampling rather than skewing the draw silently."""
     u = (hash64(key.cast("string")) % F.lit(WEIGHTED_DENOM) + F.lit(1)) / (
         F.lit(WEIGHTED_DENOM).cast("double")
     )
-    return F.round(F.log(u) / weight, 9)
+    return F.when(weight > 0, F.round(F.log(u) / weight, 9))
 
 
 def weighted_sample(
@@ -252,6 +258,20 @@ def weighted_sample(
     """Top-n weighted sample without replacement [Efraimidis & Spirakis
     2006]: order by the ES key descending (deterministic key tie-break),
     keep n. Runs as TakeOrderedAndProject — per-partition partial top-n,
-    no global sort. Weights must be > 0."""
-    keyed = df.withColumn("_es", es_key(F.col(key_col), F.col(weight_col)))
+    no global sort. Weights must be > 0; a non-positive or NULL weight
+    fails the job in-plan via raise_error (fail loudly, never skew the
+    sample silently — and no extra validation pass over the data)."""
+    guarded = F.coalesce(
+        es_key(F.col(key_col), F.col(weight_col)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample: undefined ES key ('{weight_col}' <= 0"
+                    f"/NULL, or NULL '{key_col}') at {key_col}="
+                ),
+                F.col(key_col).cast("string"),
+            )
+        ).cast("double"),
+    )
+    keyed = df.withColumn("_es", guarded)
     return keyed.orderBy(F.desc("_es"), F.asc(key_col)).limit(n).drop("_es")

@@ -104,10 +104,19 @@ def bm25_topk(
     )
 
 
-def with_rank(scored: DataFrame, score_col: str, id_col: str) -> Column:
-    """1-based dense position by (score desc, id asc) — deterministic."""
-    return F.row_number().over(
-        Window.orderBy(F.desc(score_col), F.asc(id_col))
+def with_rank(
+    scored: DataFrame, score_col: str, id_col: str, rank_col: str = "rank"
+) -> DataFrame:
+    """(id, rank): 1-based position by (score desc, id asc) — deterministic.
+
+    Returns a DataFrame (not a bare window Column) so the ranking is bound
+    to ``scored`` explicitly — a loose global-window Column would silently
+    rank whichever relation it was later selected from."""
+    return scored.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc(score_col), F.asc(id_col)))
+        .alias(rank_col),
     )
 
 

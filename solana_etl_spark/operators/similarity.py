@@ -423,7 +423,12 @@ def _probe_scored(
     min-vec_id query ONCE (persisted — both the exact and the approx
     branch read it), plus the nprobe probe-list cids. Single source of
     truth for the probe/assignment logic the recall and NDCG evals (and
-    their oracles) must agree on."""
+    their oracles) must agree on.
+
+    Lifetime contract: the caller must materialize its final (tiny)
+    result and then ``scored.unpersist()`` — see :func:`_finalize_eval` —
+    otherwise each eval leaks a cached corpus-sized block in a long-lived
+    session."""
     vecs = quantized(embeddings)
     centroids = kmeans_centroids(embeddings, k, iters)
     query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
@@ -443,6 +448,17 @@ def _probe_scored(
         .persist()
     )
     return scored, probe_cids
+
+
+def _finalize_eval(result: DataFrame, scored: DataFrame) -> DataFrame:
+    """Materialize a (single-row) eval result while ``scored`` is still
+    cached, then release the corpus-sized cache. The 1-row result block
+    stays persisted (negligible); if it is ever evicted the lineage simply
+    recomputes without the cache."""
+    out = result.persist()
+    out.count()
+    scored.unpersist()
+    return out
 
 
 def ivf_recall(
@@ -469,13 +485,14 @@ def ivf_recall(
         .limit(topk)
         .select("vec_id")
     )
-    return approx.join(exact, "vec_id").agg(
+    result = approx.join(exact, "vec_id").agg(
         F.count(F.lit(1)).alias("n_hit"),
         F.lit(topk).alias("k"),
         F.round(F.count(F.lit(1)) / F.lit(float(topk)), 6).alias(
             "recall_at_k"
         ),
     )
+    return _finalize_eval(result, scored)
 
 
 def ivf_ndcg(
@@ -514,10 +531,11 @@ def ivf_ndcg(
         .agg(F.coalesce(F.sum(term), F.lit(0).cast("decimal(28,9)")).alias("_dcg"))
     )
     idcg = sum(round(1.0 / math.log2(i + 1), 9) for i in range(1, topk + 1))
-    return dcg.select(
+    result = dcg.select(
         F.col("_dcg").cast("double").alias("dcg"),
         F.lit(topk).alias("k"),
         F.round(F.col("_dcg").cast("double") / F.lit(idcg), 6).alias(
             "ndcg_at_k"
         ),
     )
+    return _finalize_eval(result, scored)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,6 +117,16 @@ def apply_view_batch(
     )
 
 
+def prune_view_versions(state_dir: str, retain: int = 3) -> None:
+    """Drop all but the newest ``retain`` committed view versions. Without
+    pruning, every micro-batch rewrites the FULL view into a fresh ``v=N``
+    directory and storage grows quadratically in batch count (the same
+    guard :func:`merge_stream.prune_snapshots` applies to CDC snapshots)."""
+    view_dir = os.path.join(state_dir, "view")
+    for v in _committed(view_dir, _VDIR)[:-retain]:
+        shutil.rmtree(os.path.join(view_dir, f"v={v}"), ignore_errors=True)
+
+
 def current_view(spark: SparkSession, state_dir: str) -> DataFrame:
     view_dir = os.path.join(state_dir, "view")
     versions = _committed(view_dir, _VDIR)
@@ -129,9 +140,20 @@ def start_view_stream(
     events_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
+    retain: int | None = 3,
 ) -> StreamingQuery:
+    """Maintain the attribution view from an event stream. ``retain`` prunes
+    old view versions after each batch (None keeps all — full time travel,
+    at quadratic storage in batch count)."""
+    if retain is not None and retain < 2:
+        # a foreachBatch retry of batch N re-joins onto the newest version
+        # < N; pruning that parent away would silently restart from empty
+        raise ValueError("retain must be >= 2 (retry needs the parent view)")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_view_batch(spark, batch_df, state_dir, batch_id)
+        if retain is not None:
+            prune_view_versions(state_dir, retain)
 
     return (
         events_stream.writeStream.foreachBatch(process_batch)

@@ -670,3 +670,20 @@ def test_weighted_sample_is_retry_stable(spark):
         for r in weighted_sample(df.repartition(13), "k", "w", 5).collect()
     ]
     assert a == b  # partitioning never changes the draw
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """Weight <= 0 / NULL has no ES key — the draw must fail loudly
+    in-plan, never silently skew (ADVICE r2)."""
+    import pytest
+
+    from solana_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, 1.0)], ["k", "w"]
+    )
+    with pytest.raises(Exception, match="undefined ES key"):
+        weighted_sample(df, "k", "w", 2).collect()
+    dfn = spark.createDataFrame([(1, 2.0), (2, None)], ["k", "w"])
+    with pytest.raises(Exception, match="undefined ES key"):
+        weighted_sample(dfn, "k", "w", 1).collect()

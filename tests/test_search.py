@@ -92,9 +92,7 @@ def test_with_rank_is_deterministic_on_ties(spark):
     df = spark.createDataFrame(
         [(1, 5.0), (2, 5.0), (3, 1.0)], ["doc_id", "s"]
     )
-    ranked = df.select(
-        "doc_id", with_rank(df, "s", "doc_id").alias("rank")
-    )
+    ranked = with_rank(df, "s", "doc_id")
     got = {r["doc_id"]: r["rank"] for r in ranked.collect()}
     assert got == {1: 1, 2: 2, 3: 3}
 

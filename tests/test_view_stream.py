@@ -91,3 +91,32 @@ def test_view_batch_retry_converges(spark, tmp_path):
     apply_view_batch(spark, _ev(spark, _BATCHES[2]), state, 2)
     after = sorted(tuple(r) for r in current_view(spark, state).collect())
     assert before == after == _expected(spark)
+
+
+def test_view_stream_prunes_old_versions(spark, tmp_path):
+    """retain=2 keeps only the newest two v=N dirs (storage would otherwise
+    grow quadratically in batch count) without changing the final view."""
+    from solana_etl_spark.streaming.view_stream import prune_view_versions
+
+    state = str(tmp_path / "state")
+    for i, rows in enumerate(_BATCHES):
+        apply_view_batch(spark, _ev(spark, rows), state, i)
+        prune_view_versions(state, retain=2)
+    versions = sorted(
+        d for d in os.listdir(os.path.join(state, "view")) if d.startswith("v=")
+    )
+    assert versions == ["v=1", "v=2"]
+    got = sorted(tuple(r) for r in current_view(spark, state).collect())
+    assert got == _expected(spark)
+    # retry of the last batch still converges with the pruned parent present
+    apply_view_batch(spark, _ev(spark, _BATCHES[2]), state, 2)
+    assert sorted(tuple(r) for r in current_view(spark, state).collect()) == got
+
+
+def test_view_stream_retain_guard():
+    import pytest
+
+    from solana_etl_spark.streaming.view_stream import start_view_stream
+
+    with pytest.raises(ValueError, match="retain must be >= 2"):
+        start_view_stream(None, None, "", "", retain=1)
