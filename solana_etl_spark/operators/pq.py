@@ -95,14 +95,24 @@ def pq_codebooks(
     subdim: int = PQ_SUBDIM,
     k: int = PQ_K,
     iters: int = PQ_ITERS,
+    train_bp: int = 10000,
 ) -> DataFrame:
     """(sub, cid, cvec): m codebooks of k sub-centroids, trained jointly as
     one (sub)-keyed exact-integer Lloyd loop. Init = each subspace's slice
     of the k vectors with the smallest (hash64(vec_id), vec_id) — the same
     deterministic draw as IVF. Empty clusters keep their previous
     sub-centroid. Truncating mean (s − s % n)/n keeps Spark `div` and
-    DuckDB `//` identical on negative sums."""
+    DuckDB `//` identical on negative sums.
+
+    ``train_bp`` < 10000 trains on the deterministic vec_id hash-sample
+    (same predicate as ``sampling.hash_sample``): codebook quality needs a
+    bounded training set, not the corpus — at 100 TB only ENCODING
+    (``pq_codes``) touches every row."""
     subs = subvectors(embeddings, m, subdim)
+    if train_bp < 10000:
+        from solana_etl_spark.operators.sampling import sample_bucket
+
+        subs = subs.filter(sample_bucket(F.col("vec_id")) < train_bp)
     w = Window.partitionBy("sub").orderBy(
         hash64(F.col("vec_id").cast("string")), F.col("vec_id")
     )

@@ -259,7 +259,10 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_centroids(
-    embeddings: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    train_bp: int = 10000,
 ) -> DataFrame:
     """(cid, cvec): centroids after ``iters`` exact-integer Lloyd rounds.
 
@@ -269,14 +272,22 @@ def kmeans_centroids(
     agree on negative sums. Empty clusters keep their previous centroid
     (never arises with hash-drawn init on this data, but defined behavior).
 
-    Scale shape: train on a hash_sample at 100 TB (centroid quality needs
-    ~10⁴–10⁶ vectors, not the corpus); ASSIGNMENT is the full scan, and it
-    is one broadcast join. Each Lloyd round = one narrow shuffle keyed by
-    (cid, dim) for the partial per-dimension sums.
+    ``train_bp`` bounds the TRAINING scan: Lloyd rounds run on the
+    deterministic hash-sample keeping vectors whose vec_id hashes into the
+    first ``train_bp``/10000 buckets (``sampling.hash_sample``'s predicate —
+    stateless, retry-stable, oracle-mirrorable). Centroid quality needs
+    ~10⁴–10⁶ vectors, not the corpus, so at 100 TB you train at a few bp
+    and only ASSIGNMENT touches every row (one broadcast-join scan,
+    handled by the callers). Each Lloyd round = one narrow shuffle keyed
+    by (cid, dim) for the partial per-dimension sums — exchange count per
+    round is unchanged by sampling; only the scan width shrinks.
     """
     from solana_etl_spark.functions.hashing import hash64
+    from solana_etl_spark.operators.sampling import sample_bucket
 
     vecs = quantized(embeddings)
+    if train_bp < 10000:
+        vecs = vecs.filter(sample_bucket(F.col("vec_id")) < train_bp)
     w = Window.orderBy(hash64(F.col("vec_id").cast("string")), F.col("vec_id"))
     centroids = (
         vecs.withColumn("_rn", F.row_number().over(w))
@@ -318,12 +329,17 @@ def kmeans_centroids(
 
 
 def ivf_assignments(
-    embeddings: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    train_bp: int = 10000,
 ) -> DataFrame:
     """The IVF index: (vec_id, cid, dist) — every vector's inverted-list
     assignment under the learned centroids. All-integer output → value-exact
-    oracle for the entire k-means."""
-    centroids = kmeans_centroids(embeddings, k, iters)
+    oracle for the entire k-means. ``train_bp`` < 10000 trains the
+    centroids on the hash-sampled subset while still assigning EVERY
+    vector (the 100 TB shape: bounded training scan, full assignment)."""
+    centroids = kmeans_centroids(embeddings, k, iters, train_bp)
     return ivf_assign_with(quantized(embeddings), centroids)
 
 

@@ -1713,12 +1713,19 @@ def s5_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
-def _ivf_cte(k: int, iters: int, dim: int, scale: int) -> str:
+def _ivf_cte(k: int, iters: int, dim: int, scale: int, train_bp: int = 10000) -> str:
     """qvecs / unrolled-Lloyd centroid CTEs mirroring operators/similarity.py
-    kmeans_centroids — exact integer math, so value-identical by design."""
+    kmeans_centroids — exact integer math, so value-identical by design.
+    ``train_bp`` < 10000 trains on the vec_id hash-sample (tvecs), matching
+    the Spark side's bounded-training-scan path."""
     dist = (
         "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
         f"for i in generate_series(1, {dim}) ])"
+    )
+    train_where = (
+        f"WHERE {hash64_sql('CAST(vec_id AS VARCHAR)')} % 10000 < {train_bp}"
+        if train_bp < 10000
+        else ""
     )
     parts = [
         f"""qvecs AS MATERIALIZED (
@@ -1727,12 +1734,15 @@ def _ivf_cte(k: int, iters: int, dim: int, scale: int) -> str:
                    x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qvec
         FROM embeddings
     ),
+    tvecs AS MATERIALIZED (
+        SELECT vec_id, qvec FROM qvecs {train_where}
+    ),
     c0 AS (
         SELECT row_number() OVER (
                    ORDER BY {hash64_sql("CAST(vec_id AS VARCHAR)")}, vec_id
                ) - 1 AS cid,
                qvec AS cvec
-        FROM qvecs
+        FROM tvecs
         ORDER BY {hash64_sql("CAST(vec_id AS VARCHAR)")}, vec_id
         LIMIT {k}
     )"""
@@ -1744,7 +1754,7 @@ def _ivf_cte(k: int, iters: int, dim: int, scale: int) -> str:
                    row_number() OVER (
                        PARTITION BY v.vec_id ORDER BY {dist}, c.cid
                    ) AS rn
-            FROM qvecs v CROSS JOIN c{it} c
+            FROM tvecs v CROSS JOIN c{it} c
         ) WHERE rn = 1
     ),
     u{it} AS (
@@ -1765,13 +1775,15 @@ def _ivf_cte(k: int, iters: int, dim: int, scale: int) -> str:
     return ",\n    ".join(parts)
 
 
-def _ivf_assign_oracle(k: int, iters: int, dim: int, scale: int) -> str:
+def _ivf_assign_oracle(
+    k: int, iters: int, dim: int, scale: int, train_bp: int = 10000
+) -> str:
     dist = (
         "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
         f"for i in generate_series(1, {dim}) ])"
     )
     return f"""
-    WITH {_ivf_cte(k, iters, dim, scale)}
+    WITH {_ivf_cte(k, iters, dim, scale, train_bp)}
     SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM (
         SELECT v.vec_id, c.cid, {dist} AS dist,
                row_number() OVER (
@@ -1829,6 +1841,33 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int math → bit-identical across engines AND partitionings); output
     is every vector's inverted-list assignment. local_only: driver cap."""
     return similarity.ivf_assignments(_t(spark, sf_dir, "embeddings"))
+
+
+_IVF_TRAIN_BP = 5000  # sampled-training probe: train on half the corpus
+
+
+@_register(
+    "ann_ivf_sampled_train",
+    _ivf_assign_oracle(
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+        train_bp=_IVF_TRAIN_BP,
+    ),
+    local_only=True,
+)
+def ann_ivf_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB IVF training shape: Lloyd rounds run on a deterministic
+    vec_id hash-sample (here half the corpus; a few bp at real scale —
+    centroid quality needs ~10⁴–10⁶ vectors, not 10⁹), then EVERY vector
+    is assigned in one broadcast-join scan. Exchange count per Lloyd round
+    is unchanged vs full training; only the training scan width shrinks.
+    The oracle trains on the identical hash-bucket subset. local_only:
+    driver cap."""
+    return similarity.ivf_assignments(
+        _t(spark, sf_dir, "embeddings"), train_bp=_IVF_TRAIN_BP
+    )
 
 
 @_register(
@@ -4449,16 +4488,24 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_oracle() -> str:
-    from solana_etl_spark.operators.er import ER_BLOCK_PREFIX, ER_MAX_EDITS
-
-    return f"""
-    WITH RECURSIVE pairs AS MATERIALIZED (
-        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-        FROM customer a JOIN customer b
-          ON substring(a.c_name, 1, {ER_BLOCK_PREFIX})
-               = substring(b.c_name, 1, {ER_BLOCK_PREFIX})
-         AND a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_EDITS}
+    # Blocking-INDEPENDENT ground truth: every pair within one edit. DuckDB
+    # generates each name's single-char-deletion variants (its own FastSS
+    # neighborhood, written relationally) — two names within one edit
+    # provably share a variant, so this is the complete 1-edit pair set,
+    # not a mirror of the Spark blocking scheme. (Brute-force all-pairs
+    # levenshtein is the same answer but ~100x slower at sf0.1.)
+    return """
+    WITH RECURSIVE vars AS MATERIALIZED (
+        SELECT c_custkey AS id, c_name AS nm,
+               unnest(list_append(
+                   [nm[1:i-1] || nm[i+1:len(nm)]
+                    for i in generate_series(1, len(nm))], nm)) AS var
+        FROM customer
+    ),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM vars a JOIN vars b ON a.var = b.var AND a.id < b.id
+        WHERE levenshtein(a.nm, b.nm) <= 1
     ),
     edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -4482,11 +4529,12 @@ def _er_oracle() -> str:
 @_register("er_entity_resolution", _er_oracle(), local_only=True)
 def er_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over the customer roster (operators/er.py):
-    name-prefix blocking -> bounded Levenshtein match pairs -> pointer-
-    jumping connected components -> entity_id per record. Pair volume is
-    bounded by block sizes (never corpus N^2); the oracle resolves the
-    same pair graph with a recursive-CTE closure. local_only: driver
-    cap."""
+    deletion-neighborhood (FastSS) blocking -> Levenshtein<=1 match pairs
+    with EXACT recall -> pointer-jumping connected components -> entity_id
+    per record. Pair volume is one O(N*len) variant-key shuffle (never
+    corpus N^2); because recall is exact, the oracle is the
+    blocking-independent 1-edit ground truth resolved with a
+    recursive-CTE closure. local_only: driver cap."""
     from solana_etl_spark.operators.er import resolve_entities
 
     return resolve_entities(
@@ -5330,3 +5378,55 @@ def st_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("late_us") > 3600 * 1_000_000, 1).otherwise(0)
         ).alias("n_beyond_1h_watermark"),
     )
+
+
+@_register(
+    "stream_attribution_view",
+    """
+    WITH s AS (SELECT user_id, ts AS signup_ts FROM events
+               WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT s.user_id, signup_ts, purchase_ts, value
+    FROM s JOIN p USING (user_id)
+    """,
+    local_only=True,
+)
+def stream_attribution_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run inside the correctness gate: the
+    events table is re-landed as several parquet files, tailed with
+    maxFilesPerTrigger=1 (multiple micro-batches), and the streaming
+    materialized-join view (streaming/view_stream.py — the delta rule
+    ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, idempotent per-batch state dirs, retained-version
+    pruning) maintains signups ⋈ purchases incrementally. The returned
+    final view is value-hash-checked against the plain batch join oracle —
+    the stream-equals-batch exactly-once claim, enforced by the gate
+    rather than only by pytest. local_only: streaming state dirs are
+    per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.view_stream import (
+        current_view,
+        start_view_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="gate_stream_attr_")
+    src = f"{work}/src"
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = start_view_stream(
+        spark,
+        stream,
+        state_dir=f"{work}/state",
+        checkpoint_dir=f"{work}/ckpt",
+        retain=2,
+    )
+    q.awaitTermination(300)
+    return current_view(spark, f"{work}/state")

@@ -447,8 +447,31 @@ def test_kmeans_ivf_separable_clusters(spark):
     hits = [r.vec_id for r in ivf_topk(emb, k=3, iters=3, nprobe=1, topk=5).collect()]
     assert hits[0] == 0 and all(v < 20 for v in hits)
 
-    # batch path with the same single query must agree with the single path
+    # sampled training (the 100 TB shape): train_bp=5000 must (a) still
+    # assign EVERY vector, and (b) produce exactly the centroids of
+    # training on the manually hash-filtered subset — the sampling is a
+    # pure deterministic predicate, not a different algorithm
     from pyspark.sql import functions as _F
+    from solana_etl_spark.operators.sampling import sample_bucket
+    from solana_etl_spark.operators.similarity import kmeans_centroids
+
+    sampled = {
+        r.vec_id: r.cid
+        for r in ivf_assignments(emb, k=3, iters=3, train_bp=5000).collect()
+    }
+    assert len(sampled) == 60
+    manual = emb.filter(sample_bucket(_F.col("vec_id")) < 5000)
+    want = {
+        r.cid: r.cvec
+        for r in kmeans_centroids(manual, k=3, iters=3).collect()
+    }
+    got = {
+        r.cid: r.cvec
+        for r in kmeans_centroids(emb, k=3, iters=3, train_bp=5000).collect()
+    }
+    assert got == want
+
+    # batch path with the same single query must agree with the single path
     from solana_etl_spark.operators.similarity import ivf_batch_topk
 
     batch = ivf_batch_topk(
