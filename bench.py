@@ -150,6 +150,45 @@ def main() -> None:
     except Exception:
         timings["solana_e2e_corpus_all_tasks"] = -1.0
 
+    # scaling curve: re-time the headline registry queries at the next sf
+    # DOWN (10x less data) and report the empirical growth exponent
+    # log10(t_big/t_small) per query. Plan reading says every headline plan
+    # is ~linear; this measures it ("measure, don't guess") — a query whose
+    # exponent lands well above 1 grew super-linearly between fixtures and
+    # would blow up long before 100 TB. Fixed per-query overhead (~0.2 s of
+    # planning/collect) inflates t_small and thus UNDERSTATES exponents, so
+    # the flag threshold stays conservative. The e2e workloads run on the
+    # fixed-size block corpus, not sf-scaled data — excluded by design.
+    scaling: dict[str, dict] = {}
+    small_dir = {"sf0.1": "sf0.01", "sf0.01": "sf0.001"}.get(
+        os.path.basename(sf_dir.rstrip("/")), None
+    )
+    if small_dir is not None:
+        small_path = os.path.join(os.path.dirname(sf_dir.rstrip("/")), small_dir)
+        if os.path.isdir(small_path):
+            import math
+
+            for name in HEADLINE:
+                if name == "solana_e2e" or timings.get(name, -1.0) <= 0:
+                    continue
+                small_best = -1.0
+                try:
+                    for _ in range(2):
+                        t0 = time.time()
+                        qs[name](spark, small_path).count()
+                        dt = round(time.time() - t0, 3)
+                        small_best = dt if small_best < 0 else min(small_best, dt)
+                except Exception:
+                    continue
+                if small_best > 0:
+                    scaling[name] = {
+                        "t_small": small_best,
+                        "t_big": timings[name],
+                        "exponent": round(
+                            math.log10(max(timings[name], 1e-3) / small_best), 3
+                        ),
+                    }
+
     for k, v in timings.items():
         floors.setdefault(k, v)
     full_total = round(sum(v for v in timings.values() if v > 0), 3)
@@ -178,6 +217,10 @@ def main() -> None:
                         if v > 0 and k not in r2_added
                     ),
                     3,
+                ),
+                "scaling": scaling,
+                "scaling_max_exponent": (
+                    max((s["exponent"] for s in scaling.values()), default=None)
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -2,10 +2,12 @@
 typed metadata, with decode / feature-extraction stages as Arrow-batched
 Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernel is STUBBED
-(deterministic fake features; a real deployment swaps `_decode_stub` for
-PIL/ffmpeg). Everything Spark-side — schema, batch shape, partitioning,
-UDF signature — is real and tested.
+Decode/resize are CAPABILITY-GATED (`decode_dims` / `resize_payload`): when
+PIL is importable and the payload is ``image/*``, the real decoder runs;
+otherwise the deterministic stub does (this container ships no codecs, and
+the fixture corpus is ``text/plain``, so the stub remains the oracle-checked
+canonical path). Everything Spark-side — schema, batch shape, partitioning,
+UDF signature — is real and tested on both paths.
 """
 
 from __future__ import annotations
@@ -86,6 +88,55 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     return (len(payload) % 640 + 1, len(payload) % 480 + 1)
 
 
+def _pil_image():
+    """PIL's Image module if importable in this environment, else None —
+    the capability gate the decode/resize kernels auto-select on."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL_IMAGE = _pil_image()
+
+
+def decode_dims(payload: bytes, mime: str, pil_image=None) -> tuple[int, int]:
+    """Capability-gated decode: a REAL image decode (PIL) for ``image/*``
+    payloads when PIL is importable, the deterministic stub otherwise —
+    the same contract either way (dims out, NotImplementedError on a
+    missing payload). ``pil_image`` is injectable for testing the real
+    path in codec-less containers; the stub path stays the value-hash
+    oracle's canonical kernel (the fixture corpus is ``text/plain``, which
+    always takes the stub)."""
+    if payload is None:
+        raise NotImplementedError("no payload")
+    pil = pil_image if pil_image is not None else _PIL_IMAGE
+    if pil is not None and mime is not None and mime.startswith("image/"):
+        import io
+
+        with pil.open(io.BytesIO(payload)) as im:
+            return (int(im.width), int(im.height))
+    return _decode_stub(payload)
+
+
+def resize_payload(
+    payload: bytes, mime: str, width: int, height: int, pil_image=None
+) -> bytes:
+    """Capability-gated resize: PIL ``Image.resize`` raw bytes for
+    ``image/*`` when PIL is present, cyclic-resample stub otherwise."""
+    if payload is None:
+        raise NotImplementedError("no payload")
+    pil = pil_image if pil_image is not None else _PIL_IMAGE
+    if pil is not None and mime is not None and mime.startswith("image/"):
+        import io
+
+        with pil.open(io.BytesIO(payload)) as im:
+            return im.resize((width, height)).tobytes()
+    return _resize_stub(payload, width, height)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -138,8 +189,13 @@ def resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_stub(p) for p in pdf["payload"]]
-            resized = [_resize_stub(p, width, height) for p in pdf["payload"]]
+            dims = [
+                decode_dims(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            resized = [
+                resize_payload(p, m, width, height)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -216,8 +272,13 @@ def decode_report(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 
     def report_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_stub(p) for p in pdf["payload"]]
-            resized = [_resize_stub(p, width, height) for p in pdf["payload"]]
+            dims = [
+                decode_dims(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            resized = [
+                resize_payload(p, m, width, height)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -245,7 +306,9 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_stub(p) for p in pdf["payload"]]
+            dims = [
+                decode_dims(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

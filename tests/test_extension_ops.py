@@ -179,6 +179,55 @@ def test_multimodal_resize_and_frames(spark):
     assert by_doc[1][1].frame_md5 == hashlib.md5(payload[256:320]).hexdigest()
 
 
+def test_multimodal_codec_capability_gate():
+    """decode_dims/resize_payload auto-select: real decoder for image/*
+    when a PIL-compatible module is present (injected here — the container
+    ships no codecs), deterministic stub otherwise."""
+    import pytest
+
+    from solana_etl_spark.operators.multimodal import (
+        _decode_stub,
+        _resize_stub,
+        decode_dims,
+        resize_payload,
+    )
+
+    class _FakeIm:
+        width, height = 640, 480
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def tobytes(self):
+            return b"\x01" * (self._wh[0] * self._wh[1])
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakePIL:
+        @staticmethod
+        def open(fh):
+            return _FakeIm()
+
+    png = b"\x89PNG fake payload"
+    # image/* + PIL present -> real path
+    assert decode_dims(png, "image/png", pil_image=_FakePIL) == (640, 480)
+    assert resize_payload(png, "image/png", 4, 2, pil_image=_FakePIL) == b"\x01" * 8
+    # non-image mime -> stub even when PIL is present
+    assert decode_dims(b"hello", "text/plain", pil_image=_FakePIL) == _decode_stub(
+        b"hello"
+    )
+    # no PIL (this container) -> stub for every mime
+    assert decode_dims(png, "image/png") == _decode_stub(png)
+    assert resize_payload(png, "image/png", 4, 2) == _resize_stub(png, 4, 2)
+    with pytest.raises(NotImplementedError):
+        decode_dims(None, "image/png", pil_image=_FakePIL)
+
+
 def test_asof_join_semantics(spark):
     from solana_etl_spark.operators.asof import asof_join
 
