@@ -63,3 +63,61 @@ def interval_point_join(
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner-join every pair of intervals that OVERLAPS
+    (``left_start <= right_end AND right_start <= left_end``, bounds
+    inclusive) — the interval×interval sibling of
+    :func:`interval_point_join` (concurrent sessions, meeting conflicts,
+    validity-window reconciliation).
+
+    Scale design: both sides explode to the buckets they cover and hash
+    equi-join on the bucket id. An overlapping pair collides in EVERY
+    bucket both cover, so exactly-once emission uses the standard
+    report-at-first-bucket trick: a pair is kept only where
+    ``bucket == bucket(greatest(left_start, right_start))`` — the first
+    bucket of the overlap region, which both sides necessarily cover. No
+    distinct() over the (quadratic-in-hot-bucket) pair stream.
+
+    Column names must be disjoint (rename before calling). Replication is
+    ceil(duration/bucket_seconds)+1 per side — pick bucket_seconds near
+    the typical interval length; hot buckets are an AQE skew-join case.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"left/right columns collide: {sorted(overlap)}")
+    b_us = bucket_seconds * 1_000_000
+
+    def _explode_buckets(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(start) / b_us),
+                    F.floor(F.unix_micros(end) / b_us),
+                )
+            ),
+        )
+
+    first_overlap_bucket = F.floor(
+        F.unix_micros(F.greatest(F.col(left_start), F.col(right_start))) / b_us
+    )
+    return (
+        _explode_buckets(left, left_start, left_end)
+        .join(_explode_buckets(right, right_start, right_end), "__bucket")
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("__bucket") == first_overlap_bucket)
+        )
+        .drop("__bucket")
+    )

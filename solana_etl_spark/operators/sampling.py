@@ -157,6 +157,32 @@ def train_val_test_split(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame, key_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic pseudo-random TRAINING ORDER: adds ``shard`` (which
+    output shard the row lands in) and ``pos`` (its position within the
+    shard). Global order = read shards 0..n-1, each in pos order.
+
+    shard = hash64(key) % n_shards; pos = rank within the shard by
+    (hash64(key), key). Scale shape: the only shuffle is the per-shard
+    window (keyed by shard — parallel across shards, never a global sort);
+    a training job reading shard files in (shard, pos) order sees a
+    reproducible hash-random permutation of the corpus. Pure function of
+    row keys: re-runs, retries, and different partitionings all produce
+    the identical order — the property epoch-seeded `rand()` shuffles
+    can't give. (For multiple epochs, salt the key with the epoch number.)
+    """
+    h = hash64(F.col(key_col).cast("string"))  # 60-bit, always positive
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
 def temperature_rates_bp(
     df: DataFrame,
     stratum_col: str,

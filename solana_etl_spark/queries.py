@@ -534,6 +534,69 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j9_interval_overlap",
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    ),
+    iv AS (
+        SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_overlaps
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+    GROUP BY 1, 2
+    """,
+    local_only=True,
+)
+def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (the sibling of j7's point-in-interval
+    join): per user pair, how many of their sessions ran concurrently.
+    Spark side is the bucketized equi-join with exactly-once
+    report-at-first-overlap-bucket emission (operators/rangejoin.py
+    interval_overlap_join) — a hash join on time bucket where the naive
+    inequality join plans a cartesian BNLJ. Oracle: DuckDB's native IE
+    join over the same session intervals. local_only: driver cap."""
+    from solana_etl_spark.operators.rangejoin import interval_overlap_join
+    from solana_etl_spark.operators.sessionize import session_intervals
+
+    iv = session_intervals(
+        _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    )
+    a = iv.select(
+        F.col("user_id").alias("user_a"),
+        F.col("start_ts").alias("start_a"),
+        F.col("end_ts").alias("end_a"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"),
+        F.col("start_ts").alias("start_b"),
+        F.col("end_ts").alias("end_b"),
+    )
+    return (
+        interval_overlap_join(
+            a, b, "start_a", "end_a", "start_b", "end_b", bucket_seconds=3600
+        )
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@_register(
     "m8_bucket_rollup",
     """
     SELECT (event_id // 1000) * 1000 AS bucket,
@@ -5007,6 +5070,38 @@ def s6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
     return weighted_sample(docs, "doc_id", "n_chars", 40)
+
+
+_SHUFFLE_SHARDS = 8
+
+
+def _corpus_shuffle_oracle(n_shards: int) -> str:
+    h = hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id,
+           CAST(h % {n_shards} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY h % {n_shards} ORDER BY h, doc_id
+           ) AS INT) AS pos
+    FROM (SELECT doc_id, {h} AS h FROM documents)
+    """
+
+
+@_register(
+    "s7_corpus_shuffle", _corpus_shuffle_oracle(_SHUFFLE_SHARDS), local_only=True
+)
+def s7_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order (operators/
+    sampling.py corpus_shuffle): every document gets a (shard, pos) —
+    reading shards in pos order is a reproducible hash-random permutation
+    of the corpus. The only shuffle is the per-shard window (parallel
+    across shards, never a global sort); re-runs and retries produce the
+    identical order, unlike epoch-seeded rand() shuffles. local_only:
+    driver cap."""
+    from solana_etl_spark.operators.sampling import corpus_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(docs, "doc_id", _SHUFFLE_SHARDS)
 
 
 @_register(

@@ -300,6 +300,64 @@ def test_interval_point_join_semantics(spark):
                             "ts", "start_ts", "end_ts")
 
 
+def test_interval_overlap_join_semantics(spark):
+    """interval x interval overlap: inclusive touching endpoints match,
+    disjoint intervals don't, and a pair sharing MANY buckets is emitted
+    exactly once (report-at-first-overlap-bucket)."""
+    from solana_etl_spark.operators.rangejoin import interval_overlap_join
+
+    def iv(rows, idc, sc, ec):
+        return spark.createDataFrame(rows, [idc, sc, ec]).select(
+            idc, F.to_timestamp(sc).alias(sc), F.to_timestamp(ec).alias(ec)
+        )
+
+    a = iv(
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 18:00:00"),  # 9 buckets
+            (2, "2024-01-01 07:00:00", "2024-01-01 08:00:00"),
+        ],
+        "a_id", "a_start", "a_end",
+    )
+    b = iv(
+        [
+            (10, "2024-01-01 11:00:00", "2024-01-01 17:00:00"),  # inside 1
+            (11, "2024-01-01 18:00:00", "2024-01-01 19:00:00"),  # touches 1's end
+            (12, "2024-01-01 08:00:00", "2024-01-01 09:00:00"),  # touches 2's end
+            (13, "2024-01-01 04:00:00", "2024-01-01 05:00:00"),  # disjoint
+        ],
+        "b_id", "b_start", "b_end",
+    )
+    rows = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucket_seconds=3600
+    ).collect()
+    got = sorted((r.a_id, r.b_id) for r in rows)
+    # (1,10) shares 7 buckets but appears ONCE; inclusive ends match
+    assert got == [(1, 10), (1, 11), (2, 12)]
+    with pytest.raises(ValueError):
+        interval_overlap_join(a, a, "a_start", "a_end", "a_start", "a_end")
+
+
+def test_corpus_shuffle_deterministic_training_order(spark):
+    from solana_etl_spark.operators.sampling import corpus_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    out = corpus_shuffle(df, "k", 8)
+    rows = {r.k: (r.shard, r.pos) for r in out.collect()}
+    assert len(rows) == 500  # every row placed exactly once
+    assert {s for s, _ in rows.values()} == set(range(8))
+    # positions within each shard are 1..n_shard with no gaps
+    by_shard = {}
+    for s, p in rows.values():
+        by_shard.setdefault(s, []).append(p)
+    assert all(sorted(ps) == list(range(1, len(ps) + 1)) for ps in by_shard.values())
+    # pure function of the key: any partitioning produces the identical order
+    again = {
+        r.k: (r.shard, r.pos)
+        for r in corpus_shuffle(df.repartition(13), "k", 8).collect()
+    }
+    assert again == rows
+
+
 def test_sampling_and_kmv(spark):
     from solana_etl_spark.operators.sampling import (
         hash_sample,
