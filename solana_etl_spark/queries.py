@@ -5525,3 +5525,68 @@ def stream_attribution_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return current_view(spark, f"{work}/state")
+
+
+@_register(
+    "stream_cdc_snapshot",
+    """
+    WITH latest AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, value
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+    local_only=True,
+)
+def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC merge stream under the correctness gate: events become a
+    change stream (key = user_id, version = event_id, 'error' events as
+    deletes), landed as parquet files and tailed in micro-batches through
+    streaming/merge_stream.py (versioned _SUCCESS-gated snapshots,
+    retain=2 pruning). The final snapshot must equal the plain
+    latest-change-per-key oracle.
+
+    Change files are hash-split by user_id so each key's changes land in
+    ONE micro-batch — the snapshot is then a pure function of the data,
+    independent of batch ordering (cross-batch, later batches win by
+    construction; a version-ordered split is a stream-source ordering
+    assumption this gate query must not make). local_only: streaming state
+    dirs are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.merge_stream import (
+        current_snapshot,
+        start_merge_stream,
+    )
+
+    changes = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="gate_stream_cdc_")
+    src = f"{work}/src"
+    changes.repartition(3, F.col("user_id") % 3).write.mode("overwrite").parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = start_merge_stream(
+        spark,
+        stream,
+        snapshot_dir=f"{work}/snap",
+        checkpoint_dir=f"{work}/ckpt",
+        keys=["user_id"],
+        retain=2,
+    )
+    q.awaitTermination(300)
+    return current_snapshot(spark, f"{work}/snap")
