@@ -51,22 +51,32 @@ def _ssqdist(a, b):
     )
 
 
-def subvectors(embeddings: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM) -> DataFrame:
-    """(vec_id, sub, svec): the quantized vector split into m contiguous
-    subspaces. Pure per-row explode — zero shuffle."""
-    q = quantized(embeddings)
+def split_subspaces(
+    df: DataFrame, vec_col: str, m: int = PQ_M, subdim: int = PQ_SUBDIM
+) -> DataFrame:
+    """All of ``df``'s columns except ``vec_col``, plus (sub, svec): the
+    int64-array column split into m contiguous subspaces. Pure per-row
+    explode — zero shuffle. Works on raw quantized vectors AND on IVF
+    residuals (any int64 array)."""
     subs = F.array(
         *[
             F.struct(
                 F.lit(s).alias("sub"),
-                F.slice("qvec", s * subdim + 1, subdim).alias("svec"),
+                F.slice(vec_col, s * subdim + 1, subdim).alias("svec"),
             )
             for s in range(m)
         ]
     )
-    return q.select("vec_id", F.explode(subs).alias("s")).select(
-        "vec_id", F.col("s.sub").alias("sub"), F.col("s.svec").alias("svec")
+    keep = [c for c in df.columns if c != vec_col]
+    return df.select(*keep, F.explode(subs).alias("s")).select(
+        *keep, F.col("s.sub").alias("sub"), F.col("s.svec").alias("svec")
     )
+
+
+def subvectors(embeddings: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM) -> DataFrame:
+    """(vec_id, sub, svec): the quantized vector split into m contiguous
+    subspaces. Pure per-row explode — zero shuffle."""
+    return split_subspaces(quantized(embeddings), "qvec", m, subdim)
 
 
 def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
@@ -113,6 +123,12 @@ def pq_codebooks(
         from solana_etl_spark.operators.sampling import sample_bucket
 
         subs = subs.filter(sample_bucket(F.col("vec_id")) < train_bp)
+    return train_codebooks(subs, k, iters)
+
+
+def train_codebooks(subs: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS) -> DataFrame:
+    """The (sub)-keyed exact-integer Lloyd loop over any (vec_id, sub, svec)
+    stream — raw subvectors or IVF residual subvectors alike."""
     w = Window.partitionBy("sub").orderBy(
         hash64(F.col("vec_id").cast("string")), F.col("vec_id")
     )
@@ -122,7 +138,7 @@ def pq_codebooks(
         .select("sub", (F.col("_rn") - 1).alias("cid"), F.col("svec").alias("cvec"))
     )
     for _ in range(iters):
-        assigned = _assign_codes(subs, codebooks)
+        assigned = _assign_codes(subs.select("vec_id", "sub", "svec"), codebooks)
         per_dim = (
             assigned.select("sub", "cid", F.posexplode("svec").alias("dim", "v"))
             .groupBy("sub", "cid", "dim")
@@ -224,6 +240,96 @@ def ivfpq_topk(
     return (
         codes.join(F.broadcast(candidates), "vec_id", "left_semi")
         .join(F.broadcast(table), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(topk)
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    topk: int = PQ_TOPK,
+    nprobe: int | None = None,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding — the canonical Jégou et al. 2011
+    form: PQ codebooks train on (vector − assigned coarse centroid), not
+    raw vectors, so the codes spend their precision on the within-list
+    displacement instead of re-encoding what the list id already says.
+    At query time each probed list c gets its own ADC table built from the
+    QUERY'S residual against c.
+
+    Everything stays exact-integer (residual of int64s is int64), so the
+    full composed index remains value-hash oracle-able — the property the
+    raw-vector :func:`ivfpq_topk` variant was originally chosen for.
+
+    Plan shape: residual = assignment ⋈ broadcast(centroids) zip_with (one
+    scan); codebooks = the shared (sub)-keyed Lloyd loop; ADC tables =
+    nprobe·M·K rows, still a broadcast; candidate scoring = codes ⋈
+    broadcast tables on (cid, sub, code), sum, TakeOrdered. The corpus
+    shuffles zero times outside the codebook training rounds.
+    """
+    from solana_etl_spark.operators.similarity import (
+        IVF_NPROBE,
+        _assign,
+        _sqdist,
+        kmeans_centroids,
+        quantized,
+    )
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    spark = embeddings.sparkSession
+    vecs = quantized(embeddings)
+    # the centroid set and codebooks are the ONLY driver state (k and m*k
+    # rows) — collect them to literals so the many consumers below don't
+    # each re-execute the full Lloyd lineage
+    trained = kmeans_centroids(embeddings)
+    centroids = spark.createDataFrame(trained.collect(), trained.schema)
+    assigned = _assign(vecs, centroids).select("vec_id", "qvec", "cid")
+    residuals = assigned.join(F.broadcast(centroids), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("qvec", "cvec", lambda x, y: x - y).alias("rvec"),
+    )
+    rsubs = split_subspaces(residuals, "rvec", m, subdim)
+    cb_trained = train_codebooks(rsubs.select("vec_id", "sub", "svec"), k, iters)
+    cb = spark.createDataFrame(cb_trained.collect(), cb_trained.schema)
+    codes = _assign_codes(rsubs.select("vec_id", "sub", "svec"), cb).select(
+        "vec_id", "sub", F.col("cid").alias("code")
+    )
+
+    query = vecs.orderBy("vec_id").limit(1).select(F.col("qvec").alias("q"))
+    probe_cids = (
+        centroids.crossJoin(F.broadcast(query))
+        .select("cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
+        .orderBy("qd", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    # per-probed-list query residual, split into subspaces
+    qres = (
+        probe_cids.join(F.broadcast(centroids), "cid")
+        .crossJoin(F.broadcast(query))
+        .select("cid", F.zip_with("q", "cvec", lambda x, y: x - y).alias("rq"))
+    )
+    qsubs = split_subspaces(qres, "rq", m, subdim).select(
+        "cid", "sub", F.col("svec").alias("qsvec")
+    )
+    tables = qsubs.join(
+        cb.select("sub", F.col("cid").alias("code"), "cvec"), "sub"
+    ).select(
+        "cid", "sub", "code", _ssqdist(F.col("qsvec"), F.col("cvec")).alias("d")
+    )
+    candidates = assigned.join(F.broadcast(probe_cids), "cid").select(
+        "vec_id", "cid"
+    )
+    return (
+        codes.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(tables), ["cid", "sub", "code"])
         .groupBy("vec_id")
         .agg(F.sum("d").alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")

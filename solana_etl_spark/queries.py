@@ -3414,6 +3414,145 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _ivfpq_residual_oracle(
+    k: int, iters: int, dim: int, scale: int, nprobe: int,
+    m: int, subdim: int, pk: int, piters: int, topk: int,
+) -> str:
+    """Residual IVF-PQ mirrored relationally: coarse assignment from
+    _ivf_cte, residual = qvec − assigned centroid, subspace-keyed unrolled
+    Lloyd over the RESIDUAL subvectors, per-probed-list query-residual ADC
+    tables. Exact int64 end-to-end (residual of int64s is int64)."""
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    cdist = (
+        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    sdist = (
+        "list_sum([ (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    qdist = (
+        "list_sum([ (q.qsvec[i] - c.cvec[i]) * (q.qsvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {subdim}) ])"
+    )
+    h = hash64_sql("CAST(vec_id AS VARCHAR)")
+    rounds = []
+    for it in range(piters):
+        rounds.append(f"""rpa{it} AS (
+        SELECT vec_id, sub, svec, cid FROM (
+            SELECT v.vec_id, v.sub, v.svec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub ORDER BY {sdist}, c.cid
+                   ) AS rn
+            FROM rsubs v JOIN rcb{it} c USING (sub)
+        ) WHERE rn = 1
+    ),
+    rpu{it} AS (
+        SELECT sub, cid, list(cm ORDER BY dim) AS cvec FROM (
+            SELECT sub, cid, dim, CAST((s - (s % n)) // n AS BIGINT) AS cm FROM (
+                SELECT sub, cid, SUM(v) AS s, COUNT(*) AS n, dim FROM (
+                    SELECT sub, cid, unnest(svec) AS v,
+                           unnest(generate_series(1, {subdim})) AS dim
+                    FROM rpa{it}
+                ) GROUP BY sub, cid, dim
+            )
+        ) GROUP BY sub, cid
+    ),
+    rcb{it + 1} AS (
+        SELECT p.sub, p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+        FROM rcb{it} p LEFT JOIN rpu{it} u USING (sub, cid)
+    )""")
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    afinal AS (
+        SELECT vec_id, qvec, cid FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    resid AS MATERIALIZED (
+        SELECT a.vec_id, a.cid,
+               [a.qvec[i] - c.cvec[i] for i in generate_series(1, {dim})] AS rvec
+        FROM afinal a JOIN c{iters} c USING (cid)
+    ),
+    rsubs AS MATERIALIZED (
+        SELECT vec_id, s AS sub,
+               list_slice(rvec, s * {subdim} + 1, (s + 1) * {subdim}) AS svec
+        FROM resid, generate_series(0, {m - 1}) AS g(s)
+    ),
+    rcb0 AS (
+        SELECT sub,
+               row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) - 1 AS cid,
+               svec AS cvec
+        FROM rsubs
+        QUALIFY row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) <= {pk}
+    ),
+    {rounds_sql},
+    codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+            SELECT v.vec_id, v.sub, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id, v.sub ORDER BY {sdist}, c.cid
+                   ) AS rn
+            FROM rsubs v JOIN rcb{piters} c USING (sub)
+        ) WHERE rn = 1
+    ),
+    qry AS (SELECT qvec AS q FROM qvecs ORDER BY vec_id LIMIT 1),
+    probe AS (
+        SELECT cid FROM c{iters} c CROSS JOIN qry q
+        ORDER BY {cdist}, cid LIMIT {nprobe}
+    ),
+    qres AS (
+        SELECT p.cid,
+               [q.q[i] - c.cvec[i] for i in generate_series(1, {dim})] AS rq
+        FROM probe p JOIN c{iters} c USING (cid) CROSS JOIN qry q
+    ),
+    qsubs AS (
+        SELECT cid, s AS sub,
+               list_slice(rq, s * {subdim} + 1, (s + 1) * {subdim}) AS qsvec
+        FROM qres, generate_series(0, {m - 1}) AS g(s)
+    ),
+    tbl AS (
+        SELECT q.cid, c.sub, c.cid AS code, {qdist} AS d
+        FROM rcb{piters} c JOIN qsubs q USING (sub)
+    ),
+    cand AS (SELECT vec_id, cid FROM afinal JOIN probe USING (cid))
+    SELECT codes.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+    FROM codes
+    JOIN cand USING (vec_id)
+    JOIN tbl t ON t.cid = cand.cid AND t.sub = codes.sub AND t.code = codes.code
+    GROUP BY codes.vec_id
+    ORDER BY adc_dist, vec_id LIMIT {topk}
+    """
+
+
+@_register(
+    "ann_ivfpq_residual_topk",
+    _ivfpq_residual_oracle(
+        similarity.IVF_K, similarity.IVF_ITERS, similarity.IVF_DIM,
+        similarity.IVF_SCALE, similarity.IVF_NPROBE,
+        pq_ops.PQ_M, pq_ops.PQ_SUBDIM, pq_ops.PQ_K, pq_ops.PQ_ITERS,
+        pq_ops.PQ_TOPK,
+    ),
+    local_only=True,
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding (operators/pq.py ivfpq_residual_topk)
+    — the canonical Jégou et al. 2011 form: codebooks train on the
+    within-list displacement (vector − coarse centroid) and each probed
+    list scores candidates against an ADC table built from the QUERY'S
+    residual for that list. Exact int64 end-to-end, value-hash oracled.
+    local_only: driver cap."""
+    return pq_ops.ivfpq_residual_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @_register(
     "q15_top_supplier",
     """

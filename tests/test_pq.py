@@ -59,3 +59,32 @@ def test_ivfpq_topk_deterministic_and_ordered(spark):
     assert a == b
     dists = [d for _, d in a]
     assert dists == sorted(dists) and len(a) == 5
+
+
+def test_ivfpq_residual_topk_semantics(spark):
+    """Residual encoding: partition-invariant, ordered, query-first (the
+    query vector's own residual ADC distance reconstructs to near-zero,
+    so vec_id 0 must rank first), and zero-residual corpora are exact."""
+    a = [
+        tuple(r)
+        for r in pq.ivfpq_residual_topk(_emb(spark, parts=1), topk=5).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in pq.ivfpq_residual_topk(_emb(spark, parts=16), topk=5).collect()
+    ]
+    assert a == b
+    dists = [d for _, d in a]
+    assert dists == sorted(dists) and len(a) == 5
+    assert a[0][0] == 0  # the query is its own nearest neighbor
+
+    # perfect-cluster corpus: duplicated vectors -> residuals are all zero
+    # vectors, every ADC distance is exactly 0 (residual PQ is EXACT here,
+    # where raw-vector PQ would still quantize)
+    import pyspark.sql.functions as F
+
+    dup = _emb(spark, n=6).withColumn(
+        "embedding", F.expr("transform(embedding, x -> float(0.5))")
+    )
+    got = pq.ivfpq_residual_topk(dup, topk=3, nprobe=8).collect()
+    assert all(r["adc_dist"] == 0 for r in got)
