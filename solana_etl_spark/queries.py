@@ -4696,13 +4696,22 @@ def _er_oracle() -> str:
     # provably share a variant, so this is the complete 1-edit pair set,
     # not a mirror of the Spark blocking scheme. (Brute-force all-pairs
     # levenshtein is the same answer but ~100x slower at sf0.1.)
+    # roster capped at 2000 records: the synthetic customer names are
+    # SEQUENTIAL ("Customer#000000042"), so under exact 1-edit matching the
+    # whole table chains into ONE component and the closure's (node, label)
+    # fixpoint is |component|² — correct but quadratic in sf on this
+    # corpus. ER semantics are scale-invariant; the cap keeps the oracle's
+    # closure bounded at every sf while the operator itself stays linear.
     return """
-    WITH RECURSIVE vars AS MATERIALIZED (
+    WITH RECURSIVE roster AS MATERIALIZED (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000
+    ),
+    vars AS MATERIALIZED (
         SELECT c_custkey AS id, c_name AS nm,
                unnest(list_append(
                    [nm[1:i-1] || nm[i+1:len(nm)]
                     for i in generate_series(1, len(nm))], nm)) AS var
-        FROM customer
+        FROM roster
     ),
     pairs AS MATERIALIZED (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -4724,7 +4733,7 @@ def _er_oracle() -> str:
     )
     SELECT c.c_custkey AS rec_id, c.c_name AS name,
            COALESCE(cl.cluster_id, c.c_custkey) AS entity_id
-    FROM customer c LEFT JOIN clusters cl ON cl.node = c.c_custkey
+    FROM roster c LEFT JOIN clusters cl ON cl.node = c.c_custkey
     """
 
 
@@ -4736,11 +4745,17 @@ def er_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per record. Pair volume is one O(N*len) variant-key shuffle (never
     corpus N^2); because recall is exact, the oracle is the
     blocking-independent 1-edit ground truth resolved with a
-    recursive-CTE closure. local_only: driver cap."""
+    recursive-CTE closure. Roster capped at 2000 records: the synthetic
+    names are sequential, so the whole table chains into one component and
+    the ORACLE's closure fixpoint is |component|^2 — the cap keeps the
+    check bounded at every sf (the operator itself stays linear).
+    local_only: driver cap."""
     from solana_etl_spark.operators.er import resolve_entities
 
     return resolve_entities(
-        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+        _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000),
+        "c_custkey",
+        "c_name",
     )
 
 
