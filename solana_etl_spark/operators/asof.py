@@ -33,9 +33,18 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``keys`` group.
+    """For every left row, attach one right row within the same ``keys``
+    group, chosen by ``direction``:
+
+    * ``backward`` (default): the greatest ``right_ts <= left_ts`` — the
+      classic "most recent earlier fact".
+    * ``forward``: the smallest ``right_ts >= left_ts`` — next-event
+      attribution (DuckDB mirrors it with ``ASOF JOIN ... ON l.ts <= r.ts``).
+
+    Both run as the same single-shuffle union + running-window plan — the
+    forward pass just orders the merged stream by descending timestamp.
 
     Non-key, non-ts right columns are carried over under their own names
     (they must not collide with left column names). ``how`` is ``inner``
@@ -48,6 +57,8 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
     keys = list(keys)
     right_payload = [c for c in right.columns if c not in keys and c != right_ts]
     overlap = set(right_payload) & set(left.columns)
@@ -69,9 +80,10 @@ def asof_join(
     )
     r = r.withColumn("__lpay", F.lit(None).cast(l.schema["__lpay"].dataType))
 
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -484,6 +484,56 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "j10_asof_forward",
+    """
+    WITH p AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id AS click_id, c.user_id, p.purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    local_only=True,
+)
+def j10_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: attribute each click to the user's NEXT
+    purchase at-or-after it (time-to-conversion) — the mirror direction of
+    j6, same single-shuffle union + running-window plan ordered by
+    descending timestamp (operators/asof.py direction='forward'). Oracle:
+    DuckDB's native forward ASOF JOIN (l.ts <= r.ts). local_only: driver
+    cap."""
+    from solana_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+    ).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+@_register(
     "j7_range_join",
     f"""
     WITH e AS (

@@ -266,6 +266,26 @@ def test_asof_join_semantics(spark):
         # right payload column collides with a left column name
         asof_join(trades.withColumn("price", F.lit(0.0)), quotes, ["sym"], "tts", "qts")
 
+    # FORWARD direction: nearest quote at-or-after each trade
+    fwd = {
+        r.trade_id: r.price
+        for r in asof_join(
+            trades, quotes, ["sym"], "tts", "qts", direction="forward"
+        ).collect()
+    }
+    # trade 1 (10:03) → 10:05 quote; trade 2 (10:05) inclusive → 10:05;
+    # trade 3 (10:01, B) → 10:02 quote; trade 4 (C) still unmatched
+    assert fwd == {1: 101.0, 2: 101.0, 3: 50.0}
+    fwd_left = {
+        r.trade_id: r.price
+        for r in asof_join(
+            trades, quotes, ["sym"], "tts", "qts", how="left", direction="forward"
+        ).collect()
+    }
+    assert fwd_left == {1: 101.0, 2: 101.0, 3: 50.0, 4: None}
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, ["sym"], "tts", "qts", direction="nearest")
+
 
 def test_interval_point_join_semantics(spark):
     from solana_etl_spark.operators.rangejoin import interval_point_join
