@@ -105,3 +105,33 @@ def exact_quantiles(
 
     rows = [(num, den, state[(num, den)][0]) for num, den in qs]
     return spark.createDataFrame(rows, "q_num int, q_den int, value long")
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: tuple[int, int] = (1, 100),
+    upper: tuple[int, int] = (99, 100),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip int64 ``col`` at its EXACT lower/upper order statistics (the
+    outlier treatment quality-score pipelines apply before thresholding —
+    winsorization). Adds ``out_col`` (default ``{col}_w``) with values
+    clamped into [p_lower, p_upper]; all other columns pass through.
+
+    Scale shape: the two cut points come from :func:`exact_quantiles`
+    (histogram refinement — no global sort; the only driver state is the
+    two boundary values), then the clip is a pure per-row expression over
+    the original frame. NULLs stay NULL."""
+    out_col = out_col or f"{col}_w"
+    cuts = {
+        (r["q_num"], r["q_den"]): r["value"]
+        for r in exact_quantiles(df, col, [lower, upper]).collect()
+    }
+    lo, hi = cuts[lower], cuts[upper]
+    return df.withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None).cast("long")).otherwise(
+            F.greatest(F.least(F.col(col).cast("long"), F.lit(hi)), F.lit(lo))
+        ),
+    )

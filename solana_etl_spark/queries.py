@@ -3197,6 +3197,42 @@ def a17_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(cents, "cents", [(1, 2), (9, 10), (99, 100)])
 
 
+@_register(
+    "a20_winsorize",
+    """
+    WITH r AS (
+        SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+               COUNT(*) OVER () AS n
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    cuts AS (
+        SELECT
+            (SELECT MIN(n_chars) FROM r
+              WHERE rn >= greatest(1, (1 * r2.n + 99) // 100)) AS lo,
+            (SELECT MIN(n_chars) FROM r
+              WHERE rn >= greatest(1, (99 * r2.n + 99) // 100)) AS hi
+        FROM (SELECT MAX(n) AS n FROM r) r2
+    )
+    SELECT doc_id, n_chars,
+           CAST(greatest(least(n_chars, cuts.hi), cuts.lo) AS BIGINT)
+               AS n_chars_w
+    FROM documents, cuts
+    """,
+    local_only=True,
+)
+def a20_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact p01/p99 (operators/quantiles.py winsorize):
+    clip the document-length distribution's tails before quality
+    thresholding — the standard outlier treatment. Cut points resolve via
+    sort-free histogram refinement (driver state = two int64 boundaries);
+    the clip itself is a pure per-row expression. Oracle: plain ROW_NUMBER
+    rank lookup + CASE clamp. local_only: driver cap."""
+    from solana_etl_spark.operators.quantiles import winsorize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return winsorize(docs, "n_chars")
+
+
 def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int, with_qvecs: bool = True) -> str:
     """Subspace-keyed unrolled-Lloyd CTEs mirroring operators/pq.py — the
     same exact integer math as _ivf_cte, keyed by (sub, cid). with_qvecs=False

@@ -56,3 +56,23 @@ def test_quantiles_empty_raises(spark):
     df = spark.createDataFrame([], "x long")
     with pytest.raises(ValueError, match="empty"):
         exact_quantiles(df, "x", [(1, 2)])
+
+
+def test_winsorize_matches_python_clip(spark):
+    from solana_etl_spark.operators.quantiles import winsorize
+
+    values = [(i, (i * 37) % 997) for i in range(300)] + [
+        (300, -5000),
+        (301, 900000),
+        (302, None),  # NULLs pass through unclipped
+    ]
+    df = spark.createDataFrame(values, "id long, x long")
+    present = [v for _, v in values if v is not None]
+    lo = _py_quantile(present, 1, 100)
+    hi = _py_quantile(present, 99, 100)
+    got = {r.id: r.x_w for r in winsorize(df, "x").collect()}
+    want = {
+        i: (None if v is None else max(min(v, hi), lo)) for i, v in values
+    }
+    assert got == want
+    assert got[300] == lo and got[301] == hi  # the planted outliers clip
