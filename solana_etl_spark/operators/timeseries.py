@@ -69,3 +69,49 @@ def gapfill_ffill(
         F.last("bucket_sum", ignorenulls=True).over(w).alias("filled"),
         F.col("bucket_sum").isNull().alias("was_gap"),
     )
+
+
+def ohlc_resample(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Downsample an event stream to per-(key, bucket) OHLC bars —
+    (open, high, low, close, n_events, volume): the classic resample every
+    time-series store provides (candlesticks, sensor rollups).
+
+    One groupBy on (key, bucket) — map-side combined, a single shuffle.
+    Open/close resolve deterministically as min/max over (ts, value)
+    structs (ties at the same timestamp break by value, identical in both
+    engines); high/low/volume are plain min/max/sum. Values carry as exact
+    DECIMAL(18,4) and surface as doubles only in the final projection.
+    """
+    dec = F.round(F.col(value_col), 4).cast("decimal(18,4)")
+    tsv = F.struct(F.col(ts_col).alias("t"), dec.alias("v"))
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.min(tsv).alias("_first"),
+            F.max(tsv).alias("_last"),
+            F.min(dec).alias("_lo"),
+            F.max(dec).alias("_hi"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec), 4).alias("_vol"),
+        )
+        .select(
+            "key",
+            "bucket",
+            F.col("_first.v").cast("double").alias("open"),
+            F.col("_hi").cast("double").alias("high"),
+            F.col("_lo").cast("double").alias("low"),
+            F.col("_last.v").cast("double").alias("close"),
+            "n_events",
+            F.col("_vol").cast("double").alias("volume"),
+        )
+    )

@@ -3198,6 +3198,45 @@ def a17_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ts_ohlc",
+    """
+    WITH e AS (
+        SELECT user_id AS key, date_trunc('hour', ts) AS bucket, ts,
+               CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+        SELECT key, bucket, v,
+               row_number() OVER (
+                   PARTITION BY key, bucket ORDER BY ts, v) AS rno,
+               row_number() OVER (
+                   PARTITION BY key, bucket ORDER BY ts DESC, v DESC) AS rnc
+        FROM e
+    )
+    SELECT key, bucket,
+           CAST(MAX(CASE WHEN rno = 1 THEN v END) AS DOUBLE) AS open,
+           CAST(MAX(v) AS DOUBLE) AS high,
+           CAST(MIN(v) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rnc = 1 THEN v END) AS DOUBLE) AS close,
+           COUNT(*) AS n_events,
+           CAST(round(SUM(v), 4) AS DOUBLE) AS volume
+    FROM o GROUP BY key, bucket
+    """,
+    local_only=True,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (operators/timeseries.py ohlc_resample): hourly
+    open/high/low/close/volume bars per user — the classic time-series
+    resample. ONE map-side-combined groupBy; open/close resolve as min/max
+    over (ts, value) structs so ties at identical timestamps break
+    identically in both engines; sums stay exact DECIMAL until the final
+    projection. local_only: driver cap."""
+    from solana_etl_spark.operators.timeseries import ohlc_resample
+
+    return ohlc_resample(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "a20_winsorize",
     """
     WITH r AS (
