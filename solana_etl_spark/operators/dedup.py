@@ -184,6 +184,94 @@ def lsh_duplicate_ids(
     )
 
 
+def shingle_jaccard_pairs(
+    documents: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b) pairs whose exact 2-word-shingle Jaccard ≥ threshold —
+    the GROUND TRUTH the minhash-LSH banding scheme approximates (same
+    shingle universe as :func:`minhash_signatures`).
+
+    Global single-scan inverted index (posting lists per shingle → pair
+    expansion → map-side-combined intersection counts). This is the audit
+    path: exact, so quadratic inside hot posting lists — at corpus scale
+    you run it on a hash_sample to measure the LSH operating point, never
+    on the full corpus."""
+    sh = ensure_compute_parallelism(documents).select(
+        "doc_id", F.explode(word_shingles()).alias("sh")
+    )
+    sizes = documents.select(
+        "doc_id", F.size(word_shingles()).alias("n_sh")
+    )
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_docs"))
+        .filter(F.size("_docs") > 1)
+    )
+    pair_expand = F.expr(
+        "flatten(transform(_docs, (x, i) -> "
+        "transform(slice(_docs, i + 2, size(_docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        postings.select(F.explode(pair_expand).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+LSH_EVAL_THRESHOLD = 0.5
+
+
+def lsh_eval(
+    documents: DataFrame,
+    threshold: float = LSH_EVAL_THRESHOLD,
+    k: int = MINHASH_K,
+    band_rows: int = LSH_BAND_ROWS,
+) -> DataFrame:
+    """Measure the minhash-LSH banding operating point against exact
+    ground truth ("measure, don't guess" applied to the dedup index):
+    one row of (n_truth, n_candidates, n_hits, precision, recall), where
+    truth = exact shingle-Jaccard ≥ threshold and candidates = the banded
+    LSH collision pairs.
+
+    This is the number that justifies a (k, band_rows) choice before
+    trusting it on a corpus — recall says what the dedup pass misses,
+    precision says how much exact verification the candidates cost.
+    """
+    truth = shingle_jaccard_pairs(documents, threshold).withColumn(
+        "is_true", F.lit(1)
+    )
+    cand = minhash_lsh_pairs(documents, k, band_rows).withColumn(
+        "is_cand", F.lit(1)
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    n_hit = F.sum(
+        F.when(
+            F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), 1
+        ).otherwise(0)
+    )
+    n_truth = F.coalesce(F.sum("is_true"), F.lit(0))
+    n_cand = F.coalesce(F.sum("is_cand"), F.lit(0))
+    return j.agg(
+        n_truth.cast("long").alias("n_truth"),
+        n_cand.cast("long").alias("n_candidates"),
+        n_hit.cast("long").alias("n_hits"),
+        F.round(n_hit / n_cand, 6).alias("precision"),
+        F.round(n_hit / n_truth, 6).alias("recall"),
+    )
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """doc_id + simhash: bit b is the sign of Σ_tokens (bit_b(h(token))·2−1)
     over distinct word tokens, h = the 60-bit cross-engine md5 hash. Pure

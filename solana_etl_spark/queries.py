@@ -1169,6 +1169,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(dedup.minhash_lsh_pairs(docs))
 
 
+def _lsh_eval_oracle(k: int, band_rows: int, threshold: float) -> str:
+    return f"""
+    WITH {_lsh_pairs_cte(k, band_rows, materialized=True)},
+    sh AS MATERIALIZED (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(ni / (sa.n + sb.n - ni), 6) >= {threshold}
+    ),
+    j AS (
+        SELECT t.doc_a IS NOT NULL AS is_true, p.doc_a IS NOT NULL AS is_cand
+        FROM truth t FULL OUTER JOIN pairs p
+          ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    )
+    SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                 / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 6) AS precision,
+           ROUND(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                 / SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 6) AS recall
+    FROM j
+    """
+
+
+@_register(
+    "dedup_lsh_eval",
+    _lsh_eval_oracle(
+        dedup.MINHASH_K, dedup.LSH_BAND_ROWS, dedup.LSH_EVAL_THRESHOLD
+    ),
+    local_only=True,
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the minhash-LSH banding against exact
+    shingle-Jaccard ground truth (operators/dedup.py lsh_eval) — the
+    measurement that justifies a (k, bands) operating point before
+    trusting the dedup index, the same way ann_recall_eval validates
+    nprobe. Exact truth is the audit path: at corpus scale it runs on a
+    hash_sample, never the full corpus. local_only: driver cap."""
+    return dedup.lsh_eval(_t(spark, sf_dir, "documents"))
+
+
 def _simhash_expr_sql(bits: int) -> str:
     h = hash64_sql("t")
     terms = []

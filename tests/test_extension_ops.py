@@ -716,6 +716,16 @@ def test_minhash_lsh_recall_vs_exact_shingle_jaccard(spark):
     assert truth, "ground truth should be non-empty on the synthetic corpus"
     assert truth <= cand  # recall 1.0
 
+    # the packaged operating-point report must agree with this brute force
+    from solana_etl_spark.operators.dedup import lsh_eval
+
+    rep = lsh_eval(docs, threshold=0.5).collect()[0]
+    assert rep.n_truth == len(truth)
+    assert rep.n_candidates == len(cand)
+    assert rep.n_hits == len(truth & cand)
+    assert rep.recall == 1.0
+    assert rep.precision == round(len(truth & cand) / len(cand), 6)
+
 
 def test_train_val_test_split_stable_under_growth(spark):
     """A document's split assignment is a pure function of its key: adding
