@@ -184,6 +184,45 @@ def lsh_duplicate_ids(
     )
 
 
+def keepers_by_quality(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, keeper_doc_id, is_keeper): near-duplicate
+    clusters from the minhash-LSH pair graph with the keeper chosen by
+    QUALITY — the longest version (most whitespace tokens, tie → smallest
+    doc_id) — instead of blind min-id. Real cleaning pipelines keep the
+    best duplicate (the un-truncated crawl, the un-boilerplated variant),
+    not the first-seen one; min-id keeper selection silently prefers
+    whatever was crawled earliest. Singletons are their own keeper.
+
+    Spark shape: pairs → pointer-jumping components (as
+    :func:`connected_components`), then ONE (cluster_id) max-struct
+    aggregate picks keepers — no per-cluster sort."""
+    from solana_etl_spark.operators.text import tokens
+
+    pairs = minhash_lsh_pairs(documents)
+    clusters = connected_components(pairs).select(
+        F.col("doc_id").alias("_cd"), "cluster_id"
+    )
+    scored = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("_nt")
+    )
+    member = scored.join(
+        clusters, scored.doc_id == clusters._cd, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "_nt",
+    )
+    keepers = member.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_nt"), (-F.col("doc_id")).alias("_neg"))).alias("_k")
+    ).select("cluster_id", (-F.col("_k._neg")).alias("keeper_doc_id"))
+    return member.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+    )
+
+
 def shingle_jaccard_pairs(
     documents: DataFrame, threshold: float
 ) -> DataFrame:

@@ -1169,6 +1169,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(dedup.minhash_lsh_pairs(docs))
 
 
+def _keepers_oracle(k: int, band_rows: int) -> str:
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_cte(k, band_rows, materialized=True)},
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    member AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               len({_TOKENS_SQL}) AS nt
+        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    ),
+    keep AS (
+        SELECT cluster_id, doc_id AS keeper_doc_id FROM (
+            SELECT cluster_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY cluster_id ORDER BY nt DESC, doc_id
+                   ) AS rn
+            FROM member
+        ) WHERE rn = 1
+    )
+    SELECT m.doc_id, m.cluster_id, k.keeper_doc_id,
+           m.doc_id = k.keeper_doc_id AS is_keeper
+    FROM member m JOIN keep k USING (cluster_id)
+    """
+
+
+@_register(
+    "dedup_keepers_by_quality",
+    _keepers_oracle(dedup.MINHASH_K, dedup.LSH_BAND_ROWS),
+    local_only=True,
+)
+def dedup_keepers_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection (operators/dedup.py
+    keepers_by_quality): within each near-duplicate cluster keep the
+    LONGEST version (most tokens, tie → smallest doc_id) instead of the
+    min-id — what a cleaning pipeline actually wants (the un-truncated
+    variant), chosen by one max-struct aggregate per cluster with no
+    per-cluster sort. Oracle: recursive-CTE closure + rank window.
+    local_only: driver cap."""
+    return dedup.keepers_by_quality(_t(spark, sf_dir, "documents"))
+
+
 def _lsh_eval_oracle(k: int, band_rows: int, threshold: float) -> str:
     return f"""
     WITH {_lsh_pairs_cte(k, band_rows, materialized=True)},

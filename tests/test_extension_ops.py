@@ -727,6 +727,34 @@ def test_minhash_lsh_recall_vs_exact_shingle_jaccard(spark):
     assert rep.precision == round(len(truth & cand) / len(cand), 6)
 
 
+def test_keepers_by_quality_prefers_longest(spark):
+    """Within a near-dup cluster the keeper is the LONGEST version (most
+    tokens, tie -> min doc_id), not the min-id; singletons self-keep."""
+    from solana_etl_spark.operators.dedup import keepers_by_quality
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "s0", len(base)),                      # short variant
+        (2, base + " lambda mu nu", "en", "s0", 99),           # longest — keeper
+        (3, base + " lambda", "en", "s0", 99),                 # middle variant
+        (9, "completely unrelated text about spark plans etc", "en", "s0", 40),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keeper_doc_id, r.is_keeper)
+        for r in keepers_by_quality(df).collect()
+    }
+    assert len(got) == 4
+    # docs 1-3 cluster together; keeper is 2 (most tokens), NOT min-id 1
+    cluster = got[1][0]
+    assert got[2] == (cluster, 2, True)
+    assert got[1] == (cluster, 2, False)
+    assert got[3] == (cluster, 2, False)
+    assert got[9] == (9, 9, True)  # singleton keeps itself
+
+
 def test_train_val_test_split_stable_under_growth(spark):
     """A document's split assignment is a pure function of its key: adding
     more rows to the corpus never migrates existing rows between splits."""
