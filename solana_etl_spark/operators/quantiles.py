@@ -107,6 +107,35 @@ def exact_quantiles(
     return spark.createDataFrame(rows, "q_num int, q_den int, value long")
 
 
+def mad_outliers(
+    df: DataFrame, col: str, k: int = 3, out_col: str = "is_outlier"
+) -> DataFrame:
+    """Robust outlier flags via median absolute deviation: a row is an
+    outlier when |x − median| > k·MAD, both statistics EXACT order
+    statistics (ceil-rank, matching :func:`exact_quantiles`). Unlike the
+    mean/std z-score, a few huge values cannot drag the threshold — the
+    robust detector a heavy-tailed quality distribution needs.
+
+    Adds (abs_dev, median, mad, out_col) to the non-null rows of ``col``.
+    All-integer math (no 1.4826 normal-consistency scaling — k is the raw
+    MAD multiple; document the convention where thresholds are shared).
+    Scale shape: two bounded histogram-refinement passes (driver state =
+    two int64 cut points), then a pure per-row flag."""
+    vals = df.filter(F.col(col).isNotNull()).withColumn(
+        col, F.col(col).cast("long")
+    )
+    med = exact_quantiles(vals, col, [(1, 2)]).collect()[0]["value"]
+    devs = vals.withColumn("abs_dev", F.abs(F.col(col) - F.lit(med)))
+    mad = exact_quantiles(devs, "abs_dev", [(1, 2)]).collect()[0]["value"]
+    return devs.select(
+        *df.columns,
+        "abs_dev",
+        F.lit(med).alias("median"),
+        F.lit(mad).alias("mad"),
+        (F.col("abs_dev") > k * mad).alias(out_col),
+    )
+
+
 def winsorize(
     df: DataFrame,
     col: str,

@@ -3339,6 +3339,41 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a21_mad_outliers",
+    """
+    WITH v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+               FROM documents WHERE n_chars IS NOT NULL),
+    r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                 COUNT(*) OVER () AS n FROM v),
+    med AS (SELECT MIN(n_chars) AS m FROM r, (SELECT MAX(n) AS n FROM r) x
+            WHERE rn >= greatest(1, (x.n + 1) // 2)),
+    d AS (SELECT v.doc_id, v.n_chars, abs(v.n_chars - med.m) AS abs_dev
+          FROM v, med),
+    r2 AS (SELECT abs_dev, row_number() OVER (ORDER BY abs_dev) AS rn,
+                  COUNT(*) OVER () AS n FROM d),
+    mad AS (SELECT MIN(abs_dev) AS m FROM r2, (SELECT MAX(n) AS n FROM r2) x
+            WHERE rn >= greatest(1, (x.n + 1) // 2))
+    SELECT d.doc_id, d.n_chars, CAST(d.abs_dev AS BIGINT) AS abs_dev,
+           CAST(med.m AS BIGINT) AS median, CAST(mad.m AS BIGINT) AS mad,
+           d.abs_dev > 3 * mad.m AS is_outlier
+    FROM d, med, mad
+    """,
+    local_only=True,
+)
+def a21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via exact median/MAD (operators/
+    quantiles.py mad_outliers): |x − median| > 3·MAD, both statistics
+    exact ceil-rank order statistics from the sort-free histogram
+    refinement — the heavy-tail-safe complement of a18's mean/std
+    z-score (a few huge values cannot drag this threshold). All-integer.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.quantiles import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return mad_outliers(docs, "n_chars")
+
+
+@_register(
     "a20_winsorize",
     """
     WITH r AS (

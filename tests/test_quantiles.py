@@ -58,6 +58,27 @@ def test_quantiles_empty_raises(spark):
         exact_quantiles(df, "x", [(1, 2)])
 
 
+def test_mad_outliers_matches_python_reference(spark):
+    from solana_etl_spark.operators.quantiles import mad_outliers
+
+    values = [(i, 100 + (i % 7)) for i in range(60)] + [
+        (60, 100000),   # the planted outlier
+        (61, None),     # dropped (null column value)
+    ]
+    df = spark.createDataFrame(values, "id long, x long")
+    present = sorted(v for _, v in values if v is not None)
+    med = _py_quantile(present, 1, 2)
+    mad = _py_quantile(sorted(abs(v - med) for v in present), 1, 2)
+    rows = {r.id: r for r in mad_outliers(df, "x").collect()}
+    assert len(rows) == 61  # null row excluded
+    assert all(r.median == med and r.mad == mad for r in rows.values())
+    want_outliers = {
+        i for i, v in values if v is not None and abs(v - med) > 3 * mad
+    }
+    assert {i for i, r in rows.items() if r.is_outlier} == want_outliers
+    assert 60 in want_outliers  # the planted outlier is flagged
+
+
 def test_winsorize_matches_python_clip(spark):
     from solana_etl_spark.operators.quantiles import winsorize
 
