@@ -432,6 +432,77 @@ def ivf_batch_topk(
     )
 
 
+def ivf_batch_recall(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """PER-QUERY recall@k of the IVF probe over a whole query batch —
+    (q_id, n_hit, k, recall_at_k), one row per query. The single-query
+    :func:`ivf_recall` measures one operating point; this is the eval-set
+    version a deployment actually reads (mean/min recall over Q queries).
+
+    Plan: centroids are collected to a literal (k rows — the only driver
+    state) so the exact and approx branches share them without re-running
+    Lloyd; the approx branch is the :func:`ivf_batch_topk` shape
+    (broadcast probe join, no corpus shuffle), the exact branch scores
+    |corpus|×Q via a broadcast query cross join and per-query windows.
+    Queries with zero probe hits still report (left join, n_hit 0)."""
+    from pyspark.sql.window import Window
+
+    spark = embeddings.sparkSession
+    vecs = quantized(embeddings)
+    trained = kmeans_centroids(embeddings, k, iters)
+    centroids = spark.createDataFrame(trained.collect(), trained.schema)
+    queries = vecs.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("qvec").alias("q")
+    )
+    rank = lambda: F.row_number().over(  # noqa: E731
+        Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    )
+
+    exact = (
+        vecs.crossJoin(F.broadcast(queries))
+        .select("q_id", "vec_id", _sqdist(F.col("qvec"), F.col("q")).alias("dist"))
+        .withColumn("_rn", rank())
+        .filter(F.col("_rn") <= topk)
+        .select("q_id", "vec_id", F.lit(1).alias("is_rel"))
+    )
+    probe_rank = F.row_number().over(
+        Window.partitionBy("q_id").orderBy("qd", "cid")
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select("q_id", "cid", _sqdist(F.col("cvec"), F.col("q")).alias("qd"))
+        .withColumn("_rn", probe_rank)
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "cid")
+    )
+    approx = (
+        _assign(vecs, centroids)
+        .join(F.broadcast(probes), "cid")
+        .join(F.broadcast(queries), "q_id")
+        .select("q_id", "vec_id", _sqdist(F.col("qvec"), F.col("q")).alias("dist"))
+        .withColumn("_rn", rank())
+        .filter(F.col("_rn") <= topk)
+        .select("q_id", "vec_id")
+    )
+    return (
+        approx.join(exact, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce("is_rel", F.lit(0))).alias("n_hit"))
+        .select(
+            "q_id",
+            "n_hit",
+            F.lit(topk).alias("k"),
+            F.round(F.col("n_hit") / F.lit(float(topk)), 6).alias("recall_at_k"),
+        )
+    )
+
+
 def _probe_scored(
     embeddings: DataFrame, k: int, iters: int, nprobe: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -2869,6 +2869,95 @@ def _ivf_batch_topk_oracle(
     """
 
 
+def _ivf_batch_recall_oracle(
+    k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int
+) -> str:
+    qdist = (
+        "list_sum([ (v.qvec[i] - q.q[i]) * (v.qvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    cdist = (
+        "list_sum([ (c.cvec[i] - q.q[i]) * (c.cvec[i] - q.q[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    qry AS (SELECT vec_id AS q_id, qvec AS q FROM qvecs WHERE vec_id % 100 = 0),
+    exact AS MATERIALIZED (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id ORDER BY {qdist}, v.vec_id
+                   ) AS rn
+            FROM qvecs v CROSS JOIN qry q
+        ) WHERE rn <= {topk}
+    ),
+    probe AS (
+        SELECT q_id, cid FROM (
+            SELECT q.q_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.q_id ORDER BY {cdist}, c.cid
+                   ) AS rn
+            FROM c{iters} c CROSS JOIN qry q
+        ) WHERE rn <= {nprobe}
+    ),
+    afinal AS (
+        SELECT vec_id, qvec, cid FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid
+                   ) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    approx AS MATERIALIZED (
+        SELECT q_id, vec_id FROM (
+            SELECT p.q_id, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.q_id ORDER BY {qdist}, v.vec_id
+                   ) AS rn
+            FROM afinal v JOIN probe p USING (cid) JOIN qry q ON q.q_id = p.q_id
+        ) WHERE rn <= {topk}
+    )
+    SELECT a.q_id,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           {topk} AS k,
+           ROUND(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST({topk} AS DOUBLE), 6) AS recall_at_k
+    FROM approx a LEFT JOIN exact e USING (q_id, vec_id)
+    GROUP BY a.q_id
+    """
+
+
+@_register(
+    "ann_batch_recall_eval",
+    _ivf_batch_recall_oracle(
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+        similarity.IVF_NPROBE,
+        similarity.TOPK,
+    ),
+    local_only=True,
+)
+def ann_batch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY recall@k over a whole query batch (every 100th vector) —
+    the eval-set measurement a deployment reads before trusting nprobe
+    (operators/similarity.py ivf_batch_recall); the single-query
+    ann_recall_eval measures one point, this measures the distribution.
+    Centroids are the only driver state; the approx branch never shuffles
+    the corpus. local_only: driver cap."""
+    return similarity.ivf_batch_recall(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0
+    )
+
+
 @_register(
     "ann_ivf_batch_topk",
     _ivf_batch_topk_oracle(
