@@ -1602,6 +1602,66 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "corpus_mix_report",
+    f"""
+    WITH d AS (
+        SELECT lang, source, doc_id,
+               len({_TOKENS_SQL}) AS n_tokens,
+               {hash64_sql(_NORM_SQL)} AS chash
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT chash) AS n_unique_docs
+        FROM d GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_tokens, n_unique_docs,
+           ROUND((n_docs - n_unique_docs) / n_docs, 6) AS dup_frac,
+           ROUND(total_tokens / SUM(total_tokens) OVER (), 6) AS token_share
+    FROM g
+    """,
+    local_only=True,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing planning table: per (lang, source) stratum — doc
+    count, token budget, exact-duplicate fraction (via the dedup content
+    hash), and each stratum's share of total corpus tokens. This is the
+    input to temperature/budgeted mixture rates (s3_mixture_sample) and
+    the first number a corpus card reports. One grouped aggregate + a
+    1-row broadcast total; the distinct-hash count is the only second
+    phase. local_only: driver cap."""
+    from solana_etl_spark.functions.hashing import hash64
+    from solana_etl_spark.operators.dedup import normalized_text
+    from solana_etl_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        hash64(normalized_text()).alias("chash"),
+    )
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("chash").alias("n_unique_docs"),
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_unique_docs",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique_docs")) / F.col("n_docs"), 6
+        ).alias("dup_frac"),
+        F.round(F.col("total_tokens") / total, 6).alias("token_share"),
+    )
+
+
 def _lang_id_oracle() -> str:
     score = lambda words: (  # noqa: E731
         "len(list_filter("
