@@ -5095,6 +5095,74 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+# BPE vocabulary artifact for text_bpe_encode: trained ONCE with
+# operators/vocab.py:train_bpe_merges on the sf0.001 documents sample and
+# frozen — the production shape (a tokenizer trains on a bounded sample,
+# then the shipped merge list encodes the full corpus).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    from solana_etl_spark.operators.vocab import EOW, SEP
+
+    # the same sentinel-delimited replace chain as apply_bpe_replace,
+    # mirrored literally: DuckDB's replace() is the same left-to-right
+    # non-overlapping scan as Java's, so the greedy merge semantics match
+    # byte-for-byte (regexp syntax differs: '\1' + the 'g' flag vs '$1').
+    stream = (
+        f"regexp_replace(base || ' ', '(.)', chr(31) || '\\1', 'g') || chr(31)"
+    )
+    stream = f"replace({stream}, '{SEP} {SEP}', '{SEP}{EOW}{SEP}{SEP}')"
+    for a, b in _BPE_MERGES:
+        stream = f"replace({stream}, '{SEP}{a}{SEP}{b}{SEP}', '{SEP}{a}{b}{SEP}')"
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, n_chars,
+               trim(regexp_replace(replace(lower(text), chr(31), ''),
+                                   '\\s+', ' ', 'g')) AS base
+        FROM documents
+    ), enc AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split({stream}, chr(31)),
+                           x -> x <> '') AS toks
+        FROM norm
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           array_to_string(toks[1:8], ' ') AS tok_prefix,
+           ROUND(n_chars / CAST(len(toks) AS DOUBLE), 6) AS chars_per_token
+    FROM enc
+    """
+
+
+@_register("text_bpe_encode", _bpe_encode_oracle(), local_only=True)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a shipped BPE vocabulary
+    (operators/vocab.py:apply_bpe_replace): the merge list learned by
+    train_bpe_merges, applied as ONE whole-stage-codegen projection — a
+    chain of literal string replaces over a sentinel-delimited symbol
+    stream, zero shuffle, zero Python. Returns per-doc token count, the
+    first 8 tokens, and chars/token (the compression-ratio quality
+    signal). Cross-engine value-hash oracle: DuckDB runs the identical
+    replace chain — possible precisely because the encoder is expression-
+    level, not a UDF. local_only: driver cap."""
+    from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_bpe_replace(docs, _BPE_MERGES)
+    n_tokens = F.size("bpe_tokens").cast("long")
+    return enc.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("tok_prefix"),
+        F.round(F.col("n_chars") / n_tokens, 6).alias("chars_per_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. Entity resolution + ANN evaluation
 # ---------------------------------------------------------------------------

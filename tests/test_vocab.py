@@ -106,3 +106,45 @@ def test_apply_bpe_consistent_with_training(spark):
                 syms = _ref_merge(syms, a, b)
             expect.extend(syms)
         assert row[0] == expect
+
+
+def test_apply_bpe_replace_matches_fold(spark):
+    """The codegen replace-chain encoder is output-identical to the fold
+    encoder on real text, empty/whitespace/null docs, overlapping runs,
+    and text containing the SEP sentinel byte (which the replace form
+    strips by contract)."""
+    from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+    rows = [(i, t) for i, t in enumerate(CORPUS)] + [
+        (100, None),
+        (101, ""),
+        (102, "   \t\n "),
+        (103, "a"),
+        (104, "a a a aa"),
+        (105, "the\nlower\ttower  below"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    merges = _ref_train(CORPUS, 10)
+    fold = {
+        r["doc_id"]: r["t"]
+        for r in apply_bpe(docs, merges)
+        .select("doc_id", F.col("bpe_tokens").alias("t"))
+        .collect()
+    }
+    rep = {
+        r["doc_id"]: r["t"]
+        for r in apply_bpe_replace(docs, merges)
+        .select("doc_id", F.col("bpe_tokens").alias("t"))
+        .collect()
+    }
+    assert fold == rep
+
+
+def test_apply_bpe_replace_strips_sep_byte(spark):
+    """Documented contract: literal \\x1f bytes in the input are removed
+    before encoding (they are the delimiter of the symbol stream)."""
+    from solana_etl_spark.operators.vocab import SEP, apply_bpe_replace
+
+    docs = spark.createDataFrame([(f"x{SEP}y z",)], "text string")
+    (row,) = apply_bpe_replace(docs, []).select("bpe_tokens").collect()
+    assert row[0] == ["x", "y", EOW, "z", EOW]
