@@ -32,6 +32,7 @@ def pack_sequences(
     budget: int = SEQ_BUDGET,
     group_cols: tuple[str, ...] = ("lang",),
     order_col: str = "doc_id",
+    n_tokens: Column | None = None,
 ) -> DataFrame:
     """One row per (document, packed sequence) it occupies.
 
@@ -40,9 +41,14 @@ def pack_sequences(
     sequence), ``tokens_in_seq`` (how many of the doc's tokens land in this
     sequence). A document longer than ``budget`` spans multiple sequences;
     Σ tokens_in_seq == n_tokens.
+
+    ``n_tokens`` overrides the per-document token-count expression —
+    e.g. ``F.size(...)`` over a real tokenizer's output
+    (vocab.apply_bpe_replace) instead of the default whitespace/BPE-ish
+    regex count; the packing accounting is tokenizer-agnostic.
     """
     w = Window.partitionBy(*group_cols).orderBy(order_col)
-    n_tok = F.size(tokens(F.col("text")))
+    n_tok = F.size(tokens(F.col("text"))) if n_tokens is None else n_tokens
     with_cum = documents.select(
         *group_cols,
         order_col,

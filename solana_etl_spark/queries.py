@@ -5106,19 +5106,25 @@ _BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def _bpe_encode_oracle() -> str:
+def _bpe_stream_sql() -> str:
+    """DuckDB expression for apply_bpe_replace's symbol stream over a
+    column named ``base``: the same sentinel-delimited replace chain,
+    mirrored literally — DuckDB's replace() is the same left-to-right
+    non-overlapping scan as Java's, so the greedy merge semantics match
+    byte-for-byte (regexp syntax differs: '\\1' + the 'g' flag vs '$1')."""
     from solana_etl_spark.operators.vocab import EOW, SEP
 
-    # the same sentinel-delimited replace chain as apply_bpe_replace,
-    # mirrored literally: DuckDB's replace() is the same left-to-right
-    # non-overlapping scan as Java's, so the greedy merge semantics match
-    # byte-for-byte (regexp syntax differs: '\1' + the 'g' flag vs '$1').
     stream = (
         f"regexp_replace(base || ' ', '(.)', chr(31) || '\\1', 'g') || chr(31)"
     )
     stream = f"replace({stream}, '{SEP} {SEP}', '{SEP}{EOW}{SEP}{SEP}')"
     for a, b in _BPE_MERGES:
         stream = f"replace({stream}, '{SEP}{a}{SEP}{b}{SEP}', '{SEP}{a}{b}{SEP}')"
+    return stream
+
+
+def _bpe_encode_oracle() -> str:
+    stream = _bpe_stream_sql()
     return f"""
     WITH norm AS (
         SELECT doc_id, n_chars,
@@ -5160,6 +5166,77 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("tok_prefix"),
         F.round(F.col("n_chars") / n_tokens, 6).alias("chars_per_token"),
+    )
+
+
+_BPE_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def _bpe_pack_oracle() -> str:
+    stream = _bpe_stream_sql()
+    b = _BPE_PACK_BUDGET
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(replace(lower(text), chr(31), ''),
+                                   '\\s+', ' ', 'g')) AS base
+        FROM documents
+    ), enc AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split({stream}, chr(31)),
+                               x -> x <> '')) AS n_tokens
+        FROM norm
+    ), cum AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS e
+        FROM enc
+    ), ex AS (
+        SELECT lang, doc_id, n_tokens, e - n_tokens AS s, e,
+               unnest(generate_series(CAST((e - n_tokens) // {b} AS BIGINT),
+                                      CAST((e - 1) // {b} AS BIGINT))) AS seq_id
+        FROM cum WHERE n_tokens > 0
+    )
+    SELECT lang, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           seq_id,
+           CAST(greatest(s, seq_id * {b}) - seq_id * {b} AS BIGINT)
+               AS seq_offset,
+           CAST(least(e, seq_id * {b} + {b}) - greatest(s, seq_id * {b})
+                AS BIGINT) AS tokens_in_seq
+    FROM ex
+    """
+
+
+@_register("pipeline_bpe_pack", _bpe_pack_oracle(), local_only=True)
+def pipeline_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer→packing composite: encode the corpus with the shipped BPE
+    vocabulary (codegen replace chain), then pack the REAL token counts
+    into fixed 2048-token training sequences per language
+    (operators/packing.py:pack_sequences with the n_tokens override).
+    This is the accounting a pre-training data loader consumes: which
+    sequences each document occupies and at which offsets. One window
+    shuffle keyed by the pack group; the encode adds zero shuffles.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.packing import pack_sequences
+    from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_bpe_replace(docs, _BPE_MERGES)
+    packed = pack_sequences(
+        enc,
+        budget=_BPE_PACK_BUDGET,
+        group_cols=("lang",),
+        order_col="doc_id",
+        n_tokens=F.size("bpe_tokens"),
+    )
+    return packed.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+        "tokens_in_seq",
     )
 
 
