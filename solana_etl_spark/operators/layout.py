@@ -154,3 +154,61 @@ def backfill_partitions(
         .parquet(path)
     )
     return affected
+
+
+def balanced_shard_plan(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_shards: int = 8,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Weight-balanced shard assignment without a global sort of the data:
+    the write-planning step behind ``sinks.write_corpus_shards`` when
+    shards must hold ~equal TOKENS, not ~equal rows (training shards are
+    consumed sequentially; a fat shard is a straggler epoch after epoch).
+
+    Hash-sharding alone balances only in expectation, with variance
+    carrying the full document-length spread. Instead:
+
+    1. hash rows into ``n_buckets`` deterministic buckets (md5-based
+       ``hash64`` — cross-engine reproducible) and aggregate each bucket's
+       row count + total weight. This is the only pass over the data —
+       one map-side-combined shuffle of ``n_buckets``-bounded state.
+    2. sorted round-robin: order the BUCKET AGGREGATE (n_buckets rows —
+       bounded regardless of corpus size, so the single-partition window
+       is not a scale concern) by weight descending and deal buckets to
+       shards ``row_number % n_shards``. Classic longest-first dealing:
+       per-shard totals land within one max-bucket-weight of the mean,
+       and buckets are ~N/n_buckets docs each, so that bound is tight.
+
+    Returns the per-shard plan: (shard, n_buckets, n_docs, total_weight).
+    The per-row assignment is the bucket→shard map broadcast-joined back
+    (buckets are the unit of movement, as in any rendezvous/consistent
+    sharding scheme); callers wanting row-level output join on bucket.
+    """
+    from pyspark.sql.window import Window
+
+    from solana_etl_spark.functions.hashing import hash64
+
+    bucket = (hash64(F.col(key_col).cast("string")) % n_buckets).alias("bucket")
+    per_bucket = (
+        df.select(bucket, F.col(weight_col).alias("w"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("bw"))
+    )
+    dealt = per_bucket.withColumn(
+        "shard",
+        (
+            (F.row_number().over(Window.orderBy(F.desc("bw"), F.asc("bucket"))) - 1)
+            % n_shards
+        ).cast("long"),
+    )
+    return (
+        dealt.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bw").alias("total_weight"),
+        )
+    )

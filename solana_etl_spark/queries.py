@@ -2689,6 +2689,54 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_N, _SHARD_BUCKETS = 8, 256
+
+
+def _shard_plan_oracle() -> str:
+    from solana_etl_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH per_bucket AS (
+        SELECT {h} % {_SHARD_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bw
+        FROM documents
+        GROUP BY 1
+    ), dealt AS (
+        SELECT *,
+               (ROW_NUMBER() OVER (ORDER BY bw DESC, bucket ASC) - 1)
+                   % {_SHARD_N} AS shard
+        FROM per_bucket
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bw) AS BIGINT) AS total_weight
+    FROM dealt GROUP BY shard
+    """
+
+
+@_register("layout_shard_balance", _shard_plan_oracle(), local_only=True)
+def layout_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced training-shard plan
+    (operators/layout.py:balanced_shard_plan): hash docs into 256
+    deterministic buckets (one map-side-combined pass), deal the BUCKET
+    aggregate to 8 shards longest-first round-robin. The only window runs
+    over the 256-row bucket table — bounded state regardless of corpus
+    size, so the plan survives 100 TB where per-row NTILE would not.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.layout import balanced_shard_plan
+
+    return balanced_shard_plan(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        n_shards=_SHARD_N,
+        n_buckets=_SHARD_BUCKETS,
+    )
+
+
 @_register(
     "q13_order_count_distribution",
     # TPC-H Q13 shape: outer join preserved through an aggregate, then a

@@ -185,3 +185,33 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_balanced_shard_plan_balance_and_totals(spark):
+    """The dealt plan conserves docs/weight exactly and balances shard
+    weights far tighter than the raw document-length spread: every shard
+    within ±1 max-bucket-weight of the mean (the dealing bound)."""
+    from solana_etl_spark.operators.layout import balanced_shard_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = balanced_shard_plan(
+        docs, key_col="doc_id", weight_col="n_chars", n_shards=8, n_buckets=256
+    ).collect()
+    total_docs = docs.count()
+    total_w = docs.agg({"n_chars": "sum"}).first()[0]
+    assert sum(r["n_docs"] for r in plan) == total_docs
+    assert sum(r["total_weight"] for r in plan) == total_w
+    weights = [r["total_weight"] for r in plan]
+    mean = total_w / len(weights)
+    # dealing bound: deviation from the mean is at most one bucket's weight
+    max_bucket = (
+        docs.selectExpr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS LONG) % 256 AS bucket",
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg({"n_chars": "sum"})
+        .agg({"sum(n_chars)": "max"})
+        .first()[0]
+    )
+    assert max(abs(w - mean) for w in weights) <= max_bucket
