@@ -1,0 +1,101 @@
+"""Distribution-drift monitoring between two dataset slices: PSI and the
+KS statistic over a shared fixed-width binning.
+
+A training corpus is re-ingested continuously; the question "did this
+week's data shift?" is answered by comparing per-feature distributions of
+the new slice against a reference slice. Standard monitoring metrics:
+
+* **PSI** (population stability index): Σ (p_i − q_i) · ln(p_i / q_i)
+  over histogram bins — the symmetric KL-style score ops teams threshold
+  at 0.1 (drifting) / 0.25 (shifted).
+* **KS statistic**: max_i |CDF_ref(i) − CDF_cur(i)| over the same bins —
+  the sup-norm gap, sensitive to location shifts PSI can smear.
+
+Scale shape: ONE aggregate pass per slice (map-side-combined histogram of
+``n_bins``-bounded state), a broadcast 1-row join for the bin bounds, and
+a window over the ``n_bins``-row histogram — no per-row window, no sort
+of the data, no driver collect. Bin bounds come from the REFERENCE
+slice's min/max (the monitoring convention: the reference defines the
+binning; out-of-range current values clamp into the edge bins), kept
+in-plan via a broadcast cross join so the operator stays one lazy
+DataFrame. Bin assignment is exact integer arithmetic, so the histogram
+is bit-identical cross-engine; the PSI/KS doubles round to 6 places.
+
+Zero-count bins are floored at ``EPS`` before the PSI log — the standard
+guard (a bin present in one slice and empty in the other would otherwise
+send PSI to ±inf).
+
+Charter extension (SURVEY §2.11 family: data-quality / governance); the
+reference has no monitoring surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_BINS = 16
+EPS = 1e-6
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    feature: str | None = None,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """One-row drift report comparing ``cur`` against ``ref`` on integer
+    column ``value_col``: (feature, n_ref, n_cur, psi, ks_stat).
+    """
+    feature = feature or value_col
+
+    bounds = ref.agg(
+        F.min(F.col(value_col).cast("long")).alias("_lo"),
+        F.max(F.col(value_col).cast("long")).alias("_hi"),
+    )
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("long")
+        span = F.col("_hi") - F.col("_lo") + 1
+        raw = F.floor(((v - F.col("_lo")) * n_bins) / span)
+        bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw))
+        return (
+            df.select(v.alias(value_col))
+            .filter(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(bin_.cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    h = hist(ref, "ref_cnt").join(hist(cur, "cur_cnt"), "bin", "full_outer")
+    h = h.select(
+        "bin",
+        F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+        F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+    )
+    totals = h.agg(
+        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+    )
+    h = h.crossJoin(F.broadcast(totals))
+    p = F.greatest(F.col("ref_cnt") / F.col("n_ref"), F.lit(EPS))
+    q = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(EPS))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    per_bin = h.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((p - q) * (F.log(p) - F.log(q))).alias("_psi_term"),
+        F.abs(
+            F.sum(F.col("ref_cnt") / F.col("n_ref")).over(w)
+            - F.sum(F.col("cur_cnt") / F.col("n_cur")).over(w)
+        ).alias("_cdf_gap"),
+    )
+    return per_bin.groupBy("n_ref", "n_cur").agg(
+        F.round(F.sum("_psi_term"), 6).alias("psi"),
+        F.round(F.max("_cdf_gap"), 6).alias("ks_stat"),
+    ).select(
+        F.lit(feature).alias("feature"), "n_ref", "n_cur", "psi", "ks_stat"
+    )

@@ -6118,6 +6118,76 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_oracle() -> str:
+    from solana_etl_spark.operators.drift import EPS, N_BINS
+
+    b = N_BINS
+    return f"""
+    WITH ref AS (SELECT n_chars FROM documents
+                 WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+    cur AS (SELECT n_chars FROM documents
+            WHERE CAST(substr(source, 4) AS INT) % 2 = 1),
+    bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM ref),
+    hr AS (
+        SELECT greatest(0, least({b} - 1,
+                   CAST(floor(((n_chars - lo) * {b}) / (hi - lo + 1))
+                        AS BIGINT))) AS bin,
+               COUNT(*) AS ref_cnt
+        FROM ref, bounds GROUP BY 1
+    ),
+    hc AS (
+        SELECT greatest(0, least({b} - 1,
+                   CAST(floor(((n_chars - lo) * {b}) / (hi - lo + 1))
+                        AS BIGINT))) AS bin,
+               COUNT(*) AS cur_cnt
+        FROM cur, bounds GROUP BY 1
+    ),
+    h AS (
+        SELECT COALESCE(hr.bin, hc.bin) AS bin,
+               COALESCE(ref_cnt, 0) AS ref_cnt,
+               COALESCE(cur_cnt, 0) AS cur_cnt
+        FROM hr FULL OUTER JOIN hc ON hr.bin = hc.bin
+    ),
+    t AS (SELECT SUM(ref_cnt) AS n_ref, SUM(cur_cnt) AS n_cur FROM h),
+    per_bin AS (
+        SELECT bin, n_ref, n_cur,
+               (greatest(ref_cnt / n_ref, {EPS}) - greatest(cur_cnt / n_cur, {EPS}))
+               * (ln(greatest(ref_cnt / n_ref, {EPS}))
+                  - ln(greatest(cur_cnt / n_cur, {EPS}))) AS psi_term,
+               abs(SUM(ref_cnt / n_ref) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING)
+                   - SUM(cur_cnt / n_cur) OVER (ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING)) AS cdf_gap
+        FROM h, t
+    )
+    SELECT 'n_chars' AS feature,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(SUM(psi_term), 6) AS psi,
+           ROUND(MAX(cdf_gap), 6) AS ks_stat
+    FROM per_bin GROUP BY n_ref, n_cur
+    """
+
+
+@_register("dq_drift_psi", _drift_oracle(), local_only=True)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (operators/drift.py): PSI + KS statistic
+    of document length, comparing the odd-numbered sources (the "new
+    ingest") against the even-numbered reference slice — balanced halves
+    at every fixture scale. One bounded histogram aggregate per slice, a
+    broadcast bounds join, and a 16-row window — corpus-size-independent
+    state throughout. local_only: driver cap."""
+    from solana_etl_spark.operators.drift import drift_report
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    return drift_report(
+        docs.filter(src_num % 2 == 0),
+        docs.filter(src_num % 2 == 1),
+        "n_chars",
+    )
+
+
 @_register(
     "a19_value_histogram",
     # equi-width histogram of event values per type: integer bucket edges,

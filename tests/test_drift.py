@@ -1,0 +1,42 @@
+"""Drift-report semantics: identical slices score ~0; a location shift
+moves both PSI and KS; out-of-range current values clamp into edge bins
+instead of being dropped."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.drift import drift_report
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_identical_slices_score_zero(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (row,) = drift_report(docs, docs, "n_chars").collect()
+    assert row["psi"] == 0.0
+    assert row["ks_stat"] == 0.0
+    assert row["n_ref"] == row["n_cur"] == docs.count()
+
+
+def test_location_shift_detected(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shifted = docs.withColumn("n_chars", F.col("n_chars") * 2)
+    (base,) = drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    ).collect()
+    (moved,) = drift_report(docs, shifted, "n_chars").collect()
+    # same-distribution halves score low; a 2x length shift scores high
+    assert moved["psi"] > 10 * max(base["psi"], 0.001)
+    assert moved["ks_stat"] > base["ks_stat"]
+
+
+def test_out_of_range_values_clamp(spark):
+    ref = spark.createDataFrame([(v,) for v in range(100, 200)], "v int")
+    cur = spark.createDataFrame([(5,), (150,), (10_000,)], "v int")
+    (row,) = drift_report(ref, cur, "v").collect()
+    # all three current rows counted (edge-bin clamping, none dropped)
+    assert row["n_cur"] == 3
+    assert row["n_ref"] == 100
