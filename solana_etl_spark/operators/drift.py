@@ -99,3 +99,81 @@ def drift_report(
     ).select(
         F.lit(feature).alias("feature"), "n_ref", "n_cur", "psi", "ks_stat"
     )
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    feature: str = "embedding",
+) -> DataFrame:
+    """Vector-space drift between two embedding slices: per-dimension
+    centroid means, reduced to (centroid_l2, centroid_cos, max_dim_gap).
+
+    A corpus whose scalar profiles look stable can still drift
+    semantically — topic mix shifts move the embedding centroid long
+    before length/quality histograms notice. Metrics:
+
+    * ``centroid_l2`` — Euclidean distance between slice centroids;
+    * ``centroid_cos`` — cosine of the two centroids (1.0 = no angular
+      drift);
+    * ``max_dim_gap`` — sup-norm over dimensions, localizing the drift.
+
+    Scale shape: per-slice ONE posexplode + dimension-keyed aggregate
+    (state = n_dims rows, map-side combined), then all reductions run on
+    the n_dims-row join — corpus-size-independent after the first pass.
+    Numerics follow the repo's exact-sum discipline (similarity.ivf_ndcg):
+    every cross-row float sum rounds its terms to a fixed scale and sums
+    as DECIMAL, so the result is addition-order-independent and
+    bit-reproducible cross-engine; only the final scalar math is double,
+    rounded to 6.
+    """
+
+    def dim_means(df: DataFrame, tag: str) -> DataFrame:
+        term = F.round(F.col("v").cast("double"), 9).cast("decimal(28,9)")
+        return (
+            df.select(F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("dim")
+            .agg(
+                F.sum(term).alias(f"_s_{tag}"),
+                F.count(F.lit(1)).alias(f"_n_{tag}"),
+            )
+            .select(
+                "dim",
+                F.round(
+                    F.col(f"_s_{tag}").cast("double") / F.col(f"_n_{tag}"), 9
+                ).alias(f"m_{tag}"),
+                F.col(f"_n_{tag}"),
+            )
+        )
+
+    j = dim_means(ref, "a").join(dim_means(cur, "b"), "dim")
+    d12 = "decimal(30,12)"
+    diff2 = F.round((F.col("m_a") - F.col("m_b")) ** 2, 12).cast(d12)
+    dot = F.round(F.col("m_a") * F.col("m_b"), 12).cast(d12)
+    na2 = F.round(F.col("m_a") ** 2, 12).cast(d12)
+    nb2 = F.round(F.col("m_b") ** 2, 12).cast(d12)
+    agg = j.agg(
+        F.max("_n_a").alias("n_ref"),
+        F.max("_n_b").alias("n_cur"),
+        F.sum(diff2).alias("_d2"),
+        F.sum(dot).alias("_dot"),
+        F.sum(na2).alias("_na2"),
+        F.sum(nb2).alias("_nb2"),
+        F.max(F.abs(F.col("m_a") - F.col("m_b"))).alias("_gap"),
+    )
+    return agg.select(
+        F.lit(feature).alias("feature"),
+        "n_ref",
+        "n_cur",
+        F.round(F.sqrt(F.col("_d2").cast("double")), 6).alias("centroid_l2"),
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_na2").cast("double"))
+                * F.sqrt(F.col("_nb2").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cos"),
+        F.round(F.col("_gap"), 6).alias("max_dim_gap"),
+    )

@@ -6188,6 +6188,65 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_drift_oracle() -> str:
+    # parallel-unnest (value, dim) pattern as in the IVF oracles; per-dim
+    # float sums follow the exact-DECIMAL discipline so addition order
+    # cannot split the engines
+    dm = """
+        SELECT dim,
+               ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS m,
+               COUNT(*) AS n
+        FROM (SELECT unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings WHERE vec_id % 2 = {par}) e
+        GROUP BY dim
+    """
+    return f"""
+    WITH ma AS ({dm.format(par=0)}), mb AS ({dm.format(par=1)}),
+    j AS (
+        SELECT ma.m AS m_a, mb.m AS m_b, ma.n AS n_a, mb.n AS n_b
+        FROM ma JOIN mb ON ma.dim = mb.dim
+    ),
+    agg AS (
+        SELECT MAX(n_a) AS n_ref, MAX(n_b) AS n_cur,
+               SUM(CAST(ROUND((m_a - m_b) * (m_a - m_b), 12)
+                        AS DECIMAL(30,12))) AS d2,
+               SUM(CAST(ROUND(m_a * m_b, 12) AS DECIMAL(30,12))) AS dot,
+               SUM(CAST(ROUND(m_a * m_a, 12) AS DECIMAL(30,12))) AS na2,
+               SUM(CAST(ROUND(m_b * m_b, 12) AS DECIMAL(30,12))) AS nb2,
+               MAX(abs(m_a - m_b)) AS gap
+        FROM j
+    )
+    SELECT 'embedding' AS feature,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(sqrt(CAST(d2 AS DOUBLE)), 6) AS centroid_l2,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+                 6) AS centroid_cos,
+           ROUND(gap, 6) AS max_dim_gap
+    FROM agg
+    """
+
+
+@_register("dq_drift_centroid", _centroid_drift_oracle(), local_only=True)
+def dq_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (operators/drift.py:embedding_centroid_drift):
+    centroid L2 / cosine / per-dimension sup-norm between the even- and
+    odd-vec_id embedding slices. One posexplode + dim-keyed aggregate per
+    slice; every cross-row float sum is exact-DECIMAL so the report is
+    partition-order-independent. local_only: driver cap."""
+    from solana_etl_spark.operators.drift import embedding_centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 @_register(
     "a19_value_histogram",
     # equi-width histogram of event values per type: integer bucket edges,

@@ -40,3 +40,21 @@ def test_out_of_range_values_clamp(spark):
     # all three current rows counted (edge-bin clamping, none dropped)
     assert row["n_cur"] == 3
     assert row["n_ref"] == 100
+
+
+def test_embedding_centroid_drift_identity_and_shift(spark):
+    from solana_etl_spark.operators.drift import embedding_centroid_drift
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    (same,) = embedding_centroid_drift(emb, emb).collect()
+    assert same["centroid_l2"] == 0.0
+    assert same["centroid_cos"] == 1.0
+    assert same["max_dim_gap"] == 0.0
+
+    shifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(0.5))
+    )
+    (moved,) = embedding_centroid_drift(emb, shifted).collect()
+    assert abs(moved["centroid_l2"] - 0.5 * (64 ** 0.5)) < 0.01
+    assert moved["max_dim_gap"] > 0.49
+    assert moved["centroid_cos"] < 1.0
