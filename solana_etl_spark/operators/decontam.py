@@ -81,3 +81,44 @@ def contamination(
             ),
         )
     )
+
+
+SEMANTIC_CONTAM_THRESHOLD = 0.9
+
+
+def semantic_contamination(
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    against ANY held-out eval vector reaches ``threshold`` — the semantic
+    companion to the n-gram overlap check above (paraphrased benchmark
+    leakage shares no 5-gram but sits next to the eval item in embedding
+    space).
+
+    Scale shape: same asymmetry as the n-gram check — the eval set is
+    thousands of rows while the corpus is billions, so the normalized eval
+    side is BROADCAST and the corpus streams through one embarrassingly
+    parallel scan (corpus × eval nested-loop with a bounded inner side,
+    then a per-vector max that partial-aggregates map-side). No corpus
+    self-join; linear in corpus size. Vectors are normalized ONCE per side
+    (similarity.normalized), so each pair costs a single dot product.
+
+    Returns every corpus row: (vec_id, max_eval_cos, contaminated).
+    """
+    from solana_etl_spark.operators.similarity import _dot, normalized
+
+    a = normalized(corpus_vecs).select("vec_id", F.col("_nemb").alias("_va"))
+    b = normalized(eval_vecs).select(F.col("_nemb").alias("_vb"))
+    cos = F.round(_dot(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_eval_cos"))
+        .select(
+            "vec_id",
+            "max_eval_cos",
+            (F.col("max_eval_cos") >= threshold).alias("contaminated"),
+        )
+    )

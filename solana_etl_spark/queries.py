@@ -1854,6 +1854,45 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontam_semantic",
+    # eval slice mirrors text_decontaminate's src19 convention on vec_id;
+    # normalize-then-dot shared with the sim_* oracles (_NEMB_CTE)
+    f"""
+    WITH {_NEMB_CTE},
+    ev AS (SELECT v FROM nemb WHERE vec_id % 20 = 19),
+    corpus AS (SELECT vec_id, v FROM nemb WHERE vec_id % 20 <> 19),
+    scored AS (
+        SELECT a.vec_id, MAX(ROUND({_NDOT_SQL}, 6)) AS max_eval_cos
+        FROM corpus a, ev b
+        GROUP BY a.vec_id
+    )
+    SELECT vec_id, max_eval_cos,
+           max_eval_cos >= 0.35 AS contaminated
+    FROM scored
+    """,
+    local_only=True,
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (operators/decontam.py:semantic_contamination): corpus vectors within
+    cosine 0.35 of ANY eval vector (vec_id % 20 == 19 — the src19
+    convention) are flagged. The operator's production default is 0.9;
+    the synthetic embeddings have no true eval near-dups (max observed
+    cosine ≈ 0.5), so the gate threshold is calibrated to exercise BOTH
+    flag branches at every fixture scale. Normalized eval side broadcast;
+    corpus streams once, per-vector max partial-aggregates map-side —
+    linear in corpus size. local_only: driver cap."""
+    from solana_etl_spark.operators.decontam import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") % 20 != 19),
+        emb.filter(F.col("vec_id") % 20 == 19),
+        threshold=0.35,
+    )
+
+
+@_register(
     "a15_pivot",
     """
     SELECT o_orderpriority,
