@@ -85,14 +85,77 @@ class CorpusPipeline:
         )
         return self._with(self.df.join(bad, _ID, "left_anti"))
 
+    def decontaminate_semantic(
+        self,
+        vectors: DataFrame,
+        eval_vectors: DataFrame,
+        threshold: float | None = None,
+    ) -> "CorpusPipeline":
+        """Drop documents whose embedding sits within ``threshold`` cosine
+        of ANY eval vector (paraphrased leakage the n-gram check misses).
+        ``vectors``/``eval_vectors`` are ``(doc_id, embedding)``-shaped;
+        the normalized eval side broadcasts, the corpus side streams once
+        (operators/decontam.py:semantic_contamination)."""
+        from solana_etl_spark.operators.decontam import (
+            SEMANTIC_CONTAM_THRESHOLD,
+            semantic_contamination,
+        )
+
+        flagged = (
+            semantic_contamination(
+                vectors.select(F.col(_ID).alias("vec_id"), "embedding"),
+                eval_vectors.select(F.col(_ID).alias("vec_id"), "embedding"),
+                threshold=(
+                    SEMANTIC_CONTAM_THRESHOLD if threshold is None else threshold
+                ),
+            )
+            .filter(F.col("contaminated"))
+            .select(F.col("vec_id").alias(_ID))
+        )
+        return self._with(self.df.join(flagged, _ID, "left_anti"))
+
     def sample(self, rate_bp: int) -> "CorpusPipeline":
         """Deterministic hash-Bernoulli downsample (rate in basis points)
         — stateless per-row predicate, retry-safe."""
         return self._with(hash_sample(self.df, _ID, rate_bp))
 
+    def tokenize(self, merges: list[tuple[str, str]]) -> "CorpusPipeline":
+        """Encode each document with a shipped BPE merge list — a single
+        codegen projection adding ``bpe_tokens`` (vocab.apply_bpe_replace:
+        zero shuffle, zero Python); ``pack()`` then uses the REAL token
+        counts automatically."""
+        from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+        return self._with(apply_bpe_replace(self.df, merges))
+
     def pack(self, budget: int = 2048, group_cols=("lang",)) -> DataFrame:
         """Terminal step: concat-and-chunk the surviving documents into
-        fixed token-budget model sequences (operators/packing.py)."""
+        fixed token-budget model sequences (operators/packing.py). After
+        ``tokenize()``, sequences budget the tokenizer's actual counts;
+        otherwise the whitespace/BPE-ish regex estimate."""
         from solana_etl_spark.operators.packing import pack_sequences
 
-        return pack_sequences(self.df, budget=budget, group_cols=group_cols)
+        n_tokens = (
+            F.size("bpe_tokens") if "bpe_tokens" in self.df.columns else None
+        )
+        return pack_sequences(
+            self.df, budget=budget, group_cols=group_cols, n_tokens=n_tokens
+        )
+
+    def shard_plan(
+        self, n_shards: int = 8, weight_col: str = "n_chars"
+    ) -> DataFrame:
+        """Terminal step: weight-balanced shard assignment plan for the
+        surviving corpus (operators/layout.py:balanced_shard_plan)."""
+        from solana_etl_spark.operators.layout import balanced_shard_plan
+
+        return balanced_shard_plan(
+            self.df, key_col=_ID, weight_col=weight_col, n_shards=n_shards
+        )
+
+    def drift_vs(self, reference: DataFrame, col: str = "n_chars") -> DataFrame:
+        """Terminal step: PSI/KS drift report of this (cleaned) corpus
+        against a reference slice (operators/drift.py)."""
+        from solana_etl_spark.operators.drift import drift_report
+
+        return drift_report(reference, self.df, col)

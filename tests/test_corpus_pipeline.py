@@ -89,3 +89,51 @@ def test_chain_is_one_lazy_plan(spark):
         chain.explain("formatted")
     # the per-row stages fuse: no exchange introduced by the facade itself
     assert "Exchange hashpartitioning" not in buf.getvalue()
+
+
+def test_tokenize_then_pack_uses_real_counts(spark):
+    """After tokenize(), pack() budgets the BPE token counts (not the
+    whitespace estimate): Σ tokens_in_seq per doc == size(bpe_tokens)."""
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in _DOCS], ["doc_id", "text", "lang"]
+    )
+    merges = [("t", "h"), ("th", "e"), ("e", "</w>")]
+    pipe = CorpusPipeline(df).tokenize(merges)
+    want = {
+        r["doc_id"]: r["n"]
+        for r in pipe.df.select(
+            "doc_id", F.size("bpe_tokens").alias("n")
+        ).collect()
+    }
+    packed = pipe.pack(budget=64).collect()
+    got: dict = {}
+    for r in packed:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["tokens_in_seq"]
+        assert r["n_tokens"] == want[r["doc_id"]]
+    assert got == want
+
+
+def test_decontaminate_semantic_drops_neardup_doc(spark):
+    df = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+
+    def vec(i):
+        v = [0.0] * 4
+        v[i] = 1.0
+        return v
+
+    vectors = spark.createDataFrame(
+        [(i, vec(i % 4)) for i, _ in _DOCS], "doc_id long, embedding array<float>"
+    )
+    ev = spark.createDataFrame(
+        [(99, vec(2))], "doc_id long, embedding array<float>"
+    )
+    kept = (
+        CorpusPipeline(df)
+        .decontaminate_semantic(vectors, ev, threshold=0.9)
+        .df.select("doc_id")
+        .collect()
+    )
+    kept_ids = {r["doc_id"] for r in kept}
+    # docs 2 (vec dim 2) is cosine-1.0 to the eval vector -> dropped
+    assert 2 not in kept_ids
+    assert {0, 1, 3, 4, 5} <= kept_ids
