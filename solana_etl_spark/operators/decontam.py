@@ -105,17 +105,37 @@ def semantic_contamination(
     self-join; linear in corpus size. Vectors are normalized ONCE per side
     (similarity.normalized), so each pair costs a single dot product.
 
-    Returns every corpus row: (vec_id, max_eval_cos, contaminated).
+    Returns every corpus row: (vec_id, max_eval_cos, contaminated). The
+    corpus×eval pairing is a LEFT join on a true condition, so corpus rows
+    survive an empty eval side — and then fail the job in-plan via
+    raise_error rather than report contaminated=false for everything (an
+    empty eval set means decontamination is silently disabled — the
+    fail-open a cleaning pipeline must never hide; a NULL corpus
+    embedding trips the same guard). Same discipline as
+    sampling.weighted_sample's weight guard.
     """
     from solana_etl_spark.operators.similarity import _dot, normalized
 
     a = normalized(corpus_vecs).select("vec_id", F.col("_nemb").alias("_va"))
     b = normalized(eval_vecs).select(F.col("_nemb").alias("_vb"))
     cos = F.round(_dot(F.col("_va"), F.col("_vb")), 6)
+    guarded_max = F.coalesce(
+        F.max(cos),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "semantic_contamination: no eval cosine for vec_id="
+                ),
+                F.col("vec_id").cast("string"),
+                F.lit(" (empty eval set or NULL embedding) — failing "
+                      "instead of silently skipping decontamination"),
+            )
+        ).cast("double"),
+    )
     return (
-        a.crossJoin(F.broadcast(b))
+        a.join(F.broadcast(b), F.lit(True), "left")
         .groupBy("vec_id")
-        .agg(F.max(cos).alias("max_eval_cos"))
+        .agg(guarded_max.alias("max_eval_cos"))
         .select(
             "vec_id",
             "max_eval_cos",

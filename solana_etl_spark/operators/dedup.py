@@ -306,10 +306,16 @@ def lsh_eval(
         "is_cand", F.lit(1)
     )
     j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
-    n_hit = F.sum(
-        F.when(
-            F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), 1
-        ).otherwise(0)
+    # every count coalesces through the empty-join case (no near-dups at
+    # all → agg over 0 rows yields NULL sums): counts report 0 and the
+    # ratios NULL, consistently with the oracle's COALESCEd SUMs
+    n_hit = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), 1
+            ).otherwise(0)
+        ),
+        F.lit(0),
     )
     n_truth = F.coalesce(F.sum("is_true"), F.lit(0))
     n_cand = F.coalesce(F.sum("is_cand"), F.lit(0))

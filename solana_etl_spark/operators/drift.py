@@ -80,14 +80,36 @@ def drift_report(
         F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
     )
     h = h.crossJoin(F.broadcast(totals))
+    # an empty (or all-NULL) slice must fail the job, not emit a
+    # plausible-looking report: NULL reference bounds would clamp every
+    # current row into the top bin and 0/0 proportions EPS-floor into
+    # finite garbage. Same fail-loudly discipline as weighted_sample.
     p = F.greatest(F.col("ref_cnt") / F.col("n_ref"), F.lit(EPS))
     q = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(EPS))
+    # an empty (or all-NULL) slice must fail the job, not emit a
+    # plausible-looking report: NULL reference bounds would clamp every
+    # current row into the top bin and 0/0 proportions EPS-floor into
+    # finite garbage. The raise sits in the SELECTED branch of the When
+    # (an additive guard term gets skipped by null-propagating arithmetic
+    # before it can raise). Same fail-loudly discipline as weighted_sample.
+    psi_term = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        (p - q) * (F.log(p) - F.log(q)),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"drift_report: empty or all-NULL slice for '{feature}' "
+                "(n_ref/n_cur = 0) — refusing to score drift against "
+                "nothing"
+            )
+        ).cast("double")
+    )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     per_bin = h.select(
         "bin",
         "n_ref",
         "n_cur",
-        ((p - q) * (F.log(p) - F.log(q))).alias("_psi_term"),
+        psi_term.alias("_psi_term"),
         F.abs(
             F.sum(F.col("ref_cnt") / F.col("n_ref")).over(w)
             - F.sum(F.col("cur_cnt") / F.col("n_cur")).over(w)

@@ -183,10 +183,33 @@ def balanced_shard_plan(
        and buckets are ~N/n_buckets docs each, so that bound is tight.
 
     Returns the per-shard plan: (shard, n_buckets, n_docs, total_weight).
-    The per-row assignment is the bucket→shard map broadcast-joined back
-    (buckets are the unit of movement, as in any rendezvous/consistent
-    sharding scheme); callers wanting row-level output join on bucket.
+    For row-level sharding use :func:`shard_assignment` — the same
+    hash + dealing, returning the ``(bucket, shard)`` map to
+    broadcast-join back onto rows (buckets are the unit of movement, as
+    in any rendezvous/consistent sharding scheme).
     """
+    dealt = shard_assignment(df, key_col, weight_col, n_shards, n_buckets)
+    return (
+        dealt.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bw").alias("total_weight"),
+        )
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_shards: int = 8,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The bucket→shard map behind :func:`balanced_shard_plan`: one row
+    per non-empty bucket — (bucket, shard, n_docs, bw). Broadcast-join it
+    back on ``hash64(key) % n_buckets`` to shard rows with the exact same
+    dealing the plan reported."""
     from pyspark.sql.window import Window
 
     from solana_etl_spark.functions.hashing import hash64
@@ -197,18 +220,10 @@ def balanced_shard_plan(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("bw"))
     )
-    dealt = per_bucket.withColumn(
+    return per_bucket.withColumn(
         "shard",
         (
             (F.row_number().over(Window.orderBy(F.desc("bw"), F.asc("bucket"))) - 1)
             % n_shards
         ).cast("long"),
-    )
-    return (
-        dealt.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("bw").alias("total_weight"),
-        )
     )

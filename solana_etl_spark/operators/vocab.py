@@ -209,9 +209,14 @@ def apply_bpe_replace(
     )
     # interleave: one SEP before every char (incl. the sentinel trailing
     # space), one at the end — then rewrite each spacer char into the
-    # word-boundary form `</w>␟␟` (EOW symbol + double-SEP gap)
+    # word-boundary form `</w>␟␟` (EOW symbol + double-SEP gap).
+    # (?s) matters: Java's '.' skips U+2028/U+2029/U+0085 (line
+    # terminators Java \s does NOT collapse), which would glue them onto
+    # the preceding symbol and split from both apply_bpe and the DuckDB
+    # oracle (RE2's '.' DOES match them); dotall makes '.' total on both
+    # engines.
     stream = F.concat(
-        F.regexp_replace(F.concat(base, F.lit(" ")), "(.)", SEP + "$1"),
+        F.regexp_replace(F.concat(base, F.lit(" ")), "(?s)(.)", SEP + "$1"),
         F.lit(SEP),
     )
     stream = F.replace(

@@ -1243,9 +1243,12 @@ def _lsh_eval_oracle(k: int, band_rows: int, threshold: float) -> str:
         FROM truth t FULL OUTER JOIN pairs p
           ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
     )
-    SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
-           CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
-           CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+    SELECT CAST(COALESCE(SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hits,
            ROUND(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
                  / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 6) AS precision,
            ROUND(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
@@ -3626,8 +3629,9 @@ def a21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT MAX(n) AS n FROM r) r2
     )
     SELECT doc_id, n_chars,
-           CAST(greatest(least(n_chars, cuts.hi), cuts.lo) AS BIGINT)
-               AS n_chars_w
+           CAST(CASE WHEN n_chars IS NULL THEN NULL
+                     ELSE greatest(least(n_chars, cuts.hi), cuts.lo)
+                END AS BIGINT) AS n_chars_w
     FROM documents, cuts
     """,
     local_only=True,
@@ -5201,8 +5205,10 @@ def _bpe_stream_sql() -> str:
     byte-for-byte (regexp syntax differs: '\\1' + the 'g' flag vs '$1')."""
     from solana_etl_spark.operators.vocab import EOW, SEP
 
+    # 'gs' (dotall) mirrors the Spark side's (?s): '.' total over every
+    # char incl. \n and the U+2028/U+2029/U+0085 line terminators
     stream = (
-        f"regexp_replace(base || ' ', '(.)', chr(31) || '\\1', 'g') || chr(31)"
+        f"regexp_replace(base || ' ', '(.)', chr(31) || '\\1', 'gs') || chr(31)"
     )
     stream = f"replace({stream}, '{SEP} {SEP}', '{SEP}{EOW}{SEP}{SEP}')"
     for a, b in _BPE_MERGES:
@@ -6163,9 +6169,11 @@ def _drift_oracle() -> str:
     b = N_BINS
     return f"""
     WITH ref AS (SELECT n_chars FROM documents
-                 WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+                 WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+                   AND n_chars IS NOT NULL),
     cur AS (SELECT n_chars FROM documents
-            WHERE CAST(substr(source, 4) AS INT) % 2 = 1),
+            WHERE CAST(substr(source, 4) AS INT) % 2 = 1
+              AND n_chars IS NOT NULL),
     bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM ref),
     hr AS (
         SELECT greatest(0, least({b} - 1,
@@ -6401,6 +6409,18 @@ def st_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_and_clean(df: DataFrame, work_dir: str) -> DataFrame:
+    """Pin a streaming run's final snapshot into Spark block storage
+    (eager localCheckpoint) so its per-run temp source/state/checkpoint
+    tree can be deleted immediately instead of accumulating one
+    gate_stream_* directory per gate/audit invocation (review finding)."""
+    import shutil
+
+    pinned = df.localCheckpoint(eager=True)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return pinned
+
+
 @_register(
     "stream_attribution_view",
     """
@@ -6450,7 +6470,7 @@ def stream_attribution_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         retain=2,
     )
     q.awaitTermination(300)
-    return current_view(spark, f"{work}/state")
+    return _materialize_and_clean(current_view(spark, f"{work}/state"), work)
 
 
 @_register(
@@ -6515,4 +6535,6 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         retain=2,
     )
     q.awaitTermination(300)
-    return current_snapshot(spark, f"{work}/snap")
+    return _materialize_and_clean(
+        current_snapshot(spark, f"{work}/snap"), work
+    )

@@ -29,3 +29,19 @@ def test_semantic_contamination_flags_planted_neardup(spark):
     assert rows[1]["contaminated"] and rows[1]["max_eval_cos"] == 1.0
     assert not rows[2]["contaminated"] and rows[2]["max_eval_cos"] == 0.0
     assert not rows[3]["contaminated"]
+
+
+def test_semantic_contamination_empty_eval_fails_loudly(spark):
+    """An empty eval set must raise, not silently return contaminated=false
+    (fail-open decontamination; reviewed bug)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from solana_etl_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = corpus.filter("vec_id < 0")
+    with pytest.raises(SparkRuntimeException, match="empty eval set"):
+        semantic_contamination(corpus, empty).collect()

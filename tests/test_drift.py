@@ -58,3 +58,18 @@ def test_embedding_centroid_drift_identity_and_shift(spark):
     assert abs(moved["centroid_l2"] - 0.5 * (64 ** 0.5)) < 0.01
     assert moved["max_dim_gap"] > 0.49
     assert moved["centroid_cos"] < 1.0
+
+
+def test_drift_report_empty_reference_fails_loudly(spark):
+    """An empty/all-NULL reference must raise, not emit a finite report
+    computed against nothing (reviewed bug: NULL bounds clamp every cur
+    row into the top bin)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    empty = docs.filter("doc_id < 0")
+    with pytest.raises(SparkRuntimeException, match="refusing to score"):
+        drift_report(empty, docs, "n_chars").collect()
+    with pytest.raises(SparkRuntimeException, match="refusing to score"):
+        drift_report(docs, empty, "n_chars").collect()

@@ -148,3 +148,31 @@ def test_apply_bpe_replace_strips_sep_byte(spark):
     docs = spark.createDataFrame([(f"x{SEP}y z",)], "text string")
     (row,) = apply_bpe_replace(docs, []).select("bpe_tokens").collect()
     assert row[0] == ["x", "y", EOW, "z", EOW]
+
+
+def test_apply_bpe_replace_unicode_line_terminators(spark):
+    """U+2028/U+2029/U+0085 survive whitespace collapse (neither engine's
+    \\s matches them) — the dotall interleave must SEP-separate them like
+    any other char so fold and replace stay identical (reviewed bug: Java
+    '.' skips line terminators without (?s))."""
+    from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+    docs = spark.createDataFrame(
+        [(1, "a\u2028b"), (2, "x\u2029y\u0085z"), (3, "p\u2028 q")],
+        "doc_id int, text string",
+    )
+    merges = [("a", "\u2028")]
+    fold = {
+        r["doc_id"]: r["t"]
+        for r in apply_bpe(docs, merges)
+        .select("doc_id", F.col("bpe_tokens").alias("t"))
+        .collect()
+    }
+    rep = {
+        r["doc_id"]: r["t"]
+        for r in apply_bpe_replace(docs, merges)
+        .select("doc_id", F.col("bpe_tokens").alias("t"))
+        .collect()
+    }
+    assert fold == rep
+    assert fold[1][0] == "a\u2028"  # the merge fired on the terminator pair
