@@ -305,14 +305,23 @@ def f4_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_mktsegment
     """,
 )
 def f6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (absent in the reference, free in Spark — SURVEY §2.3)."""
+    """Anti-join (absent in the reference, free in Spark — SURVEY §2.3):
+    customers with no URGENT-priority order, per segment. The urgent
+    filter makes the check non-vacuous at every fixture scale (every
+    customer has SOME order, so the unfiltered anti-join was 0 rows —
+    18/203/1986 customers qualify at sf0.001/0.01/0.1) and pushes a
+    predicate below the anti-join build side."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
