@@ -6418,6 +6418,58 @@ def st_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_windowed_counts",
+    # batch semantics of the tumbling window: epoch-aligned 1-hour buckets
+    # == date_trunc; the value sum goes through DECIMAL(18,4) exactly like
+    # the operator before widening back to double
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    local_only=True,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation as a REAL Structured-Streaming run
+    under the gate (streaming/windows.py:windowed_event_counts): the
+    events table re-lands as several parquet files, streams through
+    maxFilesPerTrigger=1 micro-batches into a stateful tumbling-window
+    count/sum (complete mode — the watermark path is exercised by
+    tests/test_streaming_windows.py), and the final result must value-
+    hash-equal the plain batch GROUP BY oracle. Third member of the
+    stream-equals-batch gate family (join view, CDC snapshot, windowed
+    agg). local_only: streaming state dirs are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="gate_stream_win_")
+    src = f"{work}/src"
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("gate_win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    return _materialize_and_clean(spark.table("gate_win_out"), work)
+
+
 def _materialize_and_clean(df: DataFrame, work_dir: str) -> DataFrame:
     """Pin a streaming run's final snapshot into Spark block storage
     (eager localCheckpoint) so its per-run temp source/state/checkpoint
