@@ -301,3 +301,48 @@ def weighted_sample(
     )
     keyed = df.withColumn("_es", guarded)
     return keyed.orderBy(F.desc("_es"), F.asc(key_col)).limit(n).drop("_es")
+
+
+def epoch_upsample(
+    df: DataFrame, key_col: str, group_col: str, factors_bp: dict[str, int]
+) -> DataFrame:
+    """Per-source repetition factors — the pre-training mixing recipe in
+    its up-sampling form ("books x3, web x0.5"): each row is emitted
+    ``factor`` times, where ``factor`` is a basis-point rate per group
+    (25000 bp = 2.5x). The integer part duplicates unconditionally; the
+    fractional part keeps one extra copy for a deterministic hash-chosen
+    ``frac`` of rows (so the EXPECTED multiplicity is exact and the
+    realized copy set is reproducible under retries).
+
+    Output: input rows + ``epoch`` (1-based copy index) — the downstream
+    shuffle/pack stages treat (key, epoch) as the row identity, so
+    repeated copies spread across shards instead of clumping.
+
+    Scale shape: pure per-row explode of a <= ceil(factor)-element
+    sequence, zero shuffle, factors broadcast as a literal CASE (recipes
+    list a handful of sources; for thousands of groups broadcast-join a
+    factors table instead). Down-sampling (factor < 1) composes from the
+    same rule: 0 full copies + fractional keep == hash_sample.
+    """
+    factor = None
+    for g, bp in sorted(factors_bp.items()):
+        branch = F.lit(bp)
+        factor = (
+            F.when(F.col(group_col) == g, branch)
+            if factor is None
+            else factor.when(F.col(group_col) == g, branch)
+        )
+    factor = factor.otherwise(F.lit(SAMPLE_DENOM))  # default 1.0x
+    n_full = F.floor(factor / SAMPLE_DENOM).cast("int")
+    frac_bp = (factor % SAMPLE_DENOM).cast("long")
+    with_f = df.withColumn("_nf", n_full).withColumn("_fbp", frac_bp)
+    exploded = with_f.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.col("_nf") + 1))
+    )
+    frac_key = F.concat(
+        F.col(key_col).cast("string"), F.lit(":"), F.col("epoch").cast("string")
+    )
+    keep = (F.col("epoch") <= F.col("_nf")) | (
+        (hash64(frac_key) % SAMPLE_DENOM) < F.col("_fbp")
+    )
+    return exploded.filter(keep).drop("_nf", "_fbp")

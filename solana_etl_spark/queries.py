@@ -2039,6 +2039,45 @@ def s5_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
+_EPOCH_FACTORS_BP = {"src0": 25000, "src5": 30000, "src10": 5000}
+
+
+@_register(
+    "s6_epoch_upsample",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 25000 WHEN 'src5' THEN 30000
+                           WHEN 'src10' THEN 5000 ELSE 10000 END AS bp
+        FROM documents
+    ), e AS (
+        SELECT doc_id, source, bp // 10000 AS nf, bp % 10000 AS fbp,
+               unnest(generate_series(1, bp // 10000 + 1)) AS epoch
+        FROM f
+    )
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM e
+    WHERE epoch <= nf
+       OR {hash64_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")}
+          % 10000 < fbp
+    """,
+    local_only=True,
+)
+def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repetition factors (operators/sampling.py:
+    epoch_upsample): src0 ×2.5, src5 ×3, src10 ×0.5, everything else ×1 —
+    the up-sampling half of a pre-training mixing recipe, emitted as
+    (doc, epoch) copies. Integer part duplicates unconditionally; the
+    fractional copy is a deterministic hash draw keyed by (doc, epoch),
+    so the realized corpus is reproducible. Pure per-row explode, zero
+    shuffle. local_only: driver cap."""
+    from solana_etl_spark.operators.sampling import epoch_upsample
+
+    return epoch_upsample(
+        _t(spark, sf_dir, "documents"), "doc_id", "source", _EPOCH_FACTORS_BP
+    ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
 def _ivf_cte(k: int, iters: int, dim: int, scale: int, train_bp: int = 10000) -> str:
     """qvecs / unrolled-Lloyd centroid CTEs mirroring operators/similarity.py
     kmeans_centroids — exact integer math, so value-identical by design.

@@ -1,0 +1,40 @@
+"""Sampling operators: epoch up-sampling mixing recipe (hash sampling,
+mixture, quantile bins etc. are covered by the registry gate queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+
+def test_epoch_upsample_multiplicities(spark):
+    """Integer factors duplicate exactly; fractional factors land within
+    the deterministic hash draw; factor<1 down-samples; default is 1x."""
+    from solana_etl_spark.operators.sampling import epoch_upsample
+
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = epoch_upsample(
+        df, "doc_id", "source",
+        {"src0": 30000, "src1": 25000, "src2": 5000},
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["src0"] == 300  # exact 3x
+    assert counts["src3"] == 100  # default 1x
+    assert 220 <= counts["src1"] <= 280  # 2.5x in expectation
+    assert 30 <= counts["src2"] <= 70    # 0.5x in expectation
+    # per-doc epochs are 1..k contiguous for integer factors
+    epochs = sorted(
+        r["epoch"]
+        for r in out.filter("doc_id = 0").select("epoch").collect()
+    )
+    assert epochs == [1, 2, 3]
+    # deterministic: same input -> same realized copy set
+    again = epoch_upsample(
+        df, "doc_id", "source",
+        {"src0": 30000, "src1": 25000, "src2": 5000},
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
