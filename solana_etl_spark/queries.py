@@ -5310,6 +5310,65 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_oracle() -> str:
+    stream = _bpe_stream_sql()
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(replace(lower(text), chr(31), ''),
+                                   '\\s+', ' ', 'g')) AS base
+        FROM documents
+    ), enc AS (
+        SELECT lang, n_chars,
+               len(list_filter(string_split({stream}, chr(31)),
+                               x -> x <> '')) AS n_tokens,
+               len(list_filter(string_split_regex(base, ' '),
+                               x -> x <> '')) AS n_words
+        FROM norm
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) / CAST(SUM(n_words) AS DOUBLE), 6)
+               AS tokens_per_word,
+           ROUND(SUM(n_chars) / CAST(SUM(n_tokens) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM enc GROUP BY lang
+    """
+
+
+@_register("text_bpe_fertility", _bpe_fertility_oracle(), local_only=True)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: tokens/word and chars/token of the
+    shipped BPE vocabulary per lang — the standard diagnostic for how well
+    a tokenizer serves each language slice of a corpus (a high-fertility
+    language pays more sequence budget per word). Single codegen encode
+    projection + one bounded per-lang aggregate, zero extra shuffles.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.text import tokens as ws_tokens
+    from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_bpe_replace(docs, _BPE_MERGES).select(
+        "lang",
+        "n_chars",
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.size(F.filter(ws_tokens(F.col("text")), lambda w: w != "")).alias(
+            "n_words"
+        ),
+    )
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 _BPE_PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
