@@ -1354,7 +1354,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
-def _clean_corpus_oracle() -> str:
+def _quality_cond_sql() -> str:
+    return (
+        f"len({_TOKENS_SQL}) >= 10"
+        " AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[^\\w\\s]', '', 'g'))) / length(trim(text)), 6) <= 0.2"
+        " AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[0-9]', '', 'g'))) / length(trim(text)), 6) <= 0.3"
+    )
+
+
+def _clean_corpus_ctes(src: str) -> str:
+    """The quality/exact-dedup/LSH CTE block over corpus table ``src``:
+    defines sigs, bands, pairs, keepers, quality (shared by
+    pipeline_clean_corpus and the pretraining capstone)."""
     k, band_rows = dedup.MINHASH_K, dedup.LSH_BAND_ROWS
     n_bands = k // band_rows
     sig_cols = ",\n               ".join(
@@ -1369,22 +1380,23 @@ def _clean_corpus_oracle() -> str:
         )
         for b in range(n_bands)
     )
-    quality_cond = (
-        f"len({_TOKENS_SQL}) >= 10"
-        " AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[^\\w\\s]', '', 'g'))) / length(trim(text)), 6) <= 0.2"
-        " AND ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[0-9]', '', 'g'))) / length(trim(text)), 6) <= 0.3"
-    )
     return f"""
-    WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM {src}),
     bands AS ({band_rows_sql}),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
-    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM {src}
                 GROUP BY {hash64_sql(_NORM_SQL)}),
-    quality AS (SELECT doc_id FROM documents WHERE {quality_cond})
+    quality AS (SELECT doc_id FROM {src} WHERE {_quality_cond_sql()})
+    """
+
+
+def _clean_corpus_oracle() -> str:
+    return f"""
+    WITH {_clean_corpus_ctes("documents")}
     SELECT q.doc_id FROM quality q
     WHERE q.doc_id IN (SELECT doc_id FROM keepers)
       AND q.doc_id NOT IN (SELECT doc_b FROM pairs)
@@ -5406,6 +5418,155 @@ def _bpe_pack_oracle() -> str:
                 AS BIGINT) AS tokens_in_seq
     FROM ex
     """
+
+
+def _pretrain_e2e_oracle() -> str:
+    n = 5  # decontamination word-n-gram length (matches text_decontaminate)
+    toks = _TOKENS_SQL
+    gram_hash = hash64_sql(f"array_to_string(toks[i:i+{n - 1}], ' ')")
+    stream = _bpe_stream_sql()
+    b = _BPE_PACK_BUDGET
+    up_hash = hash64_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+    )
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE source <> 'src19'),
+    {_clean_corpus_ctes("corpus")},
+    g AS (
+        SELECT doc_id, source,
+               list_distinct([ {gram_hash}
+                   for i in generate_series(1, greatest(len(toks) - {n - 1}, 0)) ]) AS grams
+        FROM (SELECT doc_id, source, {toks} AS toks FROM documents)
+    ),
+    probe AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE source = 'src19'),
+    contam AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gh FROM g
+              WHERE source <> 'src19') t
+        JOIN probe USING (gh)
+    ),
+    survivors AS (
+        SELECT c.* FROM corpus c
+        WHERE c.doc_id IN (SELECT doc_id FROM quality)
+          AND c.doc_id IN (SELECT doc_id FROM keepers)
+          AND c.doc_id NOT IN (SELECT doc_b FROM pairs)
+          AND c.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    up AS (
+        SELECT doc_id, lang, text, epoch
+        FROM (
+            SELECT doc_id, lang, source, text,
+                   bp // 10000 AS nf, bp % 10000 AS fbp,
+                   unnest(generate_series(1, bp // 10000 + 1)) AS epoch
+            FROM (SELECT *, CASE source WHEN 'src0' THEN 25000
+                                        WHEN 'src5' THEN 30000
+                                        WHEN 'src10' THEN 5000
+                                        ELSE 10000 END AS bp
+                  FROM survivors)
+        )
+        WHERE epoch <= nf OR {up_hash} % 10000 < fbp
+    ),
+    enc AS (
+        SELECT doc_id, lang, epoch,
+               CAST(doc_id AS BIGINT) * 16 + epoch AS ord,
+               len(list_filter(string_split({stream}, chr(31)),
+                               x -> x <> '')) AS n_tokens
+        FROM (SELECT doc_id, lang, epoch,
+                     trim(regexp_replace(replace(lower(text), chr(31), ''),
+                                         '\\s+', ' ', 'g')) AS base
+              FROM up)
+    ),
+    cum AS (
+        SELECT lang, doc_id, epoch, ord, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ord
+                                   ROWS UNBOUNDED PRECEDING) AS e
+        FROM enc
+    ),
+    ex AS (
+        SELECT lang, doc_id, epoch, n_tokens, e - n_tokens AS s, e,
+               unnest(generate_series(CAST((e - n_tokens) // {b} AS BIGINT),
+                                      CAST((e - 1) // {b} AS BIGINT))) AS seq_id
+        FROM cum WHERE n_tokens > 0
+    )
+    SELECT lang, doc_id, CAST(epoch AS BIGINT) AS epoch,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           seq_id,
+           CAST(greatest(s, seq_id * {b}) - seq_id * {b} AS BIGINT)
+               AS seq_offset,
+           CAST(least(e, seq_id * {b} + {b}) - greatest(s, seq_id * {b})
+                AS BIGINT) AS tokens_in_seq
+    FROM ex
+    """
+
+
+@_register("pipeline_pretrain_e2e", _pretrain_e2e_oracle(), local_only=True)
+def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data pipeline as ONE lazy plan — the capstone
+    composition of the operator library, every stage the individually
+    oracled operator:
+
+        quality filter → exact-dedup keepers → MinHash-LSH near-dup drop
+        → 5-gram eval decontamination (src19 held out) → per-source epoch
+        up-sampling → BPE tokenization (codegen replace chain) → 2048-
+        token sequence packing per language
+
+    Output: the training-sequence accounting a data loader consumes —
+    (lang, doc_id, epoch, n_tokens, seq_id, seq_offset, tokens_in_seq).
+    All dedup/quality/contamination sets are computed corpus-wide and
+    intersected (the pipeline_clean_corpus formulation); the only
+    shuffles are the per-stage set aggregates plus ONE pack window keyed
+    by the group column. Cross-engine: the DuckDB oracle reproduces the
+    entire seven-stage composition bit-exactly. local_only: driver cap."""
+    from solana_etl_spark.operators.decontam import contamination
+    from solana_etl_spark.operators.dedup import (
+        exact_dedup,
+        lsh_duplicate_ids,
+    )
+    from solana_etl_spark.operators.packing import pack_sequences
+    from solana_etl_spark.operators.sampling import epoch_upsample
+    from solana_etl_spark.operators.text import quality_score
+    from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src19")
+    eval_docs = docs.filter(F.col("source") == "src19")
+
+    quality_ids = quality_score(corpus).filter("is_quality").select("doc_id")
+    keepers = exact_dedup(corpus).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    drops = lsh_duplicate_ids(corpus)
+    contam = (
+        contamination(corpus, eval_docs, n=5)
+        .filter("is_contaminated")
+        .select("doc_id")
+    )
+    survivors = (
+        corpus.join(quality_ids, "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .join(drops, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+    )
+    up = epoch_upsample(survivors, "doc_id", "source", _EPOCH_FACTORS_BP)
+    enc = apply_bpe_replace(up, _BPE_MERGES).withColumn(
+        "_ord", F.col("doc_id").cast("long") * 16 + F.col("epoch")
+    )
+    packed = pack_sequences(
+        enc,
+        budget=_BPE_PACK_BUDGET,
+        group_cols=("lang",),
+        order_col="_ord",
+        n_tokens=F.size("bpe_tokens"),
+    )
+    return packed.select(
+        "lang",
+        (F.col("_ord") / 16).cast("int").alias("doc_id"),
+        (F.col("_ord") % 16).cast("long").alias("epoch"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+        "tokens_in_seq",
+    )
 
 
 @_register("pipeline_bpe_pack", _bpe_pack_oracle(), local_only=True)
