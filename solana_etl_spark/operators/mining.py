@@ -1,0 +1,100 @@
+"""Contrastive-pair mining for embedding-model training: for each anchor
+vector, the nearest SAME-label vector (positive) and the top-k nearest
+DIFFERENT-label vectors (hard negatives) — the (anchor, positive,
+hard-negative) triplets a contrastive/metric-learning trainer consumes.
+Random negatives are easy; the informative ones are the high-similarity
+wrong-label neighbors this miner surfaces.
+
+Scale shape: the anchor set is a bounded deterministic sample (smallest
+``n_anchors`` vec_ids) broadcast against ONE normalized corpus scan — the
+corpus itself never shuffles. Ranking is a single window keyed by
+``anchor``: scored rows shuffle once, with volume ``n_anchors × corpus``
+rows of (ids, double) — bounded by the anchor budget, never corpus².
+The positive is found in the SAME window pass (full-frame struct-max),
+so there is no positives⋈negatives self-join and the corpus is scanned
+exactly once. At real scale you mine in
+anchor batches; each batch is this exact plan. For corpus-wide mining,
+restrict candidates first with similarity.lsh_sign_buckets (same
+bucket-key pattern as embedding_neardup_pairs) so the scored volume is
+per-bucket, not anchors × corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solana_etl_spark.operators.similarity import _dot, normalized
+
+N_ANCHORS = 20
+K_NEG = 5
+
+
+def hard_negative_triplets(
+    embeddings: DataFrame, n_anchors: int = N_ANCHORS, k_neg: int = K_NEG
+) -> DataFrame:
+    """(q_id, pos_id, pos_sim, neg_rank, neg_id, neg_sim, margin) — one row
+    per (anchor, hard negative), ``neg_rank`` 1-based by similarity
+    descending (vec_id ascending on ties). ``margin`` = positive
+    similarity − negative similarity (raw doubles, rounded at 6 — the
+    cross-engine float boundary for the normalize-then-dot cosine);
+    negative margins are the anchors a trainer learns most from. Anchors
+    with no same-label neighbor are dropped (no positive to anchor the
+    triplet)."""
+    nemb = normalized(embeddings).select("vec_id", "label", "_nemb")
+    anchors = (
+        nemb.orderBy("vec_id")
+        .limit(n_anchors)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("_nemb").alias("q_vec"),
+        )
+    )
+    scored = (
+        nemb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("same_label"),
+            _dot(F.col("_nemb"), F.col("q_vec")).alias("sim"),
+        )
+    )
+    # ONE window shuffle keyed by q_id serves both roles: ordering negatives
+    # first (false < true) makes row_number() the 1-based negative rank for
+    # every negative row, and a full-frame struct-max over the same partition
+    # finds the positive (max sim, ties to the smallest vec_id via -id) —
+    # no positives⋈negatives self-join, the scored stream is ranked in place.
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.asc("same_label"), F.desc("sim"), F.asc("vec_id")
+    )
+    w_all = Window.partitionBy("q_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pos = F.max(
+        F.when(
+            F.col("same_label"),
+            F.struct(F.col("sim").alias("s"), (-F.col("vec_id")).alias("nid")),
+        )
+    ).over(w_all)
+    ranked = scored.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "_pos", pos
+    )
+    return (
+        ranked.filter(
+            ~F.col("same_label")
+            & (F.col("rnk") <= k_neg)
+            & F.col("_pos").isNotNull()
+        )
+        .select(
+            "q_id",
+            (-F.col("_pos.nid")).alias("pos_id"),
+            F.round(F.col("_pos.s"), 6).alias("pos_sim"),
+            F.col("rnk").alias("neg_rank"),
+            F.col("vec_id").alias("neg_id"),
+            F.round(F.col("sim"), 6).alias("neg_sim"),
+            F.round(F.col("_pos.s") - F.col("sim"), 6).alias("margin"),
+        )
+    )

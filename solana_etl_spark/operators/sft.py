@@ -1,0 +1,146 @@
+"""SFT (supervised fine-tuning) sample construction: conversations →
+flattened training samples with per-turn loss-mask spans.
+
+An instruction-tuning data loader needs, for every conversation, the token
+offsets of the spans the loss applies to (assistant turns) inside the
+flattened sequence — user turns are context only. This module keeps that
+accounting engine-side as pure DataFrame expressions:
+
+  - :func:`conversations` — deterministic conversation construction over a
+    flat document corpus (``conv_id = doc_id div turns``, roles alternate
+    user/assistant by turn parity). Real pipelines carry conversation ids
+    in the source; the constructor exists so the mask/packing operators are
+    exercisable and cross-engine checkable on the flat ``documents`` table.
+  - :func:`loss_mask_spans` — per assistant turn, the ``[span_start,
+    span_end)`` token-offset interval within the conversation's
+    concatenated token stream. One window cumsum keyed by ``conv_id``.
+  - :func:`sft_stats` — per conversation: turn counts, prompt vs
+    completion token totals, and the loss-mask ratio (the fraction of
+    tokens trained on — a mix-design diagnostic).
+  - :func:`pack_conversations` — conversations → fixed-budget packed
+    sequences, reusing :func:`~solana_etl_spark.operators.packing.
+    pack_sequences` with one row per conversation (a conversation never
+    splits across a mask boundary mid-turn; the packer accounts
+    whole-conversation token totals).
+
+Scale shape: the span computation is ONE shuffle keyed by ``conv_id``
+(the window cumsum); everything else is per-row codegen. At 100 TB,
+conversations are bounded (thousands of tokens), so per-key window state
+is trivially small and the key count is huge — no skew, no global sort.
+Token counts are tokenizer-pluggable: pass ``n_tokens`` (e.g. a real BPE
+token count from vocab.apply_bpe_replace) to override the default
+whitespace count, mirroring packing.pack_sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from solana_etl_spark.operators.text import tokens
+
+TURNS_PER_CONV = 4
+
+ROLE_USER = "user"
+ROLE_ASSISTANT = "assistant"
+
+
+def conversations(documents: DataFrame, turns_per_conv: int = TURNS_PER_CONV) -> DataFrame:
+    """Deterministic conversations from a flat corpus: consecutive
+    ``turns_per_conv`` documents form one conversation, ordered by
+    ``turn_idx``, roles alternating user-first. Pure per-row projection
+    (zero shuffle); membership is a function of ``doc_id`` alone, so the
+    construction is retry-safe and stable under corpus growth."""
+    turn_idx = F.col("doc_id") % turns_per_conv
+    return documents.select(
+        (F.col("doc_id") - turn_idx).cast("long").alias("_base"),
+        turn_idx.cast("long").alias("turn_idx"),
+        F.when(turn_idx % 2 == 0, F.lit(ROLE_USER))
+        .otherwise(F.lit(ROLE_ASSISTANT))
+        .alias("role"),
+        "text",
+        "lang",
+        "source",
+    ).withColumn("conv_id", (F.col("_base") / turns_per_conv).cast("long")).drop("_base")
+
+
+def _n_tokens(n_tokens: Column | None) -> Column:
+    col = F.size(tokens(F.col("text"))) if n_tokens is None else n_tokens
+    return col.cast("long")
+
+
+def loss_mask_spans(conv: DataFrame, n_tokens: Column | None = None) -> DataFrame:
+    """``(conv_id, turn_idx, span_start, span_end)`` for every assistant
+    turn: the token-offset interval the loss applies to inside the
+    conversation's concatenated token stream. ``span_end`` is exclusive;
+    spans of one conversation are disjoint and ordered. One window cumsum
+    keyed by ``conv_id`` — the only shuffle."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    with_cum = conv.select(
+        "conv_id", "turn_idx", "role", _n_tokens(n_tokens).alias("n_tokens")
+    ).withColumn("span_end", F.sum("n_tokens").over(w))
+    return (
+        with_cum.filter(F.col("role") == ROLE_ASSISTANT)
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.col("span_end") - F.col("n_tokens")).alias("span_start"),
+            "span_end",
+        )
+    )
+
+
+def sft_stats(conv: DataFrame, n_tokens: Column | None = None) -> DataFrame:
+    """Per-conversation mix diagnostics: ``n_turns``, ``prompt_tokens``
+    (user turns), ``completion_tokens`` (assistant turns), and
+    ``mask_ratio`` = completion / total (the fraction of tokens that carry
+    loss — SFT mixes are commonly tuned/filtered on it). One partial-agg
+    groupBy; map-side combine makes the shuffle rows-per-conversation."""
+    is_asst = F.col("role") == ROLE_ASSISTANT
+    n_tok = _n_tokens(n_tokens)
+    return (
+        conv.select("conv_id", "role", n_tok.alias("n_tokens"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(~is_asst, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "prompt_tokens"
+            ),
+            F.sum(F.when(is_asst, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "completion_tokens"
+            ),
+        )
+        .withColumn(
+            "mask_ratio",
+            F.round(
+                F.col("completion_tokens")
+                / (F.col("prompt_tokens") + F.col("completion_tokens")).cast("double"),
+                9,
+            ),
+        )
+    )
+
+
+def pack_conversations(
+    conv: DataFrame, budget: int, n_tokens: Column | None = None
+) -> DataFrame:
+    """Conversations → fixed token-budget packed sequences. Each
+    conversation contributes its total token count as one packing unit
+    (flattened turns stay contiguous so loss-mask offsets stay valid after
+    adding the sequence-level offset). Reuses packing.pack_sequences:
+    same accounting, same single-window shape."""
+    from solana_etl_spark.operators.packing import pack_sequences
+
+    totals = (
+        conv.select("conv_id", "lang", _n_tokens(n_tokens).alias("n_tokens"))
+        .groupBy("conv_id")
+        .agg(F.max("lang").alias("lang"), F.sum("n_tokens").alias("conv_tokens"))
+    )
+    return pack_sequences(
+        totals.withColumnRenamed("conv_id", "doc_id"),
+        budget=budget,
+        group_cols=("lang",),
+        order_col="doc_id",
+        n_tokens=F.col("conv_tokens"),
+    ).withColumnRenamed("doc_id", "conv_id")

@@ -2090,6 +2090,71 @@ def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
+# deterministic conversation construction (operators/sft.py): 4 consecutive
+# docs = one conversation, roles alternate user-first by turn parity
+_SFT_TURNS_CTE = f"""
+    turns AS (
+        SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+               CASE WHEN (doc_id % 4) % 2 = 0 THEN 'user' ELSE 'assistant' END
+                   AS role,
+               len({_TOKENS_SQL}) AS n_tokens
+        FROM documents
+    )
+"""
+
+
+@_register(
+    "sft_loss_masks",
+    f"""
+    WITH {_SFT_TURNS_CTE},
+    spans AS (
+        SELECT conv_id, turn_idx, role, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS span_end
+        FROM turns
+    )
+    SELECT conv_id, turn_idx,
+           CAST(span_end - n_tokens AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end
+    FROM spans WHERE role = 'assistant'
+    """,
+    local_only=True,
+)
+def sft_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask accounting (operators/sft.py): token-offset spans of
+    assistant turns inside each flattened conversation — what a fine-tuning
+    loader needs to mask user context out of the loss. One window cumsum
+    keyed by conv_id is the only shuffle. local_only: driver cap."""
+    from solana_etl_spark.operators.sft import conversations, loss_mask_spans
+
+    return loss_mask_spans(conversations(_t(spark, sf_dir, "documents")))
+
+
+@_register(
+    "sft_sample_stats",
+    f"""
+    WITH {_SFT_TURNS_CTE}
+    SELECT conv_id, COUNT(*) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'user' THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS prompt_tokens,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS completion_tokens,
+           ROUND(CAST(SUM(CASE WHEN role = 'assistant' THEN n_tokens ELSE 0
+                          END) AS DOUBLE)
+                 / CAST(SUM(n_tokens) AS DOUBLE), 9) AS mask_ratio
+    FROM turns GROUP BY conv_id
+    """,
+    local_only=True,
+)
+def sft_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation SFT mix diagnostics (operators/sft.py): prompt vs
+    completion token totals and the loss-mask ratio (fraction of tokens
+    trained on). One partial-aggregated groupBy. local_only: driver cap."""
+    from solana_etl_spark.operators.sft import conversations, sft_stats
+
+    return sft_stats(conversations(_t(spark, sf_dir, "documents")))
+
+
 def _ivf_cte(k: int, iters: int, dim: int, scale: int, train_bp: int = 10000) -> str:
     """qvecs / unrolled-Lloyd centroid CTEs mirroring operators/similarity.py
     kmeans_centroids — exact integer math, so value-identical by design.
@@ -2916,7 +2981,9 @@ def q20_nested_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_W = [-1.0, 1.5, 2.0, -4.0, -2.5, 3.0]
 
 
-def _quality_model_oracle() -> str:
+def _quality_z_sql() -> str:
+    """The quality model's z-score as one SQL expression over ``text`` —
+    shared by quality_model_score and pref_pairs_quality."""
     stops = ", ".join(f"'{w}'" for w in text_ops.EN_STOPWORDS)
     f = [
         "1.0",
@@ -2934,6 +3001,11 @@ def _quality_model_oracle() -> str:
     z = "0.0"
     for feat, w in zip(f, _QUALITY_W):
         z = f"({z} + (({feat}) * ({w!r})))"
+    return z
+
+
+def _quality_model_oracle() -> str:
+    z = _quality_z_sql()
     return f"""
     SELECT doc_id, {z} AS z_score, {z} > 0.0 AS keep
     FROM documents
@@ -2953,6 +3025,51 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = linear_score(F.col("features"), _QUALITY_W)
     return feats.select(
         "doc_id", z.alias("z_score"), (z > 0.0).alias("keep")
+    )
+
+
+def _pref_pairs_oracle() -> str:
+    z = _quality_z_sql()
+    # struct max/min give the deterministic extremes: lexicographic (z, ±id)
+    # ordering == Spark's max(struct)/min(struct); -id flips the tie so both
+    # extremes break toward the SMALLEST doc_id
+    return f"""
+    WITH scored AS (
+        SELECT lang, source, doc_id, {z} AS z FROM documents
+    ), agg AS (
+        SELECT lang, source,
+               max({{'z': z, 'nid': -doc_id}}) AS best,
+               min({{'z': z, 'id': doc_id}}) AS worst,
+               COUNT(*) AS n
+        FROM scored GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CAST(-best.nid AS BIGINT) AS chosen_doc,
+           CAST(worst.id AS BIGINT) AS rejected_doc,
+           ROUND(best.z, 9) AS chosen_z,
+           ROUND(worst.z, 9) AS rejected_z,
+           ROUND(best.z - worst.z, 9) AS margin
+    FROM agg
+    WHERE n >= 2 AND best.z - worst.z > 0.0
+    """
+
+
+@_register("pref_pairs_quality", _pref_pairs_oracle(), local_only=True)
+def pref_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-pair construction (operators/preference.py):
+    per (lang, source) context group, chosen = best-quality doc, rejected
+    = worst, positive-margin filter. Single partial-aggregated groupBy —
+    both extremes found in one pass via lexicographic struct max/min with
+    deterministic doc-id tie-breaks; shuffle volume is group cardinality,
+    not row count. local_only: driver cap."""
+    from solana_etl_spark.operators.classifier import featurize, linear_score
+    from solana_etl_spark.operators.preference import preference_pairs
+
+    feats = featurize(_t(spark, sf_dir, "documents"))
+    return preference_pairs(
+        feats,
+        linear_score(F.col("features"), _QUALITY_W),
+        ("lang", "source"),
     )
 
 
@@ -3189,6 +3306,54 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_batch_topk(
         _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0
     )
+
+
+@_register(
+    "ann_hard_negatives",
+    f"""
+    WITH {_NEMB_CTE},
+    anchors AS (
+        SELECT vec_id AS q_id, label AS q_label, v
+        FROM nemb ORDER BY vec_id LIMIT 20
+    ),
+    scored AS (
+        SELECT b.q_id, a.vec_id, a.label = b.q_label AS same_label,
+               {_NDOT_SQL} AS sim
+        FROM nemb a, anchors b WHERE a.vec_id <> b.q_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                      PARTITION BY q_id, same_label
+                      ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ),
+    pos AS (
+        SELECT q_id, vec_id AS pos_id, sim AS pos_sim
+        FROM ranked WHERE same_label AND rnk = 1
+    ),
+    neg AS (
+        SELECT q_id, rnk AS neg_rank, vec_id AS neg_id, sim AS neg_sim
+        FROM ranked WHERE NOT same_label AND rnk <= 5
+    )
+    SELECT n.q_id, p.pos_id, ROUND(p.pos_sim, 6) AS pos_sim,
+           CAST(n.neg_rank AS BIGINT) AS neg_rank, n.neg_id,
+           ROUND(n.neg_sim, 6) AS neg_sim,
+           ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM neg n JOIN pos p USING (q_id)
+    """,
+    local_only=True,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet mining (operators/mining.py): per anchor, the
+    nearest same-label positive and top-5 highest-similarity WRONG-label
+    hard negatives, with the training margin. Broadcast anchor batch ×
+    one normalized corpus scan; a single window shuffle keyed by
+    (anchor, same_label). local_only: driver cap."""
+    from solana_etl_spark.operators.mining import hard_negative_triplets
+
+    return hard_negative_triplets(
+        _t(spark, sf_dir, "embeddings")
+    ).withColumn("neg_rank", F.col("neg_rank").cast("long"))
 
 
 _CHUNK, _STRIDE = 256, 192

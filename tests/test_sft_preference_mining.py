@@ -1,0 +1,125 @@
+"""Semantic unit tests for SFT sample construction, preference-pair
+building, and hard-negative mining on constructed inputs (the oracle
+harness checks cross-engine equality; these check the *semantics* — spans
+tile correctly, pairs pick the true extremes, negatives are wrong-label)."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        # conv 0: turns 0..3 with 2/3/1/4 tokens
+        (0, "a b", "en", "s0", 3),
+        (1, "c d e", "en", "s0", 5),
+        (2, "f", "en", "s0", 1),
+        (3, "g h i j", "en", "s0", 7),
+        # conv 1: partial conversation (2 turns)
+        (4, "k k k", "en", "s1", 5),
+        (5, "l", "en", "s1", 1),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).cache()
+
+
+def test_conversations_roles_and_ids(docs_df):
+    from solana_etl_spark.operators.sft import conversations
+
+    conv = {
+        (r.conv_id, r.turn_idx): r.role for r in conversations(docs_df).collect()
+    }
+    assert conv[(0, 0)] == "user" and conv[(0, 1)] == "assistant"
+    assert conv[(0, 2)] == "user" and conv[(0, 3)] == "assistant"
+    assert conv[(1, 0)] == "user" and conv[(1, 1)] == "assistant"
+
+
+def test_loss_mask_spans_tile_the_token_stream(docs_df):
+    from solana_etl_spark.operators.sft import conversations, loss_mask_spans
+
+    spans = {
+        (r.conv_id, r.turn_idx): (r.span_start, r.span_end)
+        for r in loss_mask_spans(conversations(docs_df)).collect()
+    }
+    # conv 0 token stream: [0,2) user, [2,5) asst, [5,6) user, [6,10) asst
+    assert spans[(0, 1)] == (2, 5)
+    assert spans[(0, 3)] == (6, 10)
+    # conv 1: [0,3) user, [3,4) asst
+    assert spans[(1, 1)] == (3, 4)
+    # only assistant turns carry loss
+    assert set(spans) == {(0, 1), (0, 3), (1, 1)}
+
+
+def test_sft_stats_mask_ratio(docs_df):
+    from solana_etl_spark.operators.sft import conversations, sft_stats
+
+    stats = {r.conv_id: r for r in sft_stats(conversations(docs_df)).collect()}
+    assert stats[0].n_turns == 4
+    assert stats[0].prompt_tokens == 3 and stats[0].completion_tokens == 7
+    assert stats[0].mask_ratio == 0.7
+    assert stats[1].prompt_tokens == 3 and stats[1].completion_tokens == 1
+
+
+def test_pack_conversations_accounts_all_tokens(docs_df):
+    from solana_etl_spark.operators.sft import conversations, pack_conversations
+
+    packed = pack_conversations(conversations(docs_df), budget=6).collect()
+    by_conv = {}
+    for r in packed:
+        by_conv.setdefault(r.conv_id, 0)
+        by_conv[r.conv_id] += r.tokens_in_seq
+    # every conversation's tokens are fully packed
+    assert by_conv == {0: 10, 1: 4}
+
+
+def test_preference_pairs_extremes_and_ties(spark):
+    from solana_etl_spark.operators.preference import preference_pairs
+
+    rows = [
+        ("en", "s0", 1, 0.5),
+        ("en", "s0", 2, 2.0),
+        ("en", "s0", 3, 2.0),  # tie with 2 → chosen must be doc 2 (smaller id)
+        ("en", "s0", 4, -1.0),
+        ("en", "s1", 5, 1.0),  # singleton group → dropped
+        ("fr", "s0", 6, 3.0),
+        ("fr", "s0", 7, 3.0),  # zero margin → dropped
+    ]
+    df = spark.createDataFrame(rows, ["lang", "source", "doc_id", "z"])
+    out = {
+        (r.lang, r.source): r
+        for r in preference_pairs(df, F.col("z"), ("lang", "source")).collect()
+    }
+    assert set(out) == {("en", "s0")}
+    pair = out[("en", "s0")]
+    assert pair.chosen_doc == 2 and pair.rejected_doc == 4
+    assert pair.margin == 3.0
+
+
+def test_hard_negative_triplets_semantics(spark):
+    from solana_etl_spark.operators.mining import hard_negative_triplets
+
+    # two tight same-label clusters along different axes + one cross-label
+    # intruder close to cluster A (the hard negative)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.14, 0.0], 0),  # positive for 0
+        (2, [0.95, 0.31, 0.0], 1),  # hard negative for 0 (close to A)
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    out = hard_negative_triplets(df, n_anchors=1, k_neg=2).collect()
+    assert [r.neg_id for r in sorted(out, key=lambda r: r.neg_rank)] == [2, 3]
+    top = min(out, key=lambda r: r.neg_rank)
+    assert top.pos_id == 1
+    # intruder is more similar than the positive is dissimilar → small margin
+    assert top.margin < 0.2
+    # negatives are all wrong-label by construction
+    assert all(r.neg_id in (2, 3, 4) for r in out)
