@@ -3593,6 +3593,65 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(docs, lm, oov=-99.0)
 
 
+@_register(
+    "dsir_importance_weights",
+    # two add-one unigram LMs (target = en/src0 docs, raw = whole corpus)
+    # trained and applied in SQL; per-token log10 rounded at 9, per-doc
+    # sums exact-decimal — mirrors operators/dsir.py bit-for-bit
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ), toks2 AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), tgt_toks AS (
+        SELECT t.doc_id, t.tok FROM toks2 t
+        JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' AND d.source = 'src0'
+    ), tcounts AS (SELECT tok, COUNT(*) AS c FROM tgt_toks GROUP BY tok),
+    ttot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM tcounts),
+    tlm AS (
+        SELECT tok, CAST(ROUND(log10((c + 1.0) / (n + v)), 9)
+                         AS DECIMAL(28,9)) AS lp_t
+        FROM tcounts, ttot
+    ),
+    toov AS (
+        SELECT CAST(ROUND(log10(1.0 / (n + v)), 9) AS DECIMAL(28,9)) AS oov_t
+        FROM ttot
+    ),
+    rcounts AS (SELECT tok, COUNT(*) AS c FROM toks2 GROUP BY tok),
+    rtot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM rcounts),
+    rlm AS (
+        SELECT tok, CAST(ROUND(log10((c + 1.0) / (n + v)), 9)
+                         AS DECIMAL(28,9)) AS lp_r
+        FROM rcounts, rtot
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(coalesce(lp_t, oov_t) - lp_r) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_log_ratio,
+           ROUND(CAST(SUM(coalesce(lp_t, oov_t) - lp_r) AS DOUBLE)
+                 / COUNT(*), 6) > 0.0 AS keep
+    FROM toks2 t
+    LEFT JOIN tlm USING (tok)
+    JOIN rlm USING (tok)
+    CROSS JOIN toov
+    GROUP BY t.doc_id
+    """,
+    local_only=True,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted data selection (operators/dsir.py): every
+    document scored by the mean per-token log-likelihood ratio between a
+    target-domain unigram LM (en/src0 docs) and the raw-corpus LM —
+    positive ratio = looks like the target domain. Two token-count
+    aggregates + one scoring pass with both LM tables broadcast.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.dsir import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("source") == "src0"))
+    return importance_weights(docs, target)
+
+
 _PAGERANK_ITERS = 3
 
 _PAGERANK_ORACLE = f"""
