@@ -122,6 +122,109 @@ def sft_stats(conv: DataFrame, n_tokens: Column | None = None) -> DataFrame:
     )
 
 
+def pack_with_masks(
+    conv: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    n_tokens: Column | None = None,
+) -> DataFrame:
+    """Per packed sequence, the loss-mask accounting AFTER packing:
+    ``(group, seq_id, seq_tokens, loss_tokens, loss_ratio)`` — how many of
+    each fixed-budget training sequence's tokens actually carry loss once
+    conversations are laid end-to-end. The number a fine-tuning run's
+    effective-batch-size math needs; masks must survive packing, and this
+    is the operator that proves they do.
+
+    Construction: conversations group by their FIRST turn's ``group_col``
+    (deterministic — turn 0 always exists) and are laid out in conv_id
+    order. Three bounded shuffles: turn cumsum per conversation,
+    conversation-offset cumsum per group, and the final (group, seq)
+    aggregate. Assistant spans are shifted to absolute stream offsets and
+    exploded only over the sequences they overlap — per-row work is
+    O(spanned sequences), never O(stream length)."""
+    n_tok = _n_tokens(n_tokens)
+    w_turn = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = conv.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col(group_col).alias("_g"),
+        n_tok.alias("n_tokens"),
+    ).withColumn("turn_end", F.sum("n_tokens").over(w_turn))
+    turns = turns.withColumn(
+        "grp", F.max(F.when(F.col("turn_idx") == 0, F.col("_g"))).over(
+            Window.partitionBy("conv_id")
+        )
+    )
+    w_conv = Window.partitionBy("grp").orderBy("conv_id")
+    conv_tot = (
+        turns.groupBy("grp", "conv_id")
+        .agg(F.sum("n_tokens").alias("conv_tokens"))
+        .withColumn("conv_end", F.sum("conv_tokens").over(w_conv))
+        .withColumn("conv_start", F.col("conv_end") - F.col("conv_tokens"))
+    )
+    spans = turns.filter(F.col("role") == ROLE_ASSISTANT).join(
+        conv_tot.select("conv_id", "conv_start", "conv_end"), "conv_id"
+    )
+    abs_start = F.col("conv_start") + F.col("turn_end") - F.col("n_tokens")
+    abs_end = F.col("conv_start") + F.col("turn_end")
+    spans = spans.select(
+        "grp",
+        abs_start.alias("s"),
+        abs_end.alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    # explode each span over only the sequences it overlaps
+    seqs = spans.select(
+        "grp",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / budget),
+                F.floor((F.col("e") - 1) / budget),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(F.col("e"), (F.col("seq_id") + 1) * budget) - F.greatest(
+        F.col("s"), F.col("seq_id") * budget
+    )
+    loss = seqs.groupBy("grp", "seq_id").agg(
+        F.sum(overlap).alias("loss_tokens")
+    )
+    # every sequence the group stream occupies (also those with zero loss)
+    group_tot = conv_tot.groupBy("grp").agg(F.max("conv_end").alias("total"))
+    all_seqs = group_tot.filter(F.col("total") > 0).select(
+        "grp",
+        "total",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.floor((F.col("total") - 1) / budget)
+            )
+        ).alias("seq_id"),
+    ).select(
+        "grp",
+        "seq_id",
+        F.least(
+            F.lit(budget).cast("long"),
+            F.col("total") - F.col("seq_id") * budget,
+        ).alias("seq_tokens"),
+    )
+    return (
+        all_seqs.join(loss, ["grp", "seq_id"], "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "seq_id",
+            "seq_tokens",
+            F.coalesce("loss_tokens", F.lit(0)).alias("loss_tokens"),
+            F.round(
+                F.coalesce("loss_tokens", F.lit(0))
+                / F.col("seq_tokens").cast("double"),
+                9,
+            ).alias("loss_ratio"),
+        )
+    )
+
+
 def pack_conversations(
     conv: DataFrame, budget: int, n_tokens: Column | None = None
 ) -> DataFrame:

@@ -2155,6 +2155,91 @@ def sft_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_stats(conversations(_t(spark, sf_dir, "documents")))
 
 
+_SFT_PACK_BUDGET = 512
+
+
+@_register(
+    "pipeline_sft_e2e",
+    # conversations → per-group end-to-end token stream → assistant spans at
+    # ABSOLUTE offsets → overlap with fixed-budget sequences: the loss-mask
+    # survives packing; integer math until the final ratio
+    f"""
+    WITH {_SFT_TURNS_CTE},
+    t2 AS (
+        SELECT conv_id, turn_idx, role, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS turn_end
+        FROM turns
+    ),
+    glang AS (
+        SELECT doc_id // 4 AS conv_id, lang AS grp FROM documents
+        WHERE doc_id % 4 = 0
+    ),
+    ctot AS (
+        SELECT g.grp, t.conv_id, SUM(t.n_tokens) AS conv_tokens
+        FROM t2 t JOIN glang g USING (conv_id) GROUP BY g.grp, t.conv_id
+    ),
+    coff AS (
+        SELECT grp, conv_id, conv_tokens,
+               SUM(conv_tokens) OVER (PARTITION BY grp ORDER BY conv_id)
+                   AS conv_end
+        FROM ctot
+    ),
+    spans AS (
+        SELECT c.grp,
+               c.conv_end - c.conv_tokens + t.turn_end - t.n_tokens AS s,
+               c.conv_end - c.conv_tokens + t.turn_end AS e
+        FROM t2 t JOIN coff c USING (conv_id)
+        WHERE t.role = 'assistant' AND t.n_tokens > 0
+    ),
+    seqs AS (
+        SELECT grp, s, e,
+               unnest(generate_series(
+                   CAST(s // {_SFT_PACK_BUDGET} AS BIGINT),
+                   CAST((e - 1) // {_SFT_PACK_BUDGET} AS BIGINT))) AS seq_id
+        FROM spans
+    ),
+    loss AS (
+        SELECT grp, seq_id,
+               SUM(least(e, (seq_id + 1) * {_SFT_PACK_BUDGET})
+                   - greatest(s, seq_id * {_SFT_PACK_BUDGET})) AS loss_tokens
+        FROM seqs GROUP BY grp, seq_id
+    ),
+    gtot AS (SELECT grp, MAX(conv_end) AS total FROM coff GROUP BY grp),
+    allseq AS (
+        SELECT grp, total,
+               unnest(generate_series(
+                   CAST(0 AS BIGINT),
+                   CAST((total - 1) // {_SFT_PACK_BUDGET} AS BIGINT)))
+                   AS seq_id
+        FROM gtot WHERE total > 0
+    )
+    SELECT a.grp AS lang, CAST(a.seq_id AS BIGINT) AS seq_id,
+           CAST(least({_SFT_PACK_BUDGET}, a.total - a.seq_id * {_SFT_PACK_BUDGET})
+                AS BIGINT) AS seq_tokens,
+           CAST(coalesce(l.loss_tokens, 0) AS BIGINT) AS loss_tokens,
+           ROUND(CAST(coalesce(l.loss_tokens, 0) AS DOUBLE)
+                 / CAST(least({_SFT_PACK_BUDGET},
+                              a.total - a.seq_id * {_SFT_PACK_BUDGET})
+                        AS DOUBLE), 9) AS loss_ratio
+    FROM allseq a LEFT JOIN loss l ON a.grp = l.grp AND a.seq_id = l.seq_id
+    """,
+    local_only=True,
+)
+def pipeline_sft_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT capstone (operators/sft.py pack_with_masks): conversations laid
+    end-to-end per language group, packed into 512-token sequences, with
+    assistant loss-mask spans carried through to per-sequence loss-token
+    counts — proves masks survive packing. Three bounded shuffles (turn
+    cumsum, conversation-offset cumsum, final (group, seq) aggregate).
+    local_only: driver cap."""
+    from solana_etl_spark.operators.sft import conversations, pack_with_masks
+
+    return pack_with_masks(
+        conversations(_t(spark, sf_dir, "documents")), budget=_SFT_PACK_BUDGET
+    )
+
+
 def _ivf_cte(k: int, iters: int, dim: int, scale: int, train_bp: int = 10000) -> str:
     """qvecs / unrolled-Lloyd centroid CTEs mirroring operators/similarity.py
     kmeans_centroids — exact integer math, so value-identical by design.

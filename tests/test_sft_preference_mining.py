@@ -75,6 +75,26 @@ def test_pack_conversations_accounts_all_tokens(docs_df):
     assert by_conv == {0: 10, 1: 4}
 
 
+def test_pack_with_masks_hand_computed(docs_df):
+    from solana_etl_spark.operators.sft import conversations, pack_with_masks
+
+    out = {
+        r.seq_id: r
+        for r in pack_with_masks(conversations(docs_df), budget=6).collect()
+    }
+    # en stream: conv0 [0,10) + conv1 [10,14); assistant spans abs
+    # [2,5), [6,10), [13,14); budget-6 sequences [0,6) [6,12) [12,14)
+    assert [(out[i].seq_tokens, out[i].loss_tokens) for i in (0, 1, 2)] == [
+        (6, 3),
+        (6, 4),
+        (2, 1),
+    ]
+    # invariants: all tokens packed, all assistant tokens carry loss
+    assert sum(r.seq_tokens for r in out.values()) == 14
+    assert sum(r.loss_tokens for r in out.values()) == 8
+    assert all(r.loss_tokens <= r.seq_tokens for r in out.values())
+
+
 def test_preference_pairs_extremes_and_ties(spark):
     from solana_etl_spark.operators.preference import preference_pairs
 
