@@ -478,3 +478,91 @@ def repetitive_predicate() -> Column:
         | (dup_frac > REP_DUP_FRAC)
         | (dup_token_frac > REP_TOKEN_FRAC)
     )
+
+
+# ---------------------------------------------------------------------------
+# line-structure stats + character entropy (C4/FineWeb-style line filters)
+# ---------------------------------------------------------------------------
+
+BULLET_CHARS = ("-", "*", "•")  # -, *, •
+TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def structure_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document LINE-structure signals — the C4/FineWeb line-level
+    filter features (terminal-punctuation lines, bullet lists, blank
+    density) that token-level quality scores can't see:
+
+    ``n_lines`` (newline-split count), ``blank_frac`` (whitespace-only
+    lines), and — over NON-blank lines — ``bullet_frac`` (first non-space
+    char is a bullet) and ``punct_line_frac`` (last non-space char is
+    terminal punctuation). Ratios round at 9 (the cross-engine float
+    boundary). Pure per-row array expressions: zero shuffle, codegen'd
+    scan — the cheapest possible 100 TB shape."""
+    lines = F.split(F.col(text_col), "\n")
+    nonblank = F.filter(lines, lambda l: F.trim(l) != "")
+    n_nonblank = F.greatest(F.size(nonblank), F.lit(1))
+    bullet = F.filter(
+        nonblank,
+        lambda l: F.substring(F.ltrim(l), 1, 1).isin(*BULLET_CHARS),
+    )
+    punct = F.filter(
+        nonblank,
+        lambda l: F.substring(F.rtrim(l), -1, 1).isin(*TERMINAL_PUNCT),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(nonblank))
+            / F.greatest(F.size(lines), F.lit(1)),
+            9,
+        ).alias("blank_frac"),
+        F.round(F.size(bullet) / n_nonblank, 9).alias("bullet_frac"),
+        F.round(F.size(punct) / n_nonblank, 9).alias("punct_line_frac"),
+    )
+
+
+_ENT_TYPE = "decimal(28,9)"
+
+# log10(2) as a shared LITERAL: both engines parse the same double, so the
+# nat→bit conversion is bit-identical (their log2() builtins are not)
+LOG10_2 = 0.30102999566398119802
+
+
+def char_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy in bits — the cheap
+    gibberish/boilerplate signal (natural text sits ~4 bits/char; key
+    dumps, repeated fills, and encoded blobs sit far off it).
+
+    Exact and cross-engine reproducible with the lm.py float discipline:
+    each character's term p·log10(p) is computed in doubles, rounded at 9
+    decimals, and summed as exact DECIMAL; bits = the decimal sum divided
+    by a LITERAL log10(2) (both engines parse the identical double —
+    engine log2 implementations drift at the last ulp, measured at
+    sf0.1, so log2 never appears). One explode + one (doc_id, char)
+    count with map-side combine: shuffle volume is rows ×
+    distinct-chars-per-doc (alphabet-bounded), never rows × characters."""
+    chars = (
+        documents.filter(F.length(text_col) > 0)
+        .select(
+            "doc_id",
+            F.length(text_col).alias("n"),
+            F.col(text_col).alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("i"),
+        )
+        # substring fuses into the same codegen stage as the Generate, so
+        # the carried text column never materializes per character row
+        .select("doc_id", "n", F.expr("substring(_t, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c") / F.col("n")
+    term = F.round(p * F.round(F.log10(p), 9), 9).cast(_ENT_TYPE)
+    return counts.select("doc_id", "n", term.alias("t")).groupBy("doc_id").agg(
+        F.max("n").alias("n_chars"),
+        F.round(
+            -F.sum("t").cast("double") / F.lit(LOG10_2), 6
+        ).alias("entropy_bits"),
+    )

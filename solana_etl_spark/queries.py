@@ -5555,6 +5555,78 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "text_structure_stats",
+    """
+    WITH l AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+    ), s AS (
+        SELECT doc_id, lines,
+               list_filter(lines, x -> trim(x) <> '') AS nonblank
+        FROM l
+    )
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           ROUND((len(lines) - len(nonblank))
+                 / CAST(greatest(len(lines), 1) AS DOUBLE), 9) AS blank_frac,
+           ROUND(len(list_filter(nonblank,
+                     x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))
+                 / CAST(greatest(len(nonblank), 1) AS DOUBLE), 9)
+               AS bullet_frac,
+           ROUND(len(list_filter(nonblank,
+                     x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')))
+                 / CAST(greatest(len(nonblank), 1) AS DOUBLE), 9)
+               AS punct_line_frac
+    FROM s
+    """,
+    local_only=True,
+)
+def text_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb-style LINE-structure filter features (operators/text.py
+    structure_stats): blank-line density, bullet-line fraction,
+    terminal-punctuation-line fraction — the line-level signals token
+    stats can't see. Pure per-row array expressions, zero shuffle.
+    local_only: driver cap."""
+    return text_ops.structure_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_char_entropy",
+    # per-character p*log10(p) terms rounded at 9 then exact-decimal summed
+    # (lm.py's float discipline); bits via a shared LITERAL log10(2) —
+    # engine log2() builtins drift at the last ulp (measured at sf0.1)
+    """
+    WITH ch AS (
+        SELECT doc_id, length(text) AS n,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents WHERE length(text) > 0
+    ), c2 AS (
+        SELECT ch.doc_id, ch.n, substr(d.text, CAST(ch.i AS INTEGER), 1) AS ch
+        FROM ch JOIN documents d USING (doc_id)
+    ), counts AS (
+        SELECT doc_id, n, ch, COUNT(*) AS c FROM c2 GROUP BY doc_id, n, ch
+    ), terms AS (
+        SELECT doc_id, n,
+               CAST(ROUND((c / CAST(n AS DOUBLE))
+                          * ROUND(log10(c / CAST(n AS DOUBLE)), 9), 9)
+                    AS DECIMAL(28,9)) AS t
+        FROM counts
+    )
+    SELECT doc_id, MAX(n) AS n_chars,
+           ROUND(-CAST(SUM(t) AS DOUBLE) / 0.30102999566398119802, 6)
+               AS entropy_bits
+    FROM terms GROUP BY doc_id
+    """,
+    local_only=True,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (operators/text.py
+    char_entropy) — the cheap gibberish/encoded-blob signal. One explode +
+    one (doc, char) count with map-side combine; per-char terms round at 9
+    and sum as exact DECIMAL. local_only: driver cap."""
+    return text_ops.char_entropy(_t(spark, sf_dir, "documents"))
+
+
 # BPE vocabulary artifact for text_bpe_encode: trained ONCE with
 # operators/vocab.py:train_bpe_merges on the sf0.001 documents sample and
 # frozen — the production shape (a tokenizer trains on a bounded sample,
