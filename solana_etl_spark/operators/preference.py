@@ -25,6 +25,44 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def best_of_n(
+    df: DataFrame,
+    score: Column,
+    group_cols: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rejection sampling / best-of-n selection: per candidate group keep
+    the argmax-score row (smallest id on ties) with the group's candidate
+    count and exact score sum — the "sample n, keep the best" step of an
+    RLHF / rejection-tuning pipeline, and the acceptance-diagnostics a
+    reward-model run reports (mean = sum_z / n_candidates, left to the
+    consumer: a rounded mean sits on a TRUE half-way decimal whenever the
+    9-decimal sum divides the group size evenly, and engines break round
+    half-way ties differently — measured at sf0.1).
+
+    Same single partial-aggregated pass as :func:`preference_pairs`
+    (struct-max argmax, no window, no sort); the sum is an exact-decimal
+    fold of 9-decimal-rounded scores, identical on any partitioning — a
+    naive double SUM would be addition-order-dependent.
+    """
+    scored = df.select(
+        *group_cols, F.col(id_col).cast("long").alias("_id"), score.alias("_z")
+    )
+    best = F.max(F.struct(F.col("_z").alias("z"), (-F.col("_id")).alias("nid")))
+    zsum = F.sum(F.round(F.col("_z"), 9).cast("decimal(28,9)"))
+    return (
+        scored.groupBy(*group_cols)
+        .agg(best.alias("_best"), F.count("*").alias("n_candidates"), zsum.alias("_s"))
+        .select(
+            *group_cols,
+            (-F.col("_best.nid")).alias("best_doc"),
+            F.round(F.col("_best.z"), 9).alias("best_z"),
+            "n_candidates",
+            F.col("_s").cast("double").alias("sum_z"),
+        )
+    )
+
+
 def preference_pairs(
     df: DataFrame,
     score: Column,

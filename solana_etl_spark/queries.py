@@ -3158,6 +3158,46 @@ def pref_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _best_of_n_oracle() -> str:
+    z = _quality_z_sql()
+    return f"""
+    WITH scored AS (
+        SELECT doc_id // 8 AS prompt_id, doc_id, {z} AS z FROM documents
+    ), agg AS (
+        SELECT prompt_id,
+               max({{'z': z, 'nid': -doc_id}}) AS best,
+               COUNT(*) AS n_candidates,
+               SUM(CAST(ROUND(z, 9) AS DECIMAL(28,9))) AS s
+        FROM scored GROUP BY prompt_id
+    )
+    SELECT prompt_id,
+           CAST(-best.nid AS BIGINT) AS best_doc,
+           ROUND(best.z, 9) AS best_z,
+           n_candidates,
+           CAST(s AS DOUBLE) AS sum_z
+    FROM agg
+    """
+
+
+@_register("pref_best_of_n", _best_of_n_oracle(), local_only=True)
+def pref_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection sampling / best-of-n (operators/preference.py best_of_n):
+    8 consecutive docs form one candidate group; keep the argmax-quality
+    candidate with count + exact-decimal score sum (mean left to the
+    consumer — see best_of_n's half-way-tie note). One partial-agg
+    groupBy, struct-max argmax, deterministic ties. local_only: driver
+    cap."""
+    from solana_etl_spark.operators.classifier import featurize, linear_score
+    from solana_etl_spark.operators.preference import best_of_n
+
+    feats = featurize(_t(spark, sf_dir, "documents")).withColumn(
+        "prompt_id", (F.col("doc_id") - F.col("doc_id") % 8) / F.lit(8)
+    ).withColumn("prompt_id", F.col("prompt_id").cast("long"))
+    return best_of_n(
+        feats, linear_score(F.col("features"), _QUALITY_W), ("prompt_id",)
+    )
+
+
 def _incr_agg_oracle() -> str:
     k = 128
     h = hash64_sql("CAST(l_partkey AS VARCHAR)")

@@ -143,3 +143,19 @@ def test_hard_negative_triplets_semantics(spark):
     assert top.margin < 0.2
     # negatives are all wrong-label by construction
     assert all(r.neg_id in (2, 3, 4) for r in out)
+
+
+def test_best_of_n_argmax_and_mean(spark):
+    from solana_etl_spark.operators.preference import best_of_n
+
+    rows = [
+        (0, 1, 0.5),
+        (0, 2, 2.0),
+        (0, 3, 2.0),  # tie → best_doc must be 2
+        (1, 4, -1.0),  # singleton group still emits
+    ]
+    df = spark.createDataFrame(rows, ["prompt_id", "doc_id", "z"])
+    out = {r.prompt_id: r for r in best_of_n(df, F.col("z"), ("prompt_id",)).collect()}
+    assert out[0].best_doc == 2 and out[0].best_z == 2.0
+    assert out[0].n_candidates == 3 and out[0].sum_z == 4.5
+    assert out[1].best_doc == 4 and out[1].n_candidates == 1
