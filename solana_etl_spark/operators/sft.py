@@ -122,6 +122,28 @@ def sft_stats(conv: DataFrame, n_tokens: Column | None = None) -> DataFrame:
     )
 
 
+def prompt_dedup(conv: DataFrame) -> DataFrame:
+    """Conversation-level dedup keyed on the normalized FIRST USER TURN —
+    the prompt. Two conversations sharing a prompt leak one's completion
+    into the other's context at training time and double-count the prompt
+    in eval splits; this is the SFT analog of document exact-dedup. One
+    hash aggregate over first turns only (16-byte shuffle rows via
+    ``hash64``, regardless of prompt size): (prompt_hash, keeper_conv,
+    n_convs), keeper = smallest conv_id (first occurrence wins)."""
+    from solana_etl_spark.functions.hashing import hash64
+    from solana_etl_spark.operators.dedup import normalized_text
+
+    return (
+        conv.filter(F.col("turn_idx") == 0)
+        .select("conv_id", hash64(normalized_text()).alias("prompt_hash"))
+        .groupBy("prompt_hash")
+        .agg(
+            F.min("conv_id").alias("keeper_conv"),
+            F.count(F.lit(1)).alias("n_convs"),
+        )
+    )
+
+
 def pack_with_masks(
     conv: DataFrame,
     budget: int,

@@ -2155,6 +2155,31 @@ def sft_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_stats(conversations(_t(spark, sf_dir, "documents")))
 
 
+@_register(
+    "sft_prompt_dedup",
+    # first user turn of each conversation = the doc at doc_id % 4 == 0;
+    # same normalize-hash-group shape (and SQL mirror) as dedup_exact
+    f"""
+    SELECT {hash64_sql(_NORM_SQL)} AS prompt_hash,
+           MIN(doc_id // 4) AS keeper_conv,
+           COUNT(*) AS n_convs
+    FROM documents
+    WHERE doc_id % 4 = 0
+    GROUP BY 1
+    """,
+    local_only=True,
+)
+def sft_prompt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation dedup by normalized prompt (operators/sft.py
+    prompt_dedup): conversations sharing a first user turn leak
+    completions across epochs/splits — the SFT analog of document exact
+    dedup. One 16-byte-row hash aggregate over first turns only.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.sft import conversations, prompt_dedup
+
+    return prompt_dedup(conversations(_t(spark, sf_dir, "documents")))
+
+
 _SFT_PACK_BUDGET = 512
 
 

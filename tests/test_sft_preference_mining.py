@@ -159,3 +159,23 @@ def test_best_of_n_argmax_and_mean(spark):
     assert out[0].best_doc == 2 and out[0].best_z == 2.0
     assert out[0].n_candidates == 3 and out[0].sum_z == 4.5
     assert out[1].best_doc == 4 and out[1].n_candidates == 1
+
+
+def test_prompt_dedup_first_turn_keyed(spark):
+    from solana_etl_spark.operators.sft import conversations, prompt_dedup
+
+    rows = [
+        (0, "Same Prompt", "en", "s0", 1),
+        (1, "answer a", "en", "s0", 1),
+        (2, "x", "en", "s0", 1),
+        (3, "y", "en", "s0", 1),
+        (4, "  same   prompt ", "en", "s0", 1),  # ws/case dup of conv 0's prompt
+        (5, "answer b", "en", "s0", 1),
+        (6, "z", "en", "s0", 1),
+        (7, "w", "en", "s0", 1),
+        (8, "different prompt", "en", "s0", 1),
+        (9, "answer c", "en", "s0", 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r.keeper_conv: r.n_convs for r in prompt_dedup(conversations(df)).collect()}
+    assert out == {0: 2, 2: 1}  # convs 0+1 share a prompt; conv 2 unique
