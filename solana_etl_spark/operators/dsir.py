@@ -32,31 +32,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solana_etl_spark.operators.lm import _LP_TYPE, _doc_tokens
-
-_LP_DEC = 9
+from solana_etl_spark.operators.lm import (
+    _LP_TYPE,
+    _doc_tokens,
+    smoothed_log_prob,
+    unigram_counts,
+)
 
 
 def _lm_and_oov(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
     """((tok, lp), 1-row (oov)): add-one unigram log10 LM plus its smoothed
-    unseen-token log-prob, both rounded at the 9-decimal cross-engine
-    boundary — the oov stays a 1-row DataFrame (broadcast, never
-    collected) so the whole weight computation is one lazy plan."""
-    counts = _doc_tokens(docs, text_col).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    totals = counts.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    unseen-token log-prob, both from lm.py's ONE smoothing definition
+    (``smoothed_log_prob``; ``c=0`` is the unseen event) — the oov stays a
+    1-row DataFrame (broadcast, never collected) so the whole weight
+    computation is one lazy plan."""
+    counts, totals = unigram_counts(docs, text_col)
     lm = counts.crossJoin(F.broadcast(totals)).select(
         "tok",
-        F.round(
-            F.log10((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))),
-            _LP_DEC,
-        ).alias("lp"),
+        smoothed_log_prob(F.col("c"), F.col("n"), F.col("v")).alias("lp"),
     )
     oov = totals.select(
-        F.round(F.log10(F.lit(1.0) / (F.col("n") + F.col("v"))), _LP_DEC).alias(
-            "oov"
-        )
+        smoothed_log_prob(F.lit(0), F.col("n"), F.col("v")).alias("oov")
     )
     return lm, oov
 

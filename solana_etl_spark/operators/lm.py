@@ -23,7 +23,7 @@ The reference has no text surface; charter LLM-pipeline machinery.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from solana_etl_spark.operators.text import tokens
@@ -38,21 +38,36 @@ def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
-def train_unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(tok, log_prob): add-one-smoothed unigram log10 probabilities,
-    rounded to 9 decimals (the cross-engine determinism boundary)."""
+def smoothed_log_prob(c: Column, n: Column, v: Column) -> Column:
+    """Add-one-smoothed log10((c+1)/(n+v)) at the 9-decimal cross-engine
+    boundary — the ONE definition of the smoothing, shared by this module
+    and operators/dsir.py (pass ``F.lit(0)`` as ``c`` for the unseen
+    event)."""
+    return F.round(
+        F.log10((c + F.lit(1.0)) / (n + v)), _LP_DECIMALS
+    )
+
+
+def unigram_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """((tok, c) counts, 1-row (n, v) totals) — the sufficient statistics
+    of the unigram LM, exposed so callers (dsir.py) can derive both the
+    per-token table and the OOV scalar from one definition."""
     counts = _doc_tokens(docs, text_col).groupBy("tok").agg(
         F.count(F.lit(1)).alias("c")
     )
-    totals = counts.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
-    )
+    totals = counts.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    return counts, totals
+
+
+def train_unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, log_prob): add-one-smoothed unigram log10 probabilities,
+    rounded to 9 decimals (the cross-engine determinism boundary)."""
+    counts, totals = unigram_counts(docs, text_col)
     return counts.crossJoin(F.broadcast(totals)).select(
         "tok",
-        F.round(
-            F.log10((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))),
-            _LP_DECIMALS,
-        ).alias("log_prob"),
+        smoothed_log_prob(F.col("c"), F.col("n"), F.col("v")).alias("log_prob"),
     )
 
 

@@ -41,8 +41,17 @@ def hard_negative_triplets(
     cross-engine float boundary for the normalize-then-dot cosine);
     negative margins are the anchors a trainer learns most from. Anchors
     with no same-label neighbor are dropped (no positive to anchor the
-    triplet)."""
-    nemb = normalized(embeddings).select("vec_id", "label", "_nemb")
+    triplet).
+
+    Label contract: rows with a NULL label are excluded up front —
+    supervised mining needs a label on every side. (Left in, a NULL
+    label's three-valued ``same_label`` would sort NULLS FIRST through
+    the rank window and silently shift every real negative's rank.)"""
+    nemb = (
+        normalized(embeddings)
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "_nemb")
+    )
     anchors = (
         nemb.orderBy("vec_id")
         .limit(n_anchors)

@@ -178,6 +178,10 @@ def pack_with_masks(
             Window.partitionBy("conv_id")
         )
     )
+    # a conversation with no turn 0 (sparse ids after upstream filtering)
+    # has no group; drop it explicitly — matching the oracle's inner join
+    # on first turns — rather than emitting sequences under a NULL group
+    turns = turns.filter(F.col("grp").isNotNull())
     w_conv = Window.partitionBy("grp").orderBy("conv_id")
     conv_tot = (
         turns.groupBy("grp", "conv_id")
@@ -257,10 +261,19 @@ def pack_conversations(
     same accounting, same single-window shape."""
     from solana_etl_spark.operators.packing import pack_sequences
 
+    # group by the FIRST turn's lang — the same convention as
+    # pack_with_masks, so both packing entry points agree on stream
+    # assignment for mixed-lang conversations; no-turn-0 convs drop
     totals = (
-        conv.select("conv_id", "lang", _n_tokens(n_tokens).alias("n_tokens"))
+        conv.select(
+            "conv_id", "turn_idx", "lang", _n_tokens(n_tokens).alias("n_tokens")
+        )
         .groupBy("conv_id")
-        .agg(F.max("lang").alias("lang"), F.sum("n_tokens").alias("conv_tokens"))
+        .agg(
+            F.max(F.when(F.col("turn_idx") == 0, F.col("lang"))).alias("lang"),
+            F.sum("n_tokens").alias("conv_tokens"),
+        )
+        .filter(F.col("lang").isNotNull())
     )
     return pack_sequences(
         totals.withColumnRenamed("conv_id", "doc_id"),
