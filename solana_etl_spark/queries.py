@@ -6047,6 +6047,95 @@ def pipeline_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_PACK_BUDGET = 512
+
+
+def _cluster_pack_oracle() -> str:
+    k, iters, dim, scale = (
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+    )
+    dist = (
+        "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
+        f"for i in generate_series(1, {dim}) ])"
+    )
+    b = _CLUSTER_PACK_BUDGET
+    return f"""
+    WITH {_ivf_cte(k, iters, dim, scale)},
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM qvecs v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    enc AS (
+        SELECT a.cid, d.doc_id, len({_TOKENS_SQL}) AS n_tokens
+        FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+    ),
+    cum AS (
+        SELECT cid, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY cid ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS e
+        FROM enc
+    ),
+    ex AS (
+        SELECT cid, doc_id, n_tokens, e - n_tokens AS s, e,
+               unnest(generate_series(CAST((e - n_tokens) // {b} AS BIGINT),
+                                      CAST((e - 1) // {b} AS BIGINT))) AS seq_id
+        FROM cum WHERE n_tokens > 0
+    )
+    SELECT cid, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           seq_id,
+           CAST(greatest(s, seq_id * {b}) - seq_id * {b} AS BIGINT)
+               AS seq_offset,
+           CAST(least(e, seq_id * {b} + {b}) - greatest(s, seq_id * {b})
+                AS BIGINT) AS tokens_in_seq
+    FROM ex
+    """
+
+
+@_register("pipeline_cluster_pack", _cluster_pack_oracle(), local_only=True)
+def pipeline_cluster_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster packing (in-context pre-training shape, Shi et al.
+    2023): documents are assigned to LEARNED k-means clusters of their
+    embeddings (exact-integer IVF assignment — bit-reproducible), then
+    packed into fixed 512-token sequences WITHIN each cluster, so related
+    documents share a training context instead of random neighbors. One
+    doc_id-keyed join (token counts ⋈ assignments) + the single pack-group
+    window; the Lloyd rounds are the same bounded-training plan as
+    ann_ivf_assign. local_only: driver cap."""
+    from solana_etl_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = similarity.ivf_assignments(emb).select(
+        F.col("vec_id").alias("doc_id"), "cid"
+    )
+    toks = docs.select(
+        "doc_id", F.size(text_ops.tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        toks.join(assign, "doc_id"),
+        budget=_CLUSTER_PACK_BUDGET,
+        group_cols=("cid",),
+        order_col="doc_id",
+        n_tokens=F.col("n_tokens"),
+    )
+    return packed.select(
+        "cid",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+        "tokens_in_seq",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. Entity resolution + ANN evaluation
 # ---------------------------------------------------------------------------
