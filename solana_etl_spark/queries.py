@@ -7393,3 +7393,61 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(
         current_snapshot(spark, f"{work}/snap"), work
     )
+
+
+def _stream_dedup_oracle() -> str:
+    # batch semantics of the streaming survivor set: exact keepers minus
+    # LSH band-collision drops. Computing pairs on the full corpus is
+    # equivalent to computing them post-exact-dedup: a non-keeper's keeper
+    # is the MIN of its content group, has identical shingles/signatures,
+    # and is therefore a smaller colliding partner for anything the
+    # non-keeper collided with.
+    return f"""
+    WITH {_clean_corpus_ctes("documents")}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN keepers k USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+
+
+@_register("stream_dedup_ingest", _stream_dedup_oracle(), local_only=True)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with the persisted dedup index as a REAL
+    Structured-Streaming run under the gate (streaming/dedup_stream.py):
+    the documents table streams through twice (two files → two
+    foreachBatch micro-batches), so the FIRST pass must produce exactly
+    the batch dedup result (exact keepers minus LSH drops) and the SECOND
+    pass must be fully suppressed by the warehouse index — re-ingesting
+    the whole corpus adds zero rows. Because both micro-batches carry the
+    identical corpus, the final survivor set is independent of file
+    processing order, which makes the streaming run batch-SQL-expressible.
+    Fourth member of the stream-equals-batch gate family. local_only:
+    streaming state dirs are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.dedup_stream import (
+        start_streaming_corpus_ingest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="gate_stream_dedup_")
+    for p in ("a", "b"):
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{work}/src/{p}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*/*.parquet")
+    )
+    q = start_streaming_corpus_ingest(
+        spark,
+        stream,
+        survivors_dir=f"{work}/out",
+        index_dir=f"{work}/idx",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    return _materialize_and_clean(
+        spark.read.parquet(f"{work}/out").select("doc_id", "lang", "source"),
+        work,
+    )
