@@ -161,3 +161,50 @@ def chunk_documents(
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+BUDGET_SWEEP = (128, 256, 512, 1024, 2048)
+
+
+def pack_efficiency(
+    documents: DataFrame,
+    budgets: tuple[int, ...] = BUDGET_SWEEP,
+    group_cols: tuple[str, ...] = ("lang",),
+    n_tokens: Column | None = None,
+) -> DataFrame:
+    """The pick-your-sequence-length planning table: per (group, budget),
+    ``total_tokens``, ``n_sequences`` (concat-and-chunk count =
+    ceil(total/budget)), ``padded_capacity`` (n_sequences x budget) and
+    ``waste`` (pad tokens in the final sequence) — the numbers that decide
+    a training run's sequence length before any packing job runs.
+
+    ONE group aggregate + a per-row explode over the budget list; every
+    output is exact int64 (utilization = total/padded_capacity is left to
+    the consumer — power-of-two budgets make the ratio a terminating
+    decimal that lands on TRUE round-half-way digits, which engines break
+    differently; integers have no such boundary)."""
+    n_tok = F.size(tokens(F.col("text"))) if n_tokens is None else n_tokens
+    totals = (
+        documents.select(*group_cols, n_tok.cast("long").alias("n_tokens"))
+        .groupBy(*group_cols)
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .filter(F.col("total_tokens") > 0)
+    )
+    swept = totals.select(
+        *group_cols,
+        "total_tokens",
+        F.explode(F.array(*[F.lit(b).cast("long") for b in budgets])).alias(
+            "budget"
+        ),
+    )
+    # integer `div`, not floor(double division): at 100 TB the token totals
+    # are large enough that a double quotient can misround at the boundary
+    n_seqs = F.expr("(total_tokens + budget - 1) div budget")
+    return swept.select(
+        *group_cols,
+        "budget",
+        "total_tokens",
+        n_seqs.alias("n_sequences"),
+        (n_seqs * F.col("budget")).alias("padded_capacity"),
+        (n_seqs * F.col("budget") - F.col("total_tokens")).alias("waste"),
+    )

@@ -6047,6 +6047,41 @@ def pipeline_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pack_efficiency_report",
+    f"""
+    WITH totals AS (
+        SELECT lang, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang
+        HAVING SUM(len({_TOKENS_SQL})) > 0
+    ), swept AS (
+        SELECT lang, total_tokens,
+               unnest([CAST(b AS BIGINT) FOR b IN [128, 256, 512, 1024, 2048]])
+                   AS budget
+        FROM totals
+    )
+    SELECT lang, budget, total_tokens,
+           (total_tokens + budget - 1) // budget AS n_sequences,
+           ((total_tokens + budget - 1) // budget) * budget AS padded_capacity,
+           ((total_tokens + budget - 1) // budget) * budget - total_tokens
+               AS waste
+    FROM swept
+    """,
+    local_only=True,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning table (operators/packing.py
+    pack_efficiency): per (lang, budget in 128..2048), total tokens,
+    concat-and-chunk sequence count, padded capacity and pad waste — the
+    numbers that pick a training run's sequence length. One group
+    aggregate + a 5-way per-row explode; all-int64 outputs (utilization
+    division left to the consumer — see the half-way-tie note).
+    local_only: driver cap."""
+    from solana_etl_spark.operators.packing import pack_efficiency
+
+    return pack_efficiency(_t(spark, sf_dir, "documents"))
+
+
 _CLUSTER_PACK_BUDGET = 512
 
 

@@ -115,3 +115,22 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, chunk_chars=100, stride=200)
+
+
+def test_pack_efficiency_arithmetic(spark):
+    from solana_etl_spark.operators.packing import pack_efficiency
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "en"), (1, "d e", "en"), (2, "f", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        (r.lang, r.budget): r
+        for r in pack_efficiency(df, budgets=(2, 4)).collect()
+    }
+    # en: 5 tokens → budget 2: 3 seqs, capacity 6, waste 1; budget 4: 2/8/3
+    assert (out[("en", 2)].n_sequences, out[("en", 2)].waste) == (3, 1)
+    assert (out[("en", 4)].n_sequences, out[("en", 4)].waste) == (2, 3)
+    # fr: 1 token → 1 seq either way
+    assert out[("fr", 2)].padded_capacity == 2 and out[("fr", 2)].waste == 1
