@@ -2090,6 +2090,56 @@ def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
+def _cluster_safe_split_oracle() -> str:
+    bucket = hash64_sql("CAST(cluster_id AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_cte(dedup.MINHASH_K, dedup.LSH_BAND_ROWS, materialized=True)},
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    member AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {bucket} % 10000 < 8000 THEN 'train'
+                WHEN {bucket} % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM member
+    """
+
+
+@_register("s8_cluster_safe_split", _cluster_safe_split_oracle(), local_only=True)
+def s8_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: membership hashes the NEAR-DUP
+    CLUSTER id (LSH pairs → connected components, singletons self-keyed),
+    not the doc id — so a near-duplicate pair can never straddle train and
+    test, the leak a per-document hash split silently allows. Composes two
+    individually-oracled operators; the split stays a stateless pure
+    function of content (retry-safe, growth-stable). local_only: driver
+    cap."""
+    from solana_etl_spark.operators.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    members = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    return train_val_test_split(members, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 # deterministic conversation construction (operators/sft.py): 4 consecutive
 # docs = one conversation, roles alternate user-first by turn parity
 _SFT_TURNS_CTE = f"""

@@ -38,3 +38,35 @@ def test_epoch_upsample_multiplicities(spark):
         {"src0": 30000, "src1": 25000, "src2": 5000},
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_cluster_safe_split_no_near_dup_leakage(spark):
+    """Near-duplicate pairs must land in the SAME split when membership
+    hashes the cluster id (the leak a per-doc hash split allows)."""
+    from solana_etl_spark.operators import dedup
+    from solana_etl_spark.operators.sampling import train_val_test_split
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, t, "en", "s0", len(t))
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog and runs away fast",
+                "the quick brown fox jumps over the lazy cat and runs away fast",
+                "completely unrelated text about distributed query engines here",
+                "another fully distinct document with its own vocabulary set",
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    clusters = dedup.connected_components(pairs)
+    members = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    out = {r.doc_id: r for r in train_val_test_split(members, "cluster_id").collect()}
+    # docs 0 and 1 are near-dups → same cluster → same split, always
+    assert out[0].cluster_id == out[1].cluster_id
+    assert out[0].split == out[1].split
