@@ -31,6 +31,55 @@ N_ANCHORS = 20
 K_NEG = 5
 
 
+def bucketed_hard_negatives(
+    embeddings: DataFrame, k_neg: int = K_NEG
+) -> DataFrame:
+    """CORPUS-WIDE hard-negative candidate generation — the scale path the
+    anchor-batch miner's docstring promises: every vector is an anchor,
+    candidates are restricted to its sign-LSH bucket (the
+    embedding_neardup_pairs partitioning), so the pair stream is
+    per-bucket, never corpus². ``(q_id, neg_rank, neg_id, neg_sim)`` —
+    the top-``k_neg`` highest-similarity WRONG-label vectors in each
+    anchor's bucket (rank ties to the smaller vec_id). Approximate by
+    construction: negatives outside the anchor's bucket are out of
+    contract (the recall/cost dial is the bucket bit width). Anchors
+    whose bucket holds no wrong-label vector emit nothing. NULL labels
+    are excluded (same contract as hard_negative_triplets).
+
+    Plan: one bucket-keyed equi-self-join + one window keyed by anchor —
+    two shuffles, both bounded by bucket occupancy."""
+    from solana_etl_spark.operators.similarity import lsh_sign_buckets
+
+    nemb = normalized(embeddings).filter(F.col("label").isNotNull())
+    space = nemb.select("vec_id", "label", "_nemb").join(
+        lsh_sign_buckets(embeddings).select("vec_id", "bucket"), "vec_id"
+    )
+    a = space.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("_nemb").alias("q_vec"),
+        "bucket",
+    )
+    cand = space.join(a, "bucket").filter(
+        (F.col("vec_id") != F.col("q_id"))
+        & (F.col("label") != F.col("q_label"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "q_id", "vec_id", _dot(F.col("_nemb"), F.col("q_vec")).alias("sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neg)
+        .select(
+            "q_id",
+            F.col("rnk").alias("neg_rank"),
+            F.col("vec_id").alias("neg_id"),
+            F.round("sim", 6).alias("neg_sim"),
+        )
+    )
+
+
 def hard_negative_triplets(
     embeddings: DataFrame, n_anchors: int = N_ANCHORS, k_neg: int = K_NEG
 ) -> DataFrame:

@@ -3556,6 +3556,55 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("neg_rank", F.col("neg_rank").cast("long"))
 
 
+K_NEG_BUCKETED = 5  # mirrors operators/mining.py K_NEG
+
+
+@_register(
+    "ann_hard_negatives_bucketed",
+    # corpus-wide variant: every vector is an anchor, candidates restricted
+    # to its sign-LSH bucket (the sim_neardup_pairs partitioning)
+    f"""
+    WITH {_NEMB_CTE},
+    bkt AS (
+        SELECT vec_id,
+               CAST({_lsh_bucket_sql_expr(similarity.LSH_SIGN_BITS)} AS BIGINT)
+                   AS bucket
+        FROM embeddings
+    ),
+    space AS (
+        SELECT n.vec_id, n.label, n.v, b.bucket
+        FROM nemb n JOIN bkt b USING (vec_id)
+        WHERE n.label IS NOT NULL
+    ),
+    ranked AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS neg_id, {_NDOT_SQL} AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_NDOT_SQL} DESC, b.vec_id ASC) AS rnk
+        FROM space a JOIN space b
+          ON a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id AND a.label <> b.label
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS neg_rank, neg_id,
+           ROUND(sim, 6) AS neg_sim
+    FROM ranked WHERE rnk <= {K_NEG_BUCKETED}
+    """,
+    local_only=True,
+)
+def ann_hard_negatives_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide hard-negative generation (operators/mining.py
+    bucketed_hard_negatives): every vector is an anchor; candidates are
+    its sign-LSH bucket's wrong-label members, ranked by cosine — the
+    documented scale path of ann_hard_negatives (pair stream per-bucket,
+    never corpus²). One bucket-keyed self-join + one anchor-keyed window.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.mining import bucketed_hard_negatives
+
+    return bucketed_hard_negatives(
+        _t(spark, sf_dir, "embeddings")
+    ).withColumn("neg_rank", F.col("neg_rank").cast("long"))
+
+
 _CHUNK, _STRIDE = 256, 192
 
 # shared chunk-spine CTEs (d, s): the last-start formula mirrors

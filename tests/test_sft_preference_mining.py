@@ -179,3 +179,33 @@ def test_prompt_dedup_first_turn_keyed(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
     out = {r.keeper_conv: r.n_convs for r in prompt_dedup(conversations(df)).collect()}
     assert out == {0: 2, 2: 1}  # convs 0+1 share a prompt; conv 2 unique
+
+
+def test_bucketed_hard_negatives_bucket_contract(spark):
+    from solana_etl_spark.operators.mining import bucketed_hard_negatives
+    from solana_etl_spark.operators.similarity import lsh_sign_buckets
+
+    # vectors engineered so 0/1/2 share a bucket (same sign pattern) and
+    # 3 sits in a different one; labels split 0,1 vs 2,3
+    rows = [
+        (0, [1.0, 0.2] + [0.0] * 14, 0),
+        (1, [0.9, 0.3] + [0.0] * 14, 0),
+        (2, [0.8, 0.25] + [0.0] * 14, 1),
+        (3, [-1.0, -0.2] + [0.0] * 14, 1),
+    ]
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    buckets = {r.vec_id: r.bucket for r in lsh_sign_buckets(df).collect()}
+    out = bucketed_hard_negatives(df, k_neg=3).collect()
+    for r in out:
+        # every emitted negative shares the anchor's bucket and flips label
+        assert buckets[r.q_id] == buckets[r.neg_id]
+    # anchors 0 and 1 (label 0) see wrong-label 2 iff same bucket
+    if buckets[0] == buckets[2]:
+        assert any(r.q_id == 0 and r.neg_id == 2 for r in out)
+    # out-of-bucket wrong-label vectors are out of contract
+    assert not any(r.neg_id == 3 and buckets[r.q_id] != buckets[3] for r in out)
