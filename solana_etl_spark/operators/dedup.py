@@ -681,3 +681,72 @@ def incremental_dedup(
         .distinct()
     )
     return not_exact.join(near_hit, "doc_id", "left_anti")
+
+
+# --- content-defined chunking (shift-robust chunk dedup) -------------------
+
+CDC_DIVISOR = 8  # boundary probability 1/8 → ~8-token expected chunks
+
+
+def cdc_chunks(documents: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunking [Rabin-style, the storage-dedup boundary
+    rule]: a token STARTS a new chunk when its own hash ≡ 0 (mod
+    ``divisor``), so boundaries depend only on local content — inserting
+    or deleting a token perturbs at most its own chunk, where fixed-stride
+    chunking shifts every later boundary and destroys all downstream
+    matches. The shift-robust complement of packing.chunk_documents.
+
+    Output: one row per (doc_id, chunk_id) with ``n_tokens``,
+    ``chunk_hash`` (of the space-joined token run) — the key cross-doc
+    chunk dedup groups on.
+
+    Shape: one posexplode + one doc-keyed window cumsum + one
+    (doc, chunk) aggregate with map-side combine; all linear, shuffle rows
+    are tokens with 16-byte payloads. Deterministic chunk text via an
+    in-group (pos, tok) sort — never a bare collect_list order."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    boundary = (
+        (hash64(F.col("tok")) % divisor == 0) & (F.col("pos") > 0)
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = toks.withColumn("chunk_id", F.sum(boundary).over(w))
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok), ' ')"
+            ).alias("_chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            hash64(F.col("_chunk_text")).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_duplicate_chunks(
+    documents: DataFrame, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Cross-document duplicate chunks under content-defined boundaries:
+    per repeated ``chunk_hash``, occurrence and distinct-document counts
+    plus the first-occurrence keeper — the chunk-granular dedup table that
+    still matches when a near-copy has insertions (fixed-stride chunk
+    hashes would all shift). One further hash-keyed aggregate."""
+    return (
+        cdc_chunks(documents, divisor)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )

@@ -2090,6 +2090,53 @@ def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
+@_register(
+    "dedup_cdc_chunks",
+    # content-defined boundaries: a token starts a chunk iff its own hash
+    # ≡ 0 (mod divisor) — positions are 1-based here vs 0-based posexplode,
+    # hence pos > 1 mirrors Spark's pos > 0
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok,
+               generate_subscripts({_TOKENS_SQL}, 1) AS pos
+        FROM documents
+    ), t2 AS (SELECT doc_id, tok, pos FROM toks WHERE tok <> ''),
+    b AS (
+        SELECT doc_id, tok, pos,
+               CASE WHEN {hash64_sql("tok")} % {dedup.CDC_DIVISOR} = 0
+                         AND pos > 1 THEN 1 ELSE 0 END AS bd
+        FROM t2
+    ), c AS (
+        SELECT doc_id, tok, pos,
+               SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        FROM b
+    ), chunks AS (
+        SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+               {hash64_sql("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
+        FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keeper_doc,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY chunk_hash HAVING COUNT(*) >= 2
+    """,
+    local_only=True,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust chunk dedup via content-defined chunking
+    (operators/dedup.py cdc_chunks): boundaries depend only on each
+    token's own hash, so an insertion perturbs one chunk where
+    fixed-stride chunking shifts every later boundary; repeated chunk
+    hashes across documents with occurrence/doc counts and the
+    first-occurrence keeper. Explode + doc-keyed window cumsum + two
+    hash-keyed aggregates, all linear. local_only: driver cap."""
+    from solana_etl_spark.operators.dedup import cdc_duplicate_chunks
+
+    return cdc_duplicate_chunks(_t(spark, sf_dir, "documents"))
+
+
 def _cluster_safe_split_oracle() -> str:
     bucket = hash64_sql("CAST(cluster_id AS VARCHAR)")
     return f"""
