@@ -626,3 +626,91 @@ def ivf_ndcg(
         ),
     )
     return _finalize_eval(result, scored)
+
+
+# --- late-interaction (MaxSim) retrieval -----------------------------------
+
+MAXSIM_M = 8  # subvectors per vector (matches pq.PQ_M)
+MAXSIM_SUBDIM = 8
+MAXSIM_QUERIES = 4
+MAXSIM_K = 5
+
+
+def _subvecs(col: Column, m: int, subdim: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(col, s * subdim + 1, subdim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    n_queries: int = MAXSIM_QUERIES,
+    k: int = MAXSIM_K,
+    m: int = MAXSIM_M,
+    subdim: int = MAXSIM_SUBDIM,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval [Khattab & Zaharia 2020]:
+    each vector decomposes into ``m`` contiguous subvectors (its
+    "token embeddings"); a candidate's score for a query is
+    MaxSim — Σ over query subvectors of the MAX dot product against any
+    candidate subvector. Late interaction ranks by fine-grained partial
+    matches a single pooled dot product averages away.
+
+    (q_id, rank, vec_id, maxsim_score): top-``k`` per query, deterministic
+    ties by vec_id. Float discipline: per-(query-subvector) maxima round
+    at 9 and sum as exact DECIMAL (an 8-term double sum would be
+    addition-order-dependent), score emitted at 6.
+
+    Plan: per-row subvector explode on both sides, bounded query batch
+    broadcast against one corpus-subvector scan, then two aggregates
+    keyed by (query, candidate[, subvector]) and one per-query window —
+    volume is queries × corpus × m², bounded by the query batch."""
+    subs = _subvecs(F.col("embedding"), m, subdim)
+    docs = embeddings.select(
+        "vec_id", F.explode(subs).alias("d")
+    ).select("vec_id", F.col("d.sv").alias("dv"))
+    queries = (
+        embeddings.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.explode(subs).alias("q"))
+        .select("q_id", F.col("q.sub").alias("qsub"), F.col("q.sv").alias("qv"))
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "qsub",
+            _dot(F.col("qv"), F.col("dv")).alias("dot"),
+        )
+    )
+    per_qsub = scored.groupBy("q_id", "vec_id", "qsub").agg(
+        F.max("dot").alias("mx")
+    )
+    per_pair = (
+        per_qsub.select(
+            "q_id",
+            "vec_id",
+            F.round("mx", 9).cast("decimal(28,9)").alias("mx"),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("mx").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        per_pair.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            F.col("rnk").alias("rank"),
+            "vec_id",
+            F.round("score", 6).alias("maxsim_score"),
+        )
+    )

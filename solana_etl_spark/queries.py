@@ -3603,6 +3603,67 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("neg_rank", F.col("neg_rank").cast("long"))
 
 
+@_register(
+    "ann_maxsim_topk",
+    # ColBERT-style MaxSim: vectors decompose into 8 contiguous
+    # 8-dim subvectors; score = Σ over query subvectors of the MAX dot
+    # against any candidate subvector; 9-decimal + exact-DECIMAL sum
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {similarity.MAXSIM_QUERIES}
+    ),
+    g AS (SELECT unnest(generate_series(0, {similarity.MAXSIM_M - 1})) AS s),
+    qs AS (
+        SELECT q_id, g.s AS qsub,
+               [x::DOUBLE for x in embedding[g.s * 8 + 1 : g.s * 8 + 8]] AS qv
+        FROM q CROSS JOIN g
+    ),
+    ds AS (
+        SELECT vec_id, g.s AS dsub,
+               [x::DOUBLE for x in embedding[g.s * 8 + 1 : g.s * 8 + 8]] AS dv
+        FROM embeddings CROSS JOIN g
+    ),
+    scored AS (
+        SELECT q.q_id, d.vec_id, q.qsub,
+               list_reduce([q.qv[i] * d.dv[i]
+                            for i in generate_series(1, 8)],
+                           (x, y) -> x + y) AS dot
+        FROM qs q, ds d WHERE d.vec_id <> q.q_id
+    ),
+    m1 AS (
+        SELECT q_id, vec_id, qsub, MAX(dot) AS mx
+        FROM scored GROUP BY 1, 2, 3
+    ),
+    m2 AS (
+        SELECT q_id, vec_id,
+               CAST(SUM(CAST(ROUND(mx, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   AS score
+        FROM m1 GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+        FROM m2
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+           ROUND(score, 6) AS maxsim_score
+    FROM ranked WHERE rnk <= {similarity.MAXSIM_K}
+    """,
+    local_only=True,
+)
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (operators/similarity.py maxsim_topk):
+    ColBERT MaxSim over contiguous subvector decompositions — per query
+    subvector take the best candidate-subvector dot, exact-decimal-sum
+    the maxima, rank top-5 per query. Bounded query batch broadcast ×
+    one corpus scan + two keyed aggregates + one window. local_only:
+    driver cap."""
+    return similarity.maxsim_topk(
+        _t(spark, sf_dir, "embeddings")
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 K_NEG_BUCKETED = 5  # mirrors operators/mining.py K_NEG
 
 

@@ -209,3 +209,26 @@ def test_bucketed_hard_negatives_bucket_contract(spark):
         assert any(r.q_id == 0 and r.neg_id == 2 for r in out)
     # out-of-bucket wrong-label vectors are out of contract
     assert not any(r.neg_id == 3 and buckets[r.q_id] != buckets[3] for r in out)
+
+
+def test_maxsim_rewards_partial_match(spark):
+    """Late interaction ranks a candidate matching ONE query subvector
+    perfectly above a candidate that is uniformly mediocre — the
+    fine-grained behavior a single pooled dot product averages away."""
+    from solana_etl_spark.operators.similarity import maxsim_topk
+
+    dim = 16  # m=2 subvectors of 8 dims
+    q = [1.0] * 8 + [0.0] * 8
+    partial = [1.0] * 8 + [-0.4] * 8   # perfect on sub 0
+    mediocre = [0.3] * 16
+    rows = [(0, q, 0), (1, partial, 1), (2, mediocre, 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    out = maxsim_topk(df, n_queries=1, k=2, m=2, subdim=8).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.vec_id for r in ranked] == [1, 2]
+    # sub 0: dot(q,partial)=8 ; sub 1: q subvector is zero → max dot 0
+    assert ranked[0].maxsim_score == 8.0
