@@ -346,3 +346,79 @@ def epoch_upsample(
         (hash64(frac_key) % SAMPLE_DENOM) < F.col("_fbp")
     )
     return exploded.filter(keep).drop("_nf", "_fbp")
+
+
+DRAW_BUCKETS = 256
+
+
+def categorical_draws(
+    counts: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_draws: int,
+    n_buckets: int = DRAW_BUCKETS,
+) -> DataFrame:
+    """Deterministic inverse-CDF draws from a categorical distribution —
+    the negative-sampling-table primitive (draw tokens ∝ frequency, items
+    ∝ any integer weight): draw i lands on the item whose cumulative
+    weight interval contains ``hash(i) mod total``. ALL-integer math —
+    no float CDF, so no cross-engine rounding surface and every draw is a
+    pure function of (i, weight table): retry-safe and reproducible.
+
+    Shape: the cumulative sum is ONE global window over the ITEM table
+    (vocab-bounded — Zipf keeps it small regardless of corpus size; this
+    is the same bounded-vocab argument as lm.py), then the draw→item
+    lookup is a bucketized range join (the rangejoin.py strategy on an
+    integer domain): items explode to the fixed-width weight buckets they
+    cover, each draw maps to exactly one bucket, hash equi-join + exact
+    containment filter emits exactly one item per draw. Zero-weight items
+    are excluded up front (empty interval, and their bucket sequence
+    would be descending)."""
+    w = Window.orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        counts.select(
+            key_col, F.col(weight_col).cast("long").alias("_w")
+        )
+        .filter(F.col("_w") > 0)
+        .withColumn("cum_end", F.sum("_w").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("_w"))
+    )
+    total = cum.agg(F.max("cum_end").alias("_total"))
+    bsize = F.expr(f"(_total + {n_buckets - 1}) div {n_buckets}")
+    items = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "cum_start",
+            "cum_end",
+            F.explode(
+                F.sequence(
+                    F.expr(f"cum_start div ((_total + {n_buckets - 1}) div {n_buckets})"),
+                    F.expr(
+                        f"(cum_end - 1) div ((_total + {n_buckets - 1}) div {n_buckets})"
+                    ),
+                )
+            ).alias("_bucket"),
+        )
+    )
+    draws = (
+        counts.sparkSession.range(n_draws)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias("draw_id"),
+            F.pmod(hash64(F.col("id").cast("string")), F.col("_total")).alias(
+                "_t"
+            ),
+            bsize.alias("_b"),
+        )
+        .select(
+            "draw_id", "_t", F.expr("_t div _b").alias("_bucket")
+        )
+    )
+    return (
+        draws.join(items, "_bucket")
+        .filter((F.col("_t") >= F.col("cum_start")) & (F.col("_t") < F.col("cum_end")))
+        .select("draw_id", key_col)
+    )

@@ -2090,6 +2090,66 @@ def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
+_N_DRAWS = 1000
+
+
+@_register(
+    "s9_categorical_draws",
+    # inverse-CDF categorical sampling, all-integer: draw i lands on the
+    # token whose cumulative count interval contains hash(i) mod total;
+    # items bucket-exploded (integer-domain rangejoin.py strategy)
+    f"""
+    WITH toks AS (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents),
+    t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, COUNT(*) AS c FROM t2 GROUP BY tok),
+    cum AS (
+        SELECT tok, c,
+               CAST(SUM(c) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_end
+        FROM counts
+    ),
+    cum2 AS (SELECT tok, cum_end - c AS cum_start, cum_end FROM cum),
+    tot AS (SELECT MAX(cum_end) AS total FROM cum2),
+    items AS (
+        SELECT tok, cum_start, cum_end,
+               unnest(generate_series(
+                   CAST(cum_start // ((total + 255) // 256) AS BIGINT),
+                   CAST((cum_end - 1) // ((total + 255) // 256) AS BIGINT)))
+                   AS bucket
+        FROM cum2, tot
+    ),
+    d2 AS (
+        SELECT i AS draw_id,
+               ((({hash64_sql("CAST(i AS VARCHAR)")} % total) + total) % total)
+                   AS t,
+               (total + 255) // 256 AS b
+        FROM (SELECT unnest(generate_series(0, {_N_DRAWS - 1})) AS i), tot
+    ),
+    d3 AS (SELECT draw_id, t, t // b AS bucket FROM d2)
+    SELECT d.draw_id, i.tok
+    FROM d3 d JOIN items i USING (bucket)
+    WHERE d.t >= i.cum_start AND d.t < i.cum_end
+    """,
+    local_only=True,
+)
+def s9_categorical_draws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted-categorical sampler (operators/sampling.py
+    categorical_draws): 1000 inverse-CDF draws from the corpus unigram
+    count distribution — the negative-sampling-table primitive, in
+    all-integer math (no float CDF). Vocab-bounded global cumsum +
+    bucketized integer range join; every draw a pure function of its
+    index. local_only: driver cap."""
+    from solana_etl_spark.operators.sampling import categorical_draws
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(text_ops.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return categorical_draws(counts, "tok", "c", _N_DRAWS)
+
+
 @_register(
     "dedup_cdc_chunks",
     # content-defined boundaries: a token starts a chunk iff its own hash

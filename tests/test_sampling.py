@@ -70,3 +70,27 @@ def test_cluster_safe_split_no_near_dup_leakage(spark):
     # docs 0 and 1 are near-dups → same cluster → same split, always
     assert out[0].cluster_id == out[1].cluster_id
     assert out[0].split == out[1].split
+
+
+def test_categorical_draws_exact_and_proportional(spark):
+    from solana_etl_spark.operators.sampling import categorical_draws
+    import pyspark.sql.functions as F
+
+    counts = spark.createDataFrame(
+        [("common", 90), ("rare", 10), ("never", 0)], ["tok", "c"]
+    )
+    out = categorical_draws(counts, "tok", "c", 500).collect()
+    # exactly one item per draw; zero-weight items never drawn
+    assert len(out) == 500
+    assert len({r.draw_id for r in out}) == 500
+    by_tok = {}
+    for r in out:
+        by_tok[r.tok] = by_tok.get(r.tok, 0) + 1
+    assert "never" not in by_tok
+    # ~90/10 split within generous bounds (hash-uniform, deterministic)
+    assert by_tok["common"] > 5 * by_tok.get("rare", 1)
+    # determinism: re-run is identical
+    again = categorical_draws(counts, "tok", "c", 500).collect()
+    assert sorted((r.draw_id, r.tok) for r in out) == sorted(
+        (r.draw_id, r.tok) for r in again
+    )
