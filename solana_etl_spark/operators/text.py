@@ -566,3 +566,74 @@ def char_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
             -F.sum("t").cast("double") / F.lit(LOG10_2), 6
         ).alias("entropy_bits"),
     )
+
+
+# --- collocation mining (PMI) ----------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 50
+
+
+def collocations(
+    documents: DataFrame, min_count: int = COLLOC_MIN_COUNT, k: int = COLLOC_K
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    PMI(a,b) = log10( p(ab) / (p(a)·p(b)) ) over adjacent-token bigrams —
+    the classic corpus-analysis signal for multiword expressions
+    (tokenizer-merge seeding, stopword discovery, phrase detection).
+    Top-``k`` bigrams with ≥ ``min_count`` occurrences.
+
+    Determinism discipline: the ranking orders by the RAW probability
+    ratio — pure integer-count arithmetic in doubles, bit-identical
+    cross-engine — never by the log (engine log10 drifts in the last ulp,
+    which would reorder near-ties); the log is applied only to the
+    emitted score, rounded at 6. Shape: one token count + one bigram
+    count (both map-side combined), constituent lookups against the
+    vocab-bounded broadcast unigram table, 1-row totals as broadcast
+    scalars, TakeOrdered top-k."""
+    toks = documents.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = documents.agg(
+        F.sum(F.greatest(F.size(tokens(F.col("text"))) - 1, F.lit(0))).alias(
+            "b_total"
+        ),
+        F.sum(
+            F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
+        ).alias("n_total"),
+    )
+    bi = (
+        documents.select(F.explode(F.expr(_ngram_expr(2))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    parts = F.split(F.col("bigram"), " ")
+    joined = (
+        bi.withColumn("_a", parts.getItem(0))
+        .withColumn("_b", parts.getItem(1))
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("_a"), F.col("c").alias("c_a"))),
+            "_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("_b"), F.col("c").alias("c_b"))),
+            "_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (F.col("c_ab").cast("double") / F.col("b_total")) / (
+        (F.col("c_a").cast("double") / F.col("n_total"))
+        * (F.col("c_b").cast("double") / F.col("n_total"))
+    )
+    return (
+        joined.select(
+            "bigram",
+            "c_ab",
+            ratio.alias("_ratio"),
+        )
+        .orderBy(F.desc("_ratio"), F.asc("bigram"))
+        .limit(k)
+        .select("bigram", "c_ab", F.round(F.log10("_ratio"), 6).alias("pmi"))
+    )

@@ -2090,6 +2090,65 @@ def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
+@_register(
+    "text_collocations",
+    # PMI collocations: rank by the RAW probability ratio (integer-count
+    # arithmetic in doubles — bit-identical), log10 applied only to the
+    # emitted score at 6 decimals
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    uni AS (SELECT tok, COUNT(*) AS c FROM t2 GROUP BY tok),
+    tot AS (
+        SELECT CAST(SUM(greatest(len({_TOKENS_SQL}) - 1, 0)) AS BIGINT)
+                   AS b_total,
+               CAST(SUM(len(list_filter({_TOKENS_SQL}, x -> x <> '')))
+                    AS BIGINT) AS n_total
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok,
+               generate_subscripts({_TOKENS_SQL}, 1) AS p
+        FROM documents
+    ),
+    big AS (
+        SELECT a.tok || ' ' || b.tok AS bigram
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    ),
+    bcnt AS (
+        SELECT bigram, COUNT(*) AS c_ab FROM big
+        GROUP BY bigram HAVING COUNT(*) >= {text_ops.COLLOC_MIN_COUNT}
+    ),
+    j AS (
+        SELECT bigram, c_ab, u1.c AS c_a, u2.c AS c_b
+        FROM bcnt
+        JOIN uni u1 ON u1.tok = string_split(bigram, ' ')[1]
+        JOIN uni u2 ON u2.tok = string_split(bigram, ' ')[2]
+    ),
+    scored AS (
+        SELECT bigram, c_ab,
+               (CAST(c_ab AS DOUBLE) / b_total)
+               / ((CAST(c_a AS DOUBLE) / n_total)
+                  * (CAST(c_b AS DOUBLE) / n_total)) AS ratio
+        FROM j, tot
+    )
+    SELECT bigram, c_ab, ROUND(log10(ratio), 6) AS pmi
+    FROM scored ORDER BY ratio DESC, bigram LIMIT {text_ops.COLLOC_K}
+    """,
+    local_only=True,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by PMI (operators/text.py collocations):
+    top multiword-expression candidates with a min-count floor — the
+    phrase-detection / tokenizer-merge-seeding signal. Two map-side-
+    combined counts + broadcast unigram lookups + TakeOrdered; ranking by
+    the raw probability ratio keeps ordering engine-exact. local_only:
+    driver cap."""
+    return text_ops.collocations(_t(spark, sf_dir, "documents"))
+
+
 _N_DRAWS = 1000
 
 

@@ -35,3 +35,24 @@ def test_char_entropy_known_values(spark):
     assert out[2].entropy_bits == 2.0  # four equiprobable symbols
     assert 3 not in out  # empty text has no distribution
     assert out[0].n_chars == 4
+
+
+def test_collocations_pmi_semantics(spark):
+    """A bigram whose tokens only ever co-occur outranks pairs built from
+    an independently frequent token."""
+    from solana_etl_spark.operators.text import collocations
+
+    docs = [
+        "san francisco " * 3,  # san/francisco never appear apart
+        "the cat ran and the cat hid while the dog and the bird and the fox slept",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    out = collocations(df, min_count=2, k=10).collect()
+    by = {r.bigram: r for r in out}
+    assert by["san francisco"].c_ab == 3
+    top = max(out, key=lambda r: r.pmi)
+    assert top.bigram == "san francisco"
+    # "the" is frequent in varied contexts, so its pairs score lower
+    assert by["san francisco"].pmi > by["the cat"].pmi
