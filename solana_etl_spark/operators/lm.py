@@ -99,3 +99,52 @@ def score_documents(
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM document scoring: every token transition scored by the
+    add-one-smoothed conditional ``p(b|a) = (c(ab)+1) / (c_ctx(a)+V)``
+    (``c_ctx`` = occurrences of ``a`` as a context, V = vocab size), and
+    each document reported as ``(doc_id, n_transitions, avg_logprob)`` —
+    the conditional upgrade of the unigram CCNet signal: word-salad text
+    with plausible unigrams but improbable transitions scores low where
+    ``score_documents`` can't see it. Documents with < 2 tokens have no
+    transitions and are dropped.
+
+    Same float discipline as the unigram path: per-transition log10
+    rounds at 9 and sums as exact DECIMAL. Shape: the transition table
+    comes from a per-row adjacent-pair expression (zero joins to build),
+    one (a, b) count + one context rollup (both Zipf-bounded,
+    broadcast), a 1-row vocab scalar, then one per-doc aggregate."""
+    from solana_etl_spark.operators.text import _ngram_expr
+
+    big = docs.select(
+        "doc_id", F.explode(F.expr(_ngram_expr(2))).alias("bigram")
+    ).select(
+        "doc_id",
+        F.split("bigram", " ").getItem(0).alias("a"),
+        F.split("bigram", " ").getItem(1).alias("b"),
+    )
+    cnt_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = cnt_ab.groupBy("a").agg(F.sum("c_ab").alias("c_ctx"))
+    vocab = _doc_tokens(docs, text_col).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    lp = F.round(
+        F.log10(
+            (F.col("c_ab") + F.lit(1.0)) / (F.col("c_ctx") + F.col("v"))
+        ),
+        _LP_DECIMALS,
+    ).cast(_LP_TYPE)
+    scored = (
+        big.join(F.broadcast(cnt_ab), ["a", "b"])
+        .join(F.broadcast(ctx), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )

@@ -2091,6 +2091,51 @@ def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lm_bigram_score",
+    # add-one conditional p(b|a) = (c_ab+1)/(c_ctx(a)+V); per-transition
+    # log10 at 9 decimals, exact-decimal per-doc sums (lm.py discipline)
+    f"""
+    WITH pos AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok,
+               generate_subscripts({_TOKENS_SQL}, 1) AS p
+        FROM documents
+    ),
+    big AS (
+        SELECT x.doc_id, x.tok AS a, y.tok AS b
+        FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.p = x.p + 1
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY a, b),
+    ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_ctx FROM cab GROUP BY a),
+    voc AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+        ) WHERE tok <> ''
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(log10((c.c_ab + 1.0) / (x.c_ctx + voc.v)), 9)
+                    AS DECIMAL(28,9)) AS lp
+        FROM big g JOIN cab c USING (a, b) JOIN ctx x USING (a), voc
+    )
+    SELECT doc_id, COUNT(*) AS n_transitions,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    local_only=True,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (operators/lm.py bigram_lm_scores): every
+    token transition scored by the add-one conditional probability — the
+    conditional upgrade of the unigram CCNet signal (word salad with
+    plausible unigrams but improbable transitions scores low). Zipf-bounded
+    count tables broadcast; exact-decimal per-doc sums. local_only: driver
+    cap."""
+    from solana_etl_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "text_collocations",
     # PMI collocations: rank by the RAW probability ratio (integer-count
     # arithmetic in doubles — bit-identical), log10 applied only to the

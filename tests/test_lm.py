@@ -78,3 +78,19 @@ def test_rarer_docs_score_lower(spark):
         for r in score_documents(docs, lm, oov=-9.0).collect()
     }
     assert scores[1] > scores[2]
+
+
+def test_bigram_lm_penalizes_word_salad(spark):
+    """Same unigram bag, scrambled transitions → lower bigram score."""
+    from solana_etl_spark.operators.lm import bigram_lm_scores
+
+    fluent = "the cat sat on the mat " * 5
+    salad = "mat the on sat cat the " * 2 + "the mat cat on the sat " * 3
+    df = spark.createDataFrame(
+        [(0, fluent), (1, fluent), (2, fluent), (3, salad)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    # fluent docs share high-count transitions; the salad's are rarer
+    assert out[0].avg_logprob > out[3].avg_logprob
+    assert out[0].n_transitions == 29
