@@ -2091,6 +2091,74 @@ def s6_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_overlap_matrix",
+    # distinct (source, CDC-chunk-hash) pairs self-joined on the hash:
+    # which sources share repeated SPANS (content-defined boundaries keep
+    # matches under insertions; whole-doc hashes are vacuous at small SFs
+    # because exact doc dups stay within one source) — the provenance /
+    # mix-planning diagnostic behind joint-dedup decisions
+    f"""
+    WITH toks AS (
+        SELECT d.doc_id, d.source, t.tok, t.pos FROM documents d,
+        LATERAL (
+            SELECT unnest({_TOKENS_SQL}) AS tok,
+                   generate_subscripts({_TOKENS_SQL}, 1) AS pos
+        ) t
+        WHERE t.tok <> ''
+    ),
+    b AS (
+        SELECT doc_id, source, tok, pos,
+               CASE WHEN {hash64_sql("tok")} % {dedup.CDC_DIVISOR} = 0
+                         AND pos > 1 THEN 1 ELSE 0 END AS bd
+        FROM toks
+    ),
+    c AS (
+        SELECT doc_id, source, tok, pos,
+               SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        FROM b
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_id, COUNT(*) AS n_tokens,
+               {hash64_sql("string_agg(tok, ' ' ORDER BY pos)")} AS h
+        FROM c GROUP BY doc_id, source, chunk_id
+    ),
+    sh AS (SELECT DISTINCT source, h FROM chunks WHERE n_tokens >= 3)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_chunks
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    local_only=True,
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source span-duplication matrix: per source pair, how many
+    distinct content-defined chunks (≥ 3 tokens) both carry — the
+    provenance diagnostic that tells a mix designer which sources re-crawl
+    or syndicate each other (dedup them jointly, budget them once).
+    Chunk-granular + CDC boundaries so shared spans survive insertions;
+    one hash-keyed self-join over distinct (source, chunk-hash) pairs,
+    16-byte shuffle rows. local_only: driver cap."""
+    from solana_etl_spark.operators.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        cdc_chunks(docs)
+        .filter(F.col("n_tokens") >= 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.col("chunk_hash").alias("h"))
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+
+
+@_register(
     "lm_bigram_score",
     # add-one conditional p(b|a) = (c_ab+1)/(c_ctx(a)+V); per-transition
     # log10 at 9 decimals, exact-decimal per-doc sums (lm.py discipline)
