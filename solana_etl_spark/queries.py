@@ -2675,6 +2675,39 @@ def _ivf_assign_oracle(
     """
 
 
+_OUTLIER_N = 20
+
+
+def _semantic_outliers_oracle() -> str:
+    k, iters, dim, scale = (
+        similarity.IVF_K,
+        similarity.IVF_ITERS,
+        similarity.IVF_DIM,
+        similarity.IVF_SCALE,
+    )
+    base = _ivf_assign_oracle(k, iters, dim, scale)
+    return f"""
+    SELECT vec_id, cid, dist FROM ({base})
+    ORDER BY dist DESC, vec_id LIMIT {_OUTLIER_N}
+    """
+
+
+@_register("dq_semantic_outliers", _semantic_outliers_oracle(), local_only=True)
+def dq_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier detection: the vectors FURTHEST from their nearest
+    learned k-means centroid — embeddings no cluster explains, i.e. the
+    junk/anomaly candidates a curation pass reviews first (completes the
+    dq_ family's distributional checks with an embedding-space one). The
+    distance is the exact scaled-int64 assignment distance (no float
+    surface); deterministic ties by vec_id; TakeOrdered top-N on top of
+    the ann_ivf_assign plan. local_only: driver cap."""
+    return (
+        similarity.ivf_assignments(_t(spark, sf_dir, "embeddings"))
+        .orderBy(F.desc("dist"), F.asc("vec_id"))
+        .limit(_OUTLIER_N)
+    )
+
+
 def _ivf_topk_oracle(k: int, iters: int, dim: int, scale: int, nprobe: int, topk: int) -> str:
     dist = (
         "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
