@@ -3585,6 +3585,92 @@ def pref_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dpo_e2e_oracle() -> str:
+    z = _quality_z_sql()
+    bucket = hash64_sql("CAST(pg_id AS VARCHAR)")
+    return f"""
+    WITH asst AS (
+        SELECT doc_id // 4 AS conv_id, {z} AS z
+        FROM documents WHERE (doc_id % 4) % 2 = 1
+    ),
+    perconv AS (
+        -- round at 12, NOT 9: z terminates at 10 decimals (9-decimal
+        -- features x 1-decimal weights), so a 9-decimal round sits on
+        -- TRUE halves that the engines break differently (measured:
+        -- 284/313 rows at sf0.1); 12 is beyond the terminating digit,
+        -- making the round exact and tie-free on both engines
+        SELECT conv_id, SUM(CAST(ROUND(z, 12) AS DECIMAL(28,12))) AS q
+        FROM asst GROUP BY conv_id
+    ),
+    pg AS (SELECT conv_id // 4 AS pg_id, conv_id, q FROM perconv),
+    agg AS (
+        SELECT pg_id,
+               max({{'q': q, 'nid': -conv_id}}) AS best,
+               min({{'q': q, 'id': conv_id}}) AS worst,
+               COUNT(*) AS n
+        FROM pg GROUP BY pg_id
+    )
+    SELECT pg_id,
+           CAST(-best.nid AS BIGINT) AS chosen_conv,
+           CAST(worst.id AS BIGINT) AS rejected_conv,
+           CAST(best.q AS DOUBLE) AS chosen_q,
+           CAST(worst.q AS DOUBLE) AS rejected_q,
+           CAST(best.q - worst.q AS DOUBLE) AS margin,
+           CASE WHEN {bucket} % 10000 < 8000 THEN 'train'
+                WHEN {bucket} % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM agg WHERE n >= 2 AND best.q > worst.q
+    """
+
+
+@_register("pipeline_dpo_e2e", _dpo_e2e_oracle(), local_only=True)
+def pipeline_dpo_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO data capstone as ONE lazy plan: conversations → per-conversation
+    completion quality (exact-decimal sum of per-assistant-turn 9-decimal
+    quality scores — partition-order-independent) → per-candidate-group
+    chosen/rejected extremes (one-pass struct max/min, deterministic id
+    ties, positive-margin + ≥2-candidates filter) → leakage-safe
+    train/val/test split hashed on the GROUP id (both sides of a pair
+    always share a split). Three aggregates total, group-cardinality
+    shuffles. local_only: driver cap."""
+    from solana_etl_spark.functions.hashing import hash64
+    from solana_etl_spark.operators.classifier import featurize, linear_score
+    from solana_etl_spark.operators.sft import ROLE_ASSISTANT, conversations
+
+    conv = conversations(_t(spark, sf_dir, "documents"))
+    z = linear_score(F.col("features"), _QUALITY_W)
+    perconv = (
+        featurize(conv.filter(F.col("role") == ROLE_ASSISTANT))
+        .select(
+            "conv_id", F.round(z, 12).cast("decimal(28,12)").alias("zq")
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("zq").alias("q"))
+        .withColumn("pg_id", F.expr("conv_id div 4"))
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col("conv_id")).alias("nid")))
+    worst = F.min(F.struct(F.col("q"), F.col("conv_id").alias("id")))
+    agg = perconv.groupBy("pg_id").agg(
+        best.alias("_best"), worst.alias("_worst"), F.count("*").alias("_n")
+    )
+    bucket = hash64(F.col("pg_id").cast("string")) % 10000
+    return (
+        agg.filter((F.col("_n") >= 2) & (F.col("_best.q") > F.col("_worst.q")))
+        .select(
+            "pg_id",
+            (-F.col("_best.nid")).alias("chosen_conv"),
+            F.col("_worst.id").alias("rejected_conv"),
+            F.col("_best.q").cast("double").alias("chosen_q"),
+            F.col("_worst.q").cast("double").alias("rejected_q"),
+            (F.col("_best.q") - F.col("_worst.q")).cast("double").alias("margin"),
+            F.when(bucket < 8000, "train")
+            .when(bucket < 9000, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 def _incr_agg_oracle() -> str:
     k = 128
     h = hash64_sql("CAST(l_partkey AS VARCHAR)")
