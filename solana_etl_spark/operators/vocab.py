@@ -177,18 +177,28 @@ def apply_bpe_replace(
     """Codegen BPE encode: identical output to :func:`apply_bpe`, built
     from literal string `replace` calls instead of nested `aggregate` folds.
 
-    Representation: the document becomes one SEP-delimited symbol stream —
-    ``␟c␟h␟a␟r␟</w>␟␟n␟e␟x␟t␟</w>␟`` (every symbol bracketed by exactly one
-    SEP; word boundaries carry TWO, so no merge pattern can cross words).
-    Each learned merge ``(a, b)`` is then one literal
-    ``replace(s, ␟a␟b␟ → ␟ab␟)``: Java's left-to-right non-overlapping
-    replace is exactly the greedy left-to-right adjacent-pair merge of
-    classic BPE (after a match, scanning resumes AFTER the replacement —
-    the same "pending consumed" rule as the fold in
-    :func:`merge_pair_expr`), and the SEP brackets make token boundaries
-    unambiguous because merged symbols are concatenations of input chars
-    and can never contain SEP (input SEP bytes are stripped up front — the
-    one contract this encoding adds).
+    Representation: the document becomes one symbol stream where every
+    within-word symbol boundary is a DOUBLE separator and word gaps are a
+    TRIPLE — ``␟c␟␟h␟␟a␟␟r␟␟</w>␟␟␟n␟␟e␟␟x␟␟t␟␟</w>␟␟`` — and each learned
+    merge ``(a, b)`` is one literal ``replace(s, ␟a␟␟b␟ → ␟ab␟)``.
+
+    Why DOUBLE separators: Java's replace is left-to-right non-overlapping
+    — a match consumes its whole pattern, so with single-SEP boundaries
+    (``␟a␟b␟`` → ``␟ab␟``) consecutive occurrences SHARE the boundary SEP
+    and every second adjacent occurrence is left unmerged ("abab" →
+    [ab, a, b, </w>] instead of the fold's [ab, ab, </w>]). With double
+    boundaries the pattern ``␟a␟␟b␟`` consumes ONE sep from each bracket
+    and the replacement ``␟ab␟`` restores one on each side, so the
+    double-boundary invariant is preserved through every merge and the
+    non-overlapping scan is exactly the greedy left-to-right adjacent-pair
+    merge of classic BPE — including ``a == b`` runs ("aaaaa" →
+    [aa, aa, a], same as the fold). Word gaps keep a third SEP (matches
+    never produce ``␟␟`` across a gap: a boundary match near a gap
+    consumes one of its three SEPs and restores it), so no merge pattern
+    can cross words. Token boundaries stay unambiguous because merged
+    symbols are concatenations of input chars and can never contain SEP
+    (input SEP bytes are stripped up front — the one contract this
+    encoding adds).
 
     Why it exists: `apply_bpe`'s k nested folds run on Catalyst's
     interpreted higher-order-function path, per word; this is ONE
@@ -199,7 +209,6 @@ def apply_bpe_replace(
     ANSI SQL (`replace` chains), so the encoding itself can sit under a
     cross-engine value-hash oracle, which a Python-UDF tokenizer cannot.
     """
-    eow_sym = (EOW + SEP) if append_eow else ""
     base = F.trim(
         F.regexp_replace(
             F.replace(F.lower(F.col(text_col)), F.lit(SEP), F.lit("")),
@@ -207,24 +216,26 @@ def apply_bpe_replace(
             " ",
         )
     )
-    # interleave: one SEP before every char (incl. the sentinel trailing
-    # space), one at the end — then rewrite each spacer char into the
-    # word-boundary form `</w>␟␟` (EOW symbol + double-SEP gap).
+    # bracket: one SEP on EACH side of every char (incl. the sentinel
+    # trailing space) — adjacent chars get a DOUBLE-SEP boundary — then
+    # rewrite each spacer char's own bracket `␟ ␟` into the word-gap form
+    # `␟</w>␟␟` (EOW symbol + one extra SEP, so the gap totals THREE SEPs
+    # against the neighbors' brackets).
     # (?s) matters: Java's '.' skips U+2028/U+2029/U+0085 (line
     # terminators Java \s does NOT collapse), which would glue them onto
     # the preceding symbol and split from both apply_bpe and the DuckDB
     # oracle (RE2's '.' DOES match them); dotall makes '.' total on both
     # engines.
-    stream = F.concat(
-        F.regexp_replace(F.concat(base, F.lit(" ")), "(?s)(.)", SEP + "$1"),
-        F.lit(SEP),
+    gap = (SEP + EOW + SEP + SEP) if append_eow else SEP
+    stream = F.regexp_replace(
+        F.concat(base, F.lit(" ")), "(?s)(.)", SEP + "$1" + SEP
     )
-    stream = F.replace(
-        stream, F.lit(SEP + " " + SEP), F.lit(SEP + eow_sym + SEP)
-    )
+    stream = F.replace(stream, F.lit(SEP + " " + SEP), F.lit(gap))
     for a, b in merges:
         stream = F.replace(
-            stream, F.lit(SEP + a + SEP + b + SEP), F.lit(SEP + a + b + SEP)
+            stream,
+            F.lit(SEP + a + SEP + SEP + b + SEP),
+            F.lit(SEP + a + b + SEP),
         )
     toks = F.filter(F.split(stream, SEP), lambda x: x != "")
     return docs.withColumn(

@@ -6266,17 +6266,25 @@ def _bpe_stream_sql() -> str:
     column named ``base``: the same sentinel-delimited replace chain,
     mirrored literally — DuckDB's replace() is the same left-to-right
     non-overlapping scan as Java's, so the greedy merge semantics match
-    byte-for-byte (regexp syntax differs: '\\1' + the 'g' flag vs '$1')."""
+    byte-for-byte (regexp syntax differs: '\\1' + the 'g' flag vs '$1').
+    Double-SEP boundaries / triple-SEP word gaps, exactly as in
+    operators/vocab.py:apply_bpe_replace — the single-SEP form was wrong
+    on adjacent merge-pair occurrences (the match consumed the shared
+    boundary SEP)."""
     from solana_etl_spark.operators.vocab import EOW, SEP
 
     # 'gs' (dotall) mirrors the Spark side's (?s): '.' total over every
     # char incl. \n and the U+2028/U+2029/U+0085 line terminators
     stream = (
-        f"regexp_replace(base || ' ', '(.)', chr(31) || '\\1', 'gs') || chr(31)"
+        "regexp_replace(base || ' ', '(.)',"
+        " chr(31) || '\\1' || chr(31), 'gs')"
     )
     stream = f"replace({stream}, '{SEP} {SEP}', '{SEP}{EOW}{SEP}{SEP}')"
     for a, b in _BPE_MERGES:
-        stream = f"replace({stream}, '{SEP}{a}{SEP}{b}{SEP}', '{SEP}{a}{b}{SEP}')"
+        stream = (
+            f"replace({stream}, '{SEP}{a}{SEP}{SEP}{b}{SEP}',"
+            f" '{SEP}{a}{b}{SEP}')"
+        )
     return stream
 
 

@@ -122,6 +122,12 @@ def test_apply_bpe_replace_matches_fold(spark):
         (103, "a"),
         (104, "a a a aa"),
         (105, "the\nlower\ttower  below"),
+        # adjacent merge-pair occurrences: the single-SEP replace encoding
+        # consumed the shared boundary SEP and left every second occurrence
+        # unmerged (reviewed bug) — these pin the double-SEP fix
+        (106, "erer ererer erererer"),
+        (107, "eee eeee eeeee eeeeee"),
+        (108, "rere ere eer"),
     ]
     docs = spark.createDataFrame(rows, "doc_id int, text string")
     merges = _ref_train(CORPUS, 10)
@@ -138,6 +144,34 @@ def test_apply_bpe_replace_matches_fold(spark):
         .collect()
     }
     assert fold == rep
+
+
+def test_apply_bpe_replace_adjacent_repeats(spark):
+    """Explicit pins for the non-overlapping-replace bug class: back-to-back
+    (a, b) occurrences ("abab") and a == b runs ("aaaaa") must merge exactly
+    like the greedy fold. With single-SEP boundaries the replace consumed
+    the SEP shared by consecutive occurrences ("abab" -> [ab, a, b, </w>]);
+    double-SEP boundaries restore one SEP per side so the scan is exactly
+    greedy left-to-right."""
+    from solana_etl_spark.operators.vocab import apply_bpe_replace
+
+    cases = [
+        (1, "abab", [("a", "b")], ["ab", "ab", EOW]),
+        (2, "ababab", [("a", "b")], ["ab", "ab", "ab", EOW]),
+        (3, "aaaa", [("a", "a")], ["aa", "aa", EOW]),
+        (4, "aaaaa", [("a", "a")], ["aa", "aa", "a", EOW]),
+        (5, "aaab abab", [("a", "a"), ("a", "b")], None),
+        (6, "abababa", [("a", "b"), ("ab", "ab")], None),
+    ]
+    for doc_id, text, merges, expect in cases:
+        docs = spark.createDataFrame([(doc_id, text)], "doc_id int, text string")
+        (fold_row,) = apply_bpe(docs, merges).select("bpe_tokens").collect()
+        (rep_row,) = (
+            apply_bpe_replace(docs, merges).select("bpe_tokens").collect()
+        )
+        assert rep_row[0] == fold_row[0], (text, merges)
+        if expect is not None:
+            assert rep_row[0] == expect, (text, merges)
 
 
 def test_apply_bpe_replace_strips_sep_byte(spark):
