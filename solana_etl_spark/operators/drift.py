@@ -107,19 +107,42 @@ def drift_report(
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     per_bin = h.select(
         "bin",
-        "n_ref",
-        "n_cur",
         psi_term.alias("_psi_term"),
         F.abs(
             F.sum(F.col("ref_cnt") / F.col("n_ref")).over(w)
             - F.sum(F.col("cur_cnt") / F.col("n_cur")).over(w)
         ).alias("_cdf_gap"),
     )
-    return per_bin.groupBy("n_ref", "n_cur").agg(
+    # global (group-less) aggregates are ALWAYS one row, even over an
+    # empty histogram — so the report row is built from `totals` × `stats`
+    # and the emptiness guard sits HERE, where it is guaranteed to be
+    # evaluated. The per-bin raise above covers the single-empty-slice
+    # case (bins from the non-empty side exist); when BOTH slices are
+    # empty the histogram has zero rows, no per-bin term ever runs, and
+    # without this row-level guard the query would silently return zero
+    # rows instead of failing the documented empty-slice contract.
+    stats = per_bin.agg(
         F.round(F.sum("_psi_term"), 6).alias("psi"),
         F.round(F.max("_cdf_gap"), 6).alias("ks_stat"),
-    ).select(
-        F.lit(feature).alias("feature"), "n_ref", "n_cur", "psi", "ks_stat"
+    )
+    nonempty = (F.coalesce(F.col("n_ref"), F.lit(0)) > 0) & (
+        F.coalesce(F.col("n_cur"), F.lit(0)) > 0
+    )
+    guard = F.when(nonempty, F.col("n_ref")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"drift_report: empty or all-NULL slice for '{feature}' "
+                "(n_ref/n_cur = 0) — refusing to score drift against "
+                "nothing"
+            )
+        ).cast("long")
+    )
+    return totals.crossJoin(stats).select(
+        F.lit(feature).alias("feature"),
+        guard.alias("n_ref"),
+        "n_cur",
+        "psi",
+        "ks_stat",
     )
 
 

@@ -119,7 +119,7 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from solana_etl_spark.operators.text import _ngram_expr
 
     big = docs.select(
-        "doc_id", F.explode(F.expr(_ngram_expr(2))).alias("bigram")
+        "doc_id", F.explode(F.expr(_ngram_expr(2, text_col))).alias("bigram")
     ).select(
         "doc_id",
         F.split("bigram", " ").getItem(0).alias("a"),

@@ -179,8 +179,11 @@ def pack_with_masks(
         )
     )
     # a conversation with no turn 0 (sparse ids after upstream filtering)
-    # has no group; drop it explicitly — matching the oracle's inner join
-    # on first turns — rather than emitting sequences under a NULL group
+    # OR whose turn-0 group value is NULL has no group; drop it explicitly
+    # rather than emitting sequences under a NULL group. The oracle's
+    # glang CTE applies the same two conditions (inner join on first
+    # turns + `grp IS NOT NULL`), keeping the engines aligned even when
+    # the group column is nullable.
     turns = turns.filter(F.col("grp").isNotNull())
     w_conv = Window.partitionBy("grp").orderBy("conv_id")
     conv_tot = (

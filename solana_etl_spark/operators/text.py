@@ -258,17 +258,23 @@ def word_ngrams(n: int = BOILERPLATE_N) -> Column:
     return F.array_distinct(F.expr(_ngram_expr(n)))
 
 
-_TOKS_EXPR = r"split(lower(trim(text)), '\\s+')"
+def _toks_expr(col: str = "text") -> str:
+    return rf"split(lower(trim({col})), '\\s+')"
 
 
-def _ngram_expr(n: int) -> str:
+_TOKS_EXPR = _toks_expr()
+
+
+def _ngram_expr(n: int, col: str = "text") -> str:
     """Positional word n-grams as a SQL expression; empty array for docs
     shorter than n (guarded — Spark's sequence(1, 0) is DESCENDING [1, 0],
-    not empty)."""
+    not empty). ``col`` is the text column the grams read (interpolated
+    into the expression — callers pass identifiers, not user input)."""
+    toks = _toks_expr(col)
     return (
-        f"CASE WHEN size({_TOKS_EXPR}) >= {n} THEN "
-        f"transform(sequence(1, size({_TOKS_EXPR}) - {n - 1}), "
-        f"i -> array_join(slice({_TOKS_EXPR}, i, {n}), ' ')) "
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
         "ELSE array() END"
     )
 

@@ -2526,8 +2526,12 @@ _SFT_PACK_BUDGET = 512
         FROM turns
     ),
     glang AS (
+        -- lang IS NOT NULL mirrors the Spark side's explicit NULL-group
+        -- filter (pack_with_masks drops conversations whose turn-0 group
+        -- value is NULL); without it a NULL lang would be its own group
+        -- here and a latent cross-engine mismatch
         SELECT doc_id // 4 AS conv_id, lang AS grp FROM documents
-        WHERE doc_id % 4 = 0
+        WHERE doc_id % 4 = 0 AND lang IS NOT NULL
     ),
     ctot AS (
         SELECT g.grp, t.conv_id, SUM(t.n_tokens) AS conv_tokens

@@ -73,3 +73,9 @@ def test_drift_report_empty_reference_fails_loudly(spark):
         drift_report(empty, docs, "n_chars").collect()
     with pytest.raises(SparkRuntimeException, match="refusing to score"):
         drift_report(docs, empty, "n_chars").collect()
+    # BOTH slices empty: the histogram has zero rows, so no per-bin guard
+    # term ever evaluates — the row-level guard on the always-one-row
+    # totals aggregate must fire instead of silently returning zero rows
+    # (reviewed bug)
+    with pytest.raises(SparkRuntimeException, match="refusing to score"):
+        drift_report(empty, empty, "n_chars").collect()

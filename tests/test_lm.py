@@ -94,3 +94,24 @@ def test_bigram_lm_penalizes_word_salad(spark):
     # fluent docs share high-count transitions; the salad's are rarer
     assert out[0].avg_logprob > out[3].avg_logprob
     assert out[0].n_transitions == 29
+
+
+def test_bigram_lm_respects_text_col(spark):
+    """text_col must drive BOTH the bigram stream and the vocab count
+    (reviewed bug: the bigram n-gram expression hardcoded `text`, so a
+    non-default text_col scored transitions from the wrong column)."""
+    from solana_etl_spark.operators.lm import bigram_lm_scores
+
+    fluent = "the cat sat on the mat " * 5
+    df = spark.createDataFrame(
+        [(0, fluent), (1, fluent)], ["doc_id", "body"]
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df, "body").collect()}
+    assert out[0].n_transitions == 29
+    renamed = {
+        r.doc_id: r
+        for r in bigram_lm_scores(
+            df.withColumnRenamed("body", "text")
+        ).collect()
+    }
+    assert out[0] == renamed[0]

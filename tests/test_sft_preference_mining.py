@@ -95,6 +95,23 @@ def test_pack_with_masks_hand_computed(docs_df):
     assert all(r.loss_tokens <= r.seq_tokens for r in out.values())
 
 
+def test_pack_with_masks_drops_null_group(docs_df, spark):
+    """A conversation whose turn-0 group value is NULL is dropped, never
+    packed under a NULL group — the oracle's glang CTE filters the same
+    way (`grp IS NOT NULL`), so both engines agree on nullable groups."""
+    from solana_etl_spark.operators.sft import conversations, pack_with_masks
+
+    null_lang = spark.createDataFrame(
+        [(8, "x y", None, "s9", 3), (9, "z", None, "s9", 1)],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    mixed = docs_df.unionByName(null_lang)
+    out = pack_with_masks(conversations(mixed), budget=6).collect()
+    assert all(r.lang is not None for r in out)
+    # the en stream is untouched by the dropped NULL-group conversation
+    assert sum(r.seq_tokens for r in out) == 14
+
+
 def test_preference_pairs_extremes_and_ties(spark):
     from solana_etl_spark.operators.preference import preference_pairs
 
