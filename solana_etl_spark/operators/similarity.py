@@ -258,29 +258,62 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+TRAIN_CAP = 100_000  # default k-means training-set bound (vectors)
+
+
+def bounded_training(
+    stream: DataFrame, count_src: DataFrame, train_cap: int
+) -> DataFrame:
+    """Bound a k-means training scan to ~``train_cap`` vectors: keep rows
+    whose vec_id hashes into the first ceil(10000·cap/n) of the 10000
+    sample buckets, where n is the IN-PLAN row count of ``count_src`` (a
+    broadcast 1-row cross join — no driver action, no collect). Exact
+    integer arithmetic (ceil-div), so the kept set is deterministic,
+    retry-stable, and the DuckDB oracles mirror the predicate verbatim.
+    While n ≤ cap the predicate is vacuously true (keep_bp = 10000) and
+    training sees the whole input — which is why the small-sf oracle
+    values are unchanged by the bounded default."""
+    from solana_etl_spark.operators.sampling import sample_bucket
+
+    n = count_src.agg(F.count(F.lit(1)).alias("_n"))
+    keep_bp = F.expr(
+        f"least(cast(10000 as bigint), "
+        f"(cast({10000 * train_cap} as bigint) + _n - 1) div _n)"
+    )
+    return (
+        stream.crossJoin(F.broadcast(n))
+        .filter(sample_bucket(F.col("vec_id")) < keep_bp)
+        .drop("_n")
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = IVF_K,
     iters: int = IVF_ITERS,
     train_bp: int = 10000,
+    train_cap: int | None = TRAIN_CAP,
 ) -> DataFrame:
     """(cid, cvec): centroids after ``iters`` exact-integer Lloyd rounds.
 
     Init = the k vectors with the smallest (hash64(vec_id), vec_id) — a
-    deterministic pseudo-random draw. Update = per-dimension truncating
-    integer mean, computed as (s − s % n) / n so Spark's `div` and DuckDB
-    agree on negative sums. Empty clusters keep their previous centroid
-    (never arises with hash-drawn init on this data, but defined behavior).
+    deterministic pseudo-random draw, computed as orderBy+limit
+    (TakeOrderedAndProject: per-partition top-k, no global sort) with the
+    cid ranking as a row_number over just those k rows. Update =
+    per-dimension truncating integer mean, computed as (s − s % n) / n so
+    Spark's `div` and DuckDB agree on negative sums. Empty clusters keep
+    their previous centroid (never arises with hash-drawn init on this
+    data, but defined behavior).
 
-    ``train_bp`` bounds the TRAINING scan: Lloyd rounds run on the
-    deterministic hash-sample keeping vectors whose vec_id hashes into the
-    first ``train_bp``/10000 buckets (``sampling.hash_sample``'s predicate —
-    stateless, retry-stable, oracle-mirrorable). Centroid quality needs
-    ~10⁴–10⁶ vectors, not the corpus, so at 100 TB you train at a few bp
-    and only ASSIGNMENT touches every row (one broadcast-join scan,
-    handled by the callers). Each Lloyd round = one narrow shuffle keyed
-    by (cid, dim) for the partial per-dimension sums — exchange count per
-    round is unchanged by sampling; only the scan width shrinks.
+    Training is BOUNDED BY DEFAULT: unless ``train_bp`` < 10000 requests
+    an explicit hash-sample rate, ``train_cap`` (default 10⁵ vectors)
+    bounds the Lloyd scan via :func:`bounded_training` — centroid quality
+    needs ~10⁴–10⁶ vectors, not the corpus, so at 100 TB training is
+    sample-scale by default and only ASSIGNMENT touches every row (one
+    broadcast-join scan, handled by the callers). Each Lloyd round = one
+    narrow shuffle keyed by (cid, dim) for the partial per-dimension sums
+    — exchange count per round is unchanged by sampling; only the scan
+    width shrinks. ``train_cap=None`` restores full-corpus training.
     """
     from solana_etl_spark.functions.hashing import hash64
     from solana_etl_spark.operators.sampling import sample_bucket
@@ -288,10 +321,21 @@ def kmeans_centroids(
     vecs = quantized(embeddings)
     if train_bp < 10000:
         vecs = vecs.filter(sample_bucket(F.col("vec_id")) < train_bp)
-    w = Window.orderBy(hash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+    elif train_cap is not None:
+        vecs = bounded_training(vecs, vecs, train_cap)
+    sel = (
+        vecs.select(
+            hash64(F.col("vec_id").cast("string")).alias("_h"),
+            "vec_id",
+            "qvec",
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+    )
     centroids = (
-        vecs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        sel.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("_h", "vec_id"))
+        )
         .select((F.col("_rn") - 1).alias("cid"), F.col("qvec").alias("cvec"))
     )
     for _ in range(iters):
@@ -333,13 +377,15 @@ def ivf_assignments(
     k: int = IVF_K,
     iters: int = IVF_ITERS,
     train_bp: int = 10000,
+    train_cap: int | None = TRAIN_CAP,
 ) -> DataFrame:
     """The IVF index: (vec_id, cid, dist) — every vector's inverted-list
     assignment under the learned centroids. All-integer output → value-exact
-    oracle for the entire k-means. ``train_bp`` < 10000 trains the
-    centroids on the hash-sampled subset while still assigning EVERY
-    vector (the 100 TB shape: bounded training scan, full assignment)."""
-    centroids = kmeans_centroids(embeddings, k, iters, train_bp)
+    oracle for the entire k-means. Training is capped at ``train_cap``
+    vectors by default (``train_bp`` < 10000 requests an explicit sample
+    rate instead) while still assigning EVERY vector — the 100 TB shape:
+    bounded training scan, full assignment."""
+    centroids = kmeans_centroids(embeddings, k, iters, train_bp, train_cap)
     return ivf_assign_with(quantized(embeddings), centroids)
 
 

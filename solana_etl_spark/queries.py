@@ -2598,11 +2598,37 @@ def pipeline_sft_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_cte(k: int, iters: int, dim: int, scale: int, train_bp: int = 10000) -> str:
+def _train_cap_where(count_from: str, train_cap: int) -> str:
+    """The bounded-training predicate mirroring
+    operators/similarity.py:bounded_training — keep vec_ids hashing into
+    the first ceil(10000·cap/n) sample buckets, n = ``count_from``'s row
+    count (a scalar subquery; exact integer ceil-div, so both engines
+    keep the identical set). Pass-all while n ≤ cap, which is why the
+    small-sf oracle values are unchanged by the bounded default."""
+    h = hash64_sql("CAST(vec_id AS VARCHAR)")
+    return (
+        f"WHERE {h} % 10000 < LEAST(10000, "
+        f"(10000 * CAST({train_cap} AS BIGINT) + ({count_from}) - 1) "
+        f"// ({count_from}))"
+    )
+
+
+def _ivf_cte(
+    k: int,
+    iters: int,
+    dim: int,
+    scale: int,
+    train_bp: int = 10000,
+    train_cap: int | None = None,
+) -> str:
     """qvecs / unrolled-Lloyd centroid CTEs mirroring operators/similarity.py
     kmeans_centroids — exact integer math, so value-identical by design.
     ``train_bp`` < 10000 trains on the vec_id hash-sample (tvecs), matching
-    the Spark side's bounded-training-scan path."""
+    the Spark side's explicit-rate path; otherwise ``train_cap`` (pass
+    similarity.TRAIN_CAP to mirror the Spark default) applies the
+    bounded-training predicate."""
+    if train_cap is None:
+        train_cap = similarity.TRAIN_CAP
     dist = (
         "list_sum([ (v.qvec[i] - c.cvec[i]) * (v.qvec[i] - c.cvec[i]) "
         f"for i in generate_series(1, {dim}) ])"
@@ -2610,7 +2636,7 @@ def _ivf_cte(k: int, iters: int, dim: int, scale: int, train_bp: int = 10000) ->
     train_where = (
         f"WHERE {hash64_sql('CAST(vec_id AS VARCHAR)')} % 10000 < {train_bp}"
         if train_bp < 10000
-        else ""
+        else _train_cap_where("SELECT COUNT(*) FROM qvecs", train_cap)
     )
     parts = [
         f"""qvecs AS MATERIALIZED (
@@ -4645,11 +4671,23 @@ def a20_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(docs, "n_chars")
 
 
-def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int, with_qvecs: bool = True) -> str:
+def _pq_cte(
+    m: int,
+    subdim: int,
+    k: int,
+    iters: int,
+    scale: int,
+    with_qvecs: bool = True,
+    train_cap: int | None = None,
+) -> str:
     """Subspace-keyed unrolled-Lloyd CTEs mirroring operators/pq.py — the
     same exact integer math as _ivf_cte, keyed by (sub, cid). with_qvecs=False
     omits the qvecs CTE (for composition with _ivf_cte, which defines the
-    identical one)."""
+    identical one). ``train_cap`` mirrors train_codebooks' bounded-training
+    default (counting distinct vectors as the sub-0 rows): init and Lloyd
+    rounds read the capped ``tsubs``; code assignment reads full ``subs``."""
+    if train_cap is None:
+        train_cap = similarity.TRAIN_CAP
     dist = (
         "list_sum([ (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]) "
         f"for i in generate_series(1, {subdim}) ])"
@@ -4668,11 +4706,15 @@ def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int, with_qvecs: boo
                list_slice(qvec, s * {subdim} + 1, (s + 1) * {subdim}) AS svec
         FROM qvecs, generate_series(0, {m - 1}) AS g(s)
     ),
+    tsubs AS MATERIALIZED (
+        SELECT vec_id, sub, svec FROM subs
+        {_train_cap_where("SELECT COUNT(*) FROM subs WHERE sub = 0", train_cap)}
+    ),
     cb0 AS (
         SELECT sub,
                row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) - 1 AS cid,
                svec AS cvec
-        FROM subs
+        FROM tsubs
         QUALIFY row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) <= {k}
     )"""
     ]
@@ -4683,7 +4725,7 @@ def _pq_cte(m: int, subdim: int, k: int, iters: int, scale: int, with_qvecs: boo
                    row_number() OVER (
                        PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.cid
                    ) AS rn
-            FROM subs v JOIN cb{it} c USING (sub)
+            FROM tsubs v JOIN cb{it} c USING (sub)
         ) WHERE rn = 1
     ),
     pu{it} AS (
@@ -4945,7 +4987,7 @@ def _ivfpq_residual_oracle(
                    row_number() OVER (
                        PARTITION BY v.vec_id, v.sub ORDER BY {sdist}, c.cid
                    ) AS rn
-            FROM rsubs v JOIN rcb{it} c USING (sub)
+            FROM trsubs v JOIN rcb{it} c USING (sub)
         ) WHERE rn = 1
     ),
     rpu{it} AS (
@@ -4985,11 +5027,16 @@ def _ivfpq_residual_oracle(
                list_slice(rvec, s * {subdim} + 1, (s + 1) * {subdim}) AS svec
         FROM resid, generate_series(0, {m - 1}) AS g(s)
     ),
+    trsubs AS MATERIALIZED (
+        SELECT vec_id, sub, svec FROM rsubs
+        {_train_cap_where("SELECT COUNT(*) FROM rsubs WHERE sub = 0",
+                          similarity.TRAIN_CAP)}
+    ),
     rcb0 AS (
         SELECT sub,
                row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) - 1 AS cid,
                svec AS cvec
-        FROM rsubs
+        FROM trsubs
         QUALIFY row_number() OVER (PARTITION BY sub ORDER BY {h}, vec_id) <= {pk}
     ),
     {rounds_sql},

@@ -204,3 +204,51 @@ def test_parquet_aggregate_pushdown_fires(spark):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+def test_kmeans_init_is_take_ordered_not_global_window(spark):
+    """Centroid init must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a row_number window over the full
+    training set (a single-partition sort at 100 TB). The one allowed
+    Window ranks only the k limited rows. Applies to both the IVF k-means
+    and the PQ codebook Lloyd loops."""
+    import re
+
+    from solana_etl_spark.operators.pq import pq_codebooks
+    from solana_etl_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        kmeans_centroids(emb, iters=0),
+        pq_codebooks(emb, iters=0),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrdered" in plan
+        # any Window must sit ABOVE the TakeOrdered (ranking the k rows),
+        # never below it (ranking the corpus)
+        win = plan.find("Window")
+        take = plan.find("TakeOrdered")
+        assert len(re.findall(r"\bWindow\b", plan)) <= 1
+        if win != -1:
+            assert win < take  # physical plans print top-down
+
+
+def test_kmeans_training_is_bounded_by_default(spark):
+    """The default training path must include the bounded-training
+    predicate (sample_bucket < ceil-div cap) so a 100 TB corpus never does
+    corpus-scale Lloyd work; at fixture scale the predicate is pass-all so
+    centroids are unchanged vs full training."""
+    from solana_etl_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    capped = {
+        (r.cid, tuple(r.cvec)) for r in kmeans_centroids(emb).collect()
+    }
+    full = {
+        (r.cid, tuple(r.cvec))
+        for r in kmeans_centroids(emb, train_cap=None).collect()
+    }
+    assert capped == full
+    # a cap below the corpus size genuinely shrinks the training set
+    small = kmeans_centroids(emb, train_cap=100).collect()
+    assert len(small) > 0 and {r.cid for r in small} == set(range(len(small)))
