@@ -33,12 +33,14 @@ def pack_sequences(
     group_cols: tuple[str, ...] = ("lang",),
     order_col: str = "doc_id",
     n_tokens: Column | None = None,
+    shards_per_group: int = 1,
 ) -> DataFrame:
     """One row per (document, packed sequence) it occupies.
 
-    Columns: group cols, ``doc_id``, ``n_tokens``, ``seq_id`` (0-based per
-    group), ``seq_offset`` (token offset of this doc's slice within the
-    sequence), ``tokens_in_seq`` (how many of the doc's tokens land in this
+    Columns: group cols, [``shard``,] ``doc_id``, ``n_tokens``, ``seq_id``
+    (0-based per group — per (group, shard) when sharded), ``seq_offset``
+    (token offset of this doc's slice within the sequence),
+    ``tokens_in_seq`` (how many of the doc's tokens land in this
     sequence). A document longer than ``budget`` spans multiple sequences;
     Σ tokens_in_seq == n_tokens.
 
@@ -46,20 +48,47 @@ def pack_sequences(
     e.g. ``F.size(...)`` over a real tokenizer's output
     (vocab.apply_bpe_replace) instead of the default whitespace/BPE-ish
     regex count; the packing accounting is tokenizer-agnostic.
+
+    ``shards_per_group`` > 1 is the 100 TB skew valve: the running-total
+    window serializes each pack group through ONE reducer, so a dominant
+    group (lang='en' is ~90% of a web corpus) bounds the job. Sharding
+    hashes each document into one of N (group, shard) streams
+    (deterministic hash64 of the order key — retry-stable,
+    oracle-mirrorable) and packs each stream independently; sequences are
+    then identified by (group, shard, seq_id) and window state shrinks to
+    ~group/N. Training-sequence semantics are unchanged — concat-and-chunk
+    never promised a global document order, only a deterministic one, and
+    (group, shard, seq_id) is exactly as deterministic as (group, seq_id).
     """
-    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    from solana_etl_spark.functions.hashing import hash64
+
     n_tok = F.size(tokens(F.col("text"))) if n_tokens is None else n_tokens
-    with_cum = documents.select(
+    sel = documents.select(
         *group_cols,
         order_col,
         n_tok.alias("n_tokens"),
-    ).withColumn("_end", F.sum("n_tokens").over(w))
+    )
+    part_cols = list(group_cols)
+    shard_cols: list[str] = []
+    if shards_per_group > 1:
+        sel = sel.withColumn(
+            "shard",
+            F.pmod(
+                hash64(F.col(order_col).cast("string")),
+                F.lit(shards_per_group),
+            ).cast("int"),
+        )
+        part_cols.append("shard")
+        shard_cols = ["shard"]
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    with_cum = sel.withColumn("_end", F.sum("n_tokens").over(w))
     with_cum = with_cum.withColumn("_start", F.col("_end") - F.col("n_tokens"))
 
     first_seq = F.floor(F.col("_start") / budget)
     last_seq = F.floor((F.col("_end") - 1) / budget)
     exploded = with_cum.filter(F.col("n_tokens") > 0).select(
         *group_cols,
+        *shard_cols,
         order_col,
         "n_tokens",
         "_start",
@@ -73,6 +102,7 @@ def pack_sequences(
     slice_end = F.least(F.col("_end"), seq_end)
     return exploded.select(
         *group_cols,
+        *shard_cols,
         order_col,
         "n_tokens",
         "seq_id",

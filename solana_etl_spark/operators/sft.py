@@ -149,13 +149,14 @@ def pack_with_masks(
     budget: int,
     group_col: str = "lang",
     n_tokens: Column | None = None,
+    shards_per_group: int = 1,
 ) -> DataFrame:
     """Per packed sequence, the loss-mask accounting AFTER packing:
-    ``(group, seq_id, seq_tokens, loss_tokens, loss_ratio)`` — how many of
-    each fixed-budget training sequence's tokens actually carry loss once
-    conversations are laid end-to-end. The number a fine-tuning run's
-    effective-batch-size math needs; masks must survive packing, and this
-    is the operator that proves they do.
+    ``(group, [shard,] seq_id, seq_tokens, loss_tokens, loss_ratio)`` —
+    how many of each fixed-budget training sequence's tokens actually
+    carry loss once conversations are laid end-to-end. The number a
+    fine-tuning run's effective-batch-size math needs; masks must survive
+    packing, and this is the operator that proves they do.
 
     Construction: conversations group by their FIRST turn's ``group_col``
     (deterministic — turn 0 always exists) and are laid out in conv_id
@@ -163,7 +164,16 @@ def pack_with_masks(
     conversation-offset cumsum per group, and the final (group, seq)
     aggregate. Assistant spans are shifted to absolute stream offsets and
     exploded only over the sequences they overlap — per-row work is
-    O(spanned sequences), never O(stream length)."""
+    O(spanned sequences), never O(stream length).
+
+    ``shards_per_group`` > 1 is the 100 TB skew valve (same contract as
+    :func:`packing.pack_sequences`): the conversation-offset cumsum
+    serializes each group through one reducer, so a dominant group is the
+    job's bound. Sharding hashes each conversation into one of N
+    (group, shard) streams (deterministic hash64 of conv_id) and packs
+    each independently — sequences become (group, shard, seq_id) and
+    window state shrinks to ~group/N. Mask accounting is untouched:
+    spans land in their own conversation's stream by construction."""
     n_tok = _n_tokens(n_tokens)
     w_turn = Window.partitionBy("conv_id").orderBy("turn_idx")
     turns = conv.select(
@@ -185,9 +195,23 @@ def pack_with_masks(
     # turns + `grp IS NOT NULL`), keeping the engines aligned even when
     # the group column is nullable.
     turns = turns.filter(F.col("grp").isNotNull())
-    w_conv = Window.partitionBy("grp").orderBy("conv_id")
+    if shards_per_group > 1:
+        from solana_etl_spark.functions.hashing import hash64
+
+        turns = turns.withColumn(
+            "_shard",
+            F.pmod(
+                hash64(F.col("conv_id").cast("string")),
+                F.lit(shards_per_group),
+            ).cast("int"),
+        )
+        out_shard = [F.col("_shard").alias("shard")]
+    else:
+        turns = turns.withColumn("_shard", F.lit(0))
+        out_shard = []
+    w_conv = Window.partitionBy("grp", "_shard").orderBy("conv_id")
     conv_tot = (
-        turns.groupBy("grp", "conv_id")
+        turns.groupBy("grp", "_shard", "conv_id")
         .agg(F.sum("n_tokens").alias("conv_tokens"))
         .withColumn("conv_end", F.sum("conv_tokens").over(w_conv))
         .withColumn("conv_start", F.col("conv_end") - F.col("conv_tokens"))
@@ -199,12 +223,14 @@ def pack_with_masks(
     abs_end = F.col("conv_start") + F.col("turn_end")
     spans = spans.select(
         "grp",
+        "_shard",
         abs_start.alias("s"),
         abs_end.alias("e"),
     ).filter(F.col("e") > F.col("s"))
     # explode each span over only the sequences it overlaps
     seqs = spans.select(
         "grp",
+        "_shard",
         "s",
         "e",
         F.explode(
@@ -217,13 +243,16 @@ def pack_with_masks(
     overlap = F.least(F.col("e"), (F.col("seq_id") + 1) * budget) - F.greatest(
         F.col("s"), F.col("seq_id") * budget
     )
-    loss = seqs.groupBy("grp", "seq_id").agg(
+    loss = seqs.groupBy("grp", "_shard", "seq_id").agg(
         F.sum(overlap).alias("loss_tokens")
     )
-    # every sequence the group stream occupies (also those with zero loss)
-    group_tot = conv_tot.groupBy("grp").agg(F.max("conv_end").alias("total"))
+    # every sequence the stream occupies (also those with zero loss)
+    group_tot = conv_tot.groupBy("grp", "_shard").agg(
+        F.max("conv_end").alias("total")
+    )
     all_seqs = group_tot.filter(F.col("total") > 0).select(
         "grp",
+        "_shard",
         "total",
         F.explode(
             F.sequence(
@@ -232,6 +261,7 @@ def pack_with_masks(
         ).alias("seq_id"),
     ).select(
         "grp",
+        "_shard",
         "seq_id",
         F.least(
             F.lit(budget).cast("long"),
@@ -239,9 +269,10 @@ def pack_with_masks(
         ).alias("seq_tokens"),
     )
     return (
-        all_seqs.join(loss, ["grp", "seq_id"], "left")
+        all_seqs.join(loss, ["grp", "_shard", "seq_id"], "left")
         .select(
             F.col("grp").alias(group_col),
+            *out_shard,
             "seq_id",
             "seq_tokens",
             F.coalesce("loss_tokens", F.lit(0)).alias("loss_tokens"),

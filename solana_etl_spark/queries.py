@@ -2598,6 +2598,165 @@ def pipeline_sft_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDS = 4
+
+
+@_register(
+    "pack_sharded_sequences",
+    # two-level packing: hash docs into (lang, shard) streams, cumsum and
+    # chunk per stream — the skew valve that keeps a dominant group from
+    # serializing through one reducer; the oracle applies the same hash
+    f"""
+    WITH toks AS (
+        SELECT lang,
+               CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+                    AS INT) AS shard,
+               doc_id, len({_TOKENS_SQL}) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS e
+        FROM toks
+    ),
+    ex AS (
+        SELECT lang, shard, doc_id, n_tokens, e - n_tokens AS s, e,
+               unnest(generate_series(
+                   CAST((e - n_tokens) // {_SFT_PACK_BUDGET} AS BIGINT),
+                   CAST((e - 1) // {_SFT_PACK_BUDGET} AS BIGINT))) AS seq_id
+        FROM cum WHERE n_tokens > 0
+    )
+    SELECT lang, shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, seq_id,
+           CAST(greatest(s, seq_id * {_SFT_PACK_BUDGET})
+                - seq_id * {_SFT_PACK_BUDGET} AS BIGINT) AS seq_offset,
+           CAST(least(e, (seq_id + 1) * {_SFT_PACK_BUDGET})
+                - greatest(s, seq_id * {_SFT_PACK_BUDGET}) AS BIGINT)
+               AS tokens_in_seq
+    FROM ex
+    """,
+    local_only=True,
+)
+def pack_sharded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sharded packing (operators/packing.py pack_sequences with
+    shards_per_group): the running-total window otherwise serializes each
+    pack group through ONE reducer, so a dominant group (lang='en' is ~90%
+    of a web corpus) bounds the whole job at 100 TB. Documents hash into
+    (lang, shard) streams and pack independently; sequences are
+    (lang, shard, seq_id) and window state shrinks to ~group/shards.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        budget=_SFT_PACK_BUDGET,
+        group_cols=("lang",),
+        order_col="doc_id",
+        shards_per_group=_PACK_SHARDS,
+    )
+    return packed.select(
+        "lang",
+        "shard",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+        "tokens_in_seq",
+    )
+
+
+@_register(
+    "sft_pack_sharded",
+    # pipeline_sft_e2e's mask-survives-packing accounting, per
+    # (group, shard) stream: conversations hash into shards, offsets and
+    # loss spans are shard-relative — the same oracle CTE chain with the
+    # shard key carried through every window and aggregate
+    f"""
+    WITH {_SFT_TURNS_CTE},
+    t2 AS (
+        SELECT conv_id, turn_idx, role, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS turn_end
+        FROM turns
+    ),
+    glang AS (
+        SELECT doc_id // 4 AS conv_id, lang AS grp,
+               CAST({hash64_sql("CAST(doc_id // 4 AS VARCHAR)")}
+                    % {_PACK_SHARDS} AS INT) AS shard
+        FROM documents
+        WHERE doc_id % 4 = 0 AND lang IS NOT NULL
+    ),
+    ctot AS (
+        SELECT g.grp, g.shard, t.conv_id, SUM(t.n_tokens) AS conv_tokens
+        FROM t2 t JOIN glang g USING (conv_id)
+        GROUP BY g.grp, g.shard, t.conv_id
+    ),
+    coff AS (
+        SELECT grp, shard, conv_id, conv_tokens,
+               SUM(conv_tokens) OVER (PARTITION BY grp, shard
+                                      ORDER BY conv_id) AS conv_end
+        FROM ctot
+    ),
+    spans AS (
+        SELECT c.grp, c.shard,
+               c.conv_end - c.conv_tokens + t.turn_end - t.n_tokens AS s,
+               c.conv_end - c.conv_tokens + t.turn_end AS e
+        FROM t2 t JOIN coff c USING (conv_id)
+        WHERE t.role = 'assistant' AND t.n_tokens > 0
+    ),
+    seqs AS (
+        SELECT grp, shard, s, e,
+               unnest(generate_series(
+                   CAST(s // {_SFT_PACK_BUDGET} AS BIGINT),
+                   CAST((e - 1) // {_SFT_PACK_BUDGET} AS BIGINT))) AS seq_id
+        FROM spans
+    ),
+    loss AS (
+        SELECT grp, shard, seq_id,
+               SUM(least(e, (seq_id + 1) * {_SFT_PACK_BUDGET})
+                   - greatest(s, seq_id * {_SFT_PACK_BUDGET})) AS loss_tokens
+        FROM seqs GROUP BY grp, shard, seq_id
+    ),
+    gtot AS (
+        SELECT grp, shard, MAX(conv_end) AS total
+        FROM coff GROUP BY grp, shard
+    ),
+    allseq AS (
+        SELECT grp, shard, total,
+               unnest(generate_series(
+                   CAST(0 AS BIGINT),
+                   CAST((total - 1) // {_SFT_PACK_BUDGET} AS BIGINT)))
+                   AS seq_id
+        FROM gtot WHERE total > 0
+    )
+    SELECT a.grp AS lang, a.shard, CAST(a.seq_id AS BIGINT) AS seq_id,
+           CAST(least({_SFT_PACK_BUDGET}, a.total - a.seq_id * {_SFT_PACK_BUDGET})
+                AS BIGINT) AS seq_tokens,
+           CAST(coalesce(l.loss_tokens, 0) AS BIGINT) AS loss_tokens,
+           ROUND(CAST(coalesce(l.loss_tokens, 0) AS DOUBLE)
+                 / CAST(least({_SFT_PACK_BUDGET},
+                              a.total - a.seq_id * {_SFT_PACK_BUDGET})
+                        AS DOUBLE), 9) AS loss_ratio
+    FROM allseq a LEFT JOIN loss l
+      ON a.grp = l.grp AND a.shard = l.shard AND a.seq_id = l.seq_id
+    """,
+    local_only=True,
+)
+def sft_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_sft_e2e with the 100 TB skew valve engaged
+    (operators/sft.py pack_with_masks, shards_per_group): conversations
+    hash into (lang, shard) streams, each packed and mask-accounted
+    independently, so the conversation-offset cumsum never funnels a
+    dominant language through one reducer. local_only: driver cap."""
+    from solana_etl_spark.operators.sft import conversations, pack_with_masks
+
+    return pack_with_masks(
+        conversations(_t(spark, sf_dir, "documents")),
+        budget=_SFT_PACK_BUDGET,
+        shards_per_group=_PACK_SHARDS,
+    )
+
+
 def _train_cap_where(count_from: str, train_cap: int) -> str:
     """The bounded-training predicate mirroring
     operators/similarity.py:bounded_training — keep vec_ids hashing into

@@ -323,3 +323,155 @@ def ensure_e2e_corpus(root: str | None = None, n_blocks: int = N_BLOCKS) -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Synthetic documents/embeddings tables ABOVE the driver's largest fixture —
+# the sf1 scaling decade for the heavy dedup/similarity/pipeline family.
+# Same schema and value distributions as /root/testdata/sf*/: 31-word vocab
+# documents (10-100 words, 5 langs, 20 sources) and unit-norm float32[64]
+# embeddings with 10 labels. Duplicate structure is EXPLICIT and linear by
+# construction (each original spawns at most one exact copy and one near-dup
+# variant), so pair-emitting queries' output grows ~linearly with rows and a
+# measured time exponent isolates PLAN growth from fixture-dependent output
+# growth. Seeded per row — byte-stable across regenerations, like the block
+# corpus above.
+# ---------------------------------------------------------------------------
+
+TABLES_VERSION = 2
+
+# The driver fixture's 31-word vocabulary, extended to 1000 Zipf-weighted
+# words. The 31-word fixture makes EVERY pair of random docs a near-dup at
+# minhash/simhash/jaccard thresholds (pair sets grow quadratically with
+# rows — measured: 100x pairs for 10x docs), which measures the fixture,
+# not the plan. With 1000 words under a Zipf draw, random docs share only
+# the head of the distribution and the near-dup pairs are (almost) only
+# the constructed ones — linear in rows — so a time exponent over these
+# tables isolates PLAN growth.
+_DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+] + [f"w{i:03d}" for i in range(969)]
+_DOC_WEIGHTS = [1.0 / (r + 1) for r in range(len(_DOC_VOCAB))]
+_DOC_LANGS = ["en"] * 8 + ["zh", "zh", "es", "es", "fr", "fr", "de", "de"]
+_N_SOURCES = 20
+_EMB_DIM = 64
+_EMB_LABELS = 10
+
+
+def _doc_text(rng: random.Random) -> str:
+    n = rng.randint(10, 100)
+    return " ".join(rng.choices(_DOC_VOCAB, weights=_DOC_WEIGHTS, k=n))
+
+
+def _perturb_text(rng: random.Random, text: str) -> str:
+    """Near-dup variant: swap 1-2 word positions for fresh vocab draws."""
+    words = text.split(" ")
+    for _ in range(rng.randint(1, 2)):
+        words[rng.randrange(len(words))] = rng.choice(_DOC_VOCAB)
+    return " ".join(words)
+
+
+def _synth_documents(n_docs: int):
+    rows = []
+    for doc_id in range(n_docs):
+        rng = random.Random(f"doc-{TABLES_VERSION}-{doc_id}")
+        if doc_id % 100 == 99 and rows:
+            text = rows[-1][1]  # exact duplicate of the previous doc
+        elif doc_id % 25 == 24 and rows:
+            text = _perturb_text(rng, rows[-1][1])  # near-dup variant
+        else:
+            text = _doc_text(rng)
+        rows.append(
+            (
+                doc_id,
+                text,
+                rng.choice(_DOC_LANGS),
+                f"src{rng.randrange(_N_SOURCES)}",
+                len(text),
+            )
+        )
+    return rows
+
+
+def _synth_embeddings(n_vecs: int):
+    import math
+
+    rows = []
+    prev = None
+    for vec_id in range(n_vecs):
+        rng = random.Random(f"emb-{TABLES_VERSION}-{vec_id}")
+        label = rng.randrange(_EMB_LABELS)
+        if vec_id % 50 == 49 and prev is not None:
+            vec = [v + rng.gauss(0.0, 0.01) for v in prev]  # near-dup
+        else:
+            vec = [rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)]
+            # mild label-aligned bias so k-means/recall have structure
+            vec[label % _EMB_DIM] += 1.0
+        norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+        vec = [v / norm for v in vec]
+        rows.append((vec_id, vec, label))
+        prev = vec
+    return rows
+
+
+def _tables_root() -> str:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, ".synth_tables")
+
+
+def ensure_sf_tables(
+    n_docs: int, n_vecs: int, root: str | None = None
+) -> str:
+    """Generate documents.parquet + embeddings.parquet with ``n_docs`` /
+    ``n_vecs`` rows (driver-fixture schemas) if absent; atomic + idempotent
+    like :func:`ensure_e2e_corpus`. Returns the directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = root or _tables_root()
+    out = os.path.join(root, f"v{TABLES_VERSION}_d{n_docs}_e{n_vecs}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+
+    docs = _synth_documents(n_docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "documents.parquet"),
+    )
+    embs = _synth_embeddings(n_vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in embs], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in embs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in embs], pa.int32()),
+            }
+        ),
+        os.path.join(tmp, "embeddings.parquet"),
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

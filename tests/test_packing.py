@@ -134,3 +134,72 @@ def test_pack_efficiency_arithmetic(spark):
     assert (out[("en", 4)].n_sequences, out[("en", 4)].waste) == (2, 3)
     # fr: 1 token → 1 seq either way
     assert out[("fr", 2)].padded_capacity == 2 and out[("fr", 2)].waste == 1
+
+
+def test_pack_sequences_sharded_balance_and_conservation(spark):
+    """shards_per_group must (a) conserve every token — per-shard packing
+    is a partition of the group's documents, so Σ tokens_in_seq equals the
+    unsharded total — and (b) actually split the window partitions: every
+    (group, shard) stream far smaller than its group (the dominant-group
+    reducer bound the knob exists for)."""
+    from solana_etl_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plain = pack_sequences(docs, budget=512)
+    sharded = pack_sequences(docs, budget=512, shards_per_group=4)
+    assert "shard" in sharded.columns and "shard" not in plain.columns
+
+    from pyspark.sql import functions as F
+
+    tot = lambda df: {  # noqa: E731
+        r["lang"]: r["t"]
+        for r in df.groupBy("lang")
+        .agg(F.sum("tokens_in_seq").alias("t"))
+        .collect()
+    }
+    assert tot(plain) == tot(sharded)
+
+    sizes = (
+        sharded.groupBy("lang", "shard")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in sizes:
+        by_group.setdefault(r["lang"], []).append(r["n"])
+    for lang, ns in by_group.items():
+        assert len(ns) == 4, (lang, ns)  # all shards populated
+        assert max(ns) < sum(ns), (lang, ns)  # no shard holds the group
+        assert max(ns) <= 2 * (sum(ns) / len(ns)), (lang, ns)  # balanced
+
+    # per-shard seq_ids are dense from 0 (shard-relative numbering)
+    firsts = sharded.groupBy("lang", "shard").agg(
+        F.min("seq_id").alias("m")
+    )
+    assert all(r["m"] == 0 for r in firsts.collect())
+
+
+def test_pack_with_masks_sharded_mask_conservation(spark):
+    """Sharding must not create or destroy loss: Σ seq_tokens and
+    Σ loss_tokens per group match the unsharded packing (conversations
+    stay contiguous inside their shard stream, so every assistant span
+    lands exactly once)."""
+    from pyspark.sql import functions as F
+
+    from solana_etl_spark.operators.sft import conversations, pack_with_masks
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    conv = conversations(docs)
+    plain = pack_with_masks(conv, budget=512)
+    sharded = pack_with_masks(conv, budget=512, shards_per_group=4)
+    agg = lambda df: {  # noqa: E731
+        r["lang"]: (r["st"], r["lt"])
+        for r in df.groupBy("lang")
+        .agg(
+            F.sum("seq_tokens").alias("st"),
+            F.sum("loss_tokens").alias("lt"),
+        )
+        .collect()
+    }
+    assert agg(plain) == agg(sharded)
+    assert sharded.select("shard").distinct().count() == 4
