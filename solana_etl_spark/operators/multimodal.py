@@ -89,14 +89,22 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 
 
 def _pil_image():
-    """PIL's Image module if importable in this environment, else None —
-    the capability gate the decode/resize kernels auto-select on."""
+    """PIL's Image module when importable, else the vendored pure-Python
+    PNG decoder (functions/png.py, same ``open``/``width``/``height``/
+    ``resize``/``tobytes`` subset) — ``image/*`` payloads ALWAYS have a
+    real decode path now; the deterministic stub remains the kernel for
+    non-image mimes (the fixture corpus is text/plain, so the registry
+    oracles are unchanged). A corrupt image payload raises ValueError
+    from the real decoder — pipeline error isolation must see it, not
+    fake dimensions."""
     try:
         from PIL import Image
 
         return Image
     except ImportError:
-        return None
+        from solana_etl_spark.functions import png
+
+        return png
 
 
 _PIL_IMAGE = _pil_image()
