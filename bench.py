@@ -189,6 +189,61 @@ def main() -> None:
                         ),
                     }
 
+    # SECOND scaling decade, ABOVE the largest driver fixture: synthetic
+    # documents/embeddings at sf0.1-size and sf1-size from the SAME
+    # generator (sources/synth.ensure_sf_tables — 1000-word Zipf vocab,
+    # explicit linear dup structure), so the exponent compares like with
+    # like and isolates PLAN growth from fixture-dependent output growth.
+    # Row counts are recorded alongside: pair-emitting queries are
+    # output-bound, and rows_big/rows_small says how much of the time
+    # growth the output itself explains.
+    scaling_up: dict[str, dict] = {}
+    HEAVY_UP = [
+        "dedup_exact",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "sim_neardup_pairs",
+        "pipeline_clean_corpus",
+        "pipeline_pretrain_e2e",
+        "ann_ivf_assign",
+        "s8_cluster_safe_split",
+        "pipeline_cluster_pack",
+    ]
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
+        try:
+            import math
+
+            from solana_etl_spark.sources.synth import ensure_sf_tables
+
+            small_t = ensure_sf_tables(5000, 2000)
+            big_t = ensure_sf_tables(50000, 20000)
+            all_qs = _q.all_queries()
+            for name in HEAVY_UP:
+                try:
+                    fn = all_qs[name]
+                    fn(spark, small_t).count()  # warm
+                    t0 = time.time()
+                    rows_small = fn(spark, small_t).count()
+                    t_small = round(time.time() - t0, 3)
+                    t0 = time.time()
+                    rows_big = fn(spark, big_t).count()
+                    t_big = round(time.time() - t0, 3)
+                except Exception:
+                    continue
+                scaling_up[name] = {
+                    "t_small": t_small,
+                    "t_big": t_big,
+                    "rows_small": rows_small,
+                    "rows_big": rows_big,
+                    "exponent": round(
+                        math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
+                    ),
+                }
+        except Exception:
+            pass
+
     for k, v in timings.items():
         floors.setdefault(k, v)
     full_total = round(sum(v for v in timings.values() if v > 0), 3)
@@ -215,6 +270,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": timings,
                 "scaling": scaling,
+                "scaling_up": scaling_up,
                 "full_total_with_r2_workloads": full_total,
                 "steady_floor_comparable_total": round(
                     sum(
@@ -226,6 +282,12 @@ def main() -> None:
                 ),
                 "scaling_max_exponent": (
                     max((s["exponent"] for s in scaling.values()), default=None)
+                ),
+                "scaling_up_max_exponent": (
+                    max(
+                        (s["exponent"] for s in scaling_up.values()),
+                        default=None,
+                    )
                 ),
                 "value": comparable,
             }

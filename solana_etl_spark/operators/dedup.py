@@ -519,7 +519,22 @@ def ngram_jaccard_pairs(
     # (5.4 s — the coarse key under-parallelizes and the exchange doesn't
     # elide) and xxhash64'ing grams to int64 shuffle keys (no change, and it
     # would trade exactness for nothing). The residual cost is the intrinsic
-    # pair-count aggregation over the (pairs × shared-grams) stream.)
+    # pair-count aggregation over the (pairs × shared-grams) stream.
+    #
+    # Round-4 measurements, auto-selecting a dense-corpus variant REJECTED:
+    # on a 50k-doc Zipf-vocab corpus (hot grams in ~every doc) this plan
+    # streams 1.15B candidate rows (133 s for 22 true pairs), but the
+    # prefix-filtered PPJoin variant is NOT the answer — it still admits
+    # 18.9M distinct candidates at t=0.7 (long docs ⇒ ~90-gram prefixes)
+    # plus a per-doc rank of the whole gram stream (147 s), and riding the
+    # doc sizes through the postings (struct collect_list, 4-key pair agg)
+    # measured 2.2× SLOWER at sf0.1 (11.8 s vs 5.4 s — wider shuffle rows
+    # beat the saved size joins). When gram-frequency skew, not near-dup
+    # density, dominates, the scale path is :func:`lsh_jaccard_pairs`:
+    # exact Jaccard VALUES on LSH-banded candidates (313k candidates,
+    # ~10 s on the same corpus), trading the recall tail for linear
+    # shuffles. Exact-recall pair mining on such corpora is intrinsically
+    # the Σ C(df,2) object; no formulation avoids it.
     grams = ensure_compute_parallelism(documents).select(
         "doc_id",
         "lang",
@@ -632,6 +647,64 @@ def ngram_jaccard_pairs_prefix(
             F.round(
                 F.col("n_inter")
                 / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def lsh_jaccard_pairs(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs with EXACT char-n-gram Jaccard values, candidates
+    from banded MinHash-LSH — the 100 TB formulation of
+    :func:`ngram_jaccard_pairs` for corpora whose gram-frequency
+    distribution makes the inverted index explode.
+
+    Exactness contract: every emitted (doc_a, doc_b, jaccard) is the true
+    n-gram Jaccard (LSH only generates candidates; each is verified with
+    one ``array_intersect`` over the full gram arrays), but recall is the
+    LSH band recall — a true pair colliding in no band is not emitted.
+    :func:`ngram_jaccard_pairs` has perfect recall; this trades the tail
+    of it for linear shuffles.
+
+    Why it exists (round-4 measurements on the 50k-doc Zipf corpus,
+    threshold 0.7): the inverted-index count plan generates 1.15 BILLION
+    candidate (pair × shared-gram) rows (Σ C(df,2) over hot grams — 133 s
+    for 22 true pairs); the prefix-filtered PPJoin variant still admits
+    18.9 M distinct candidates (long docs ⇒ prefixes of ~90 grams keep
+    plenty of shared ones) and pays a per-doc rank of the whole gram
+    stream on top (147 s). LSH banding is the only candidate generator
+    whose volume tracks TRUE near-dup density (313 k candidates, ~10 s)
+    rather than gram-frequency skew. Shapes: signatures are per-row
+    expressions, ONE bucket shuffle, candidates << corpus², verify joins
+    are doc-keyed.
+    """
+    cands = minhash_lsh_pairs(documents)
+    grams = documents.select(
+        "doc_id", char_ngrams("text", NGRAM_N).alias("_grams")
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_grams").alias("_ga"),
+        F.size("_grams").alias("grams_a"),
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_grams").alias("_gb"),
+        F.size("_grams").alias("grams_b"),
+    )
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_ga", "_gb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_inter")),
                 6,
             ),
         )

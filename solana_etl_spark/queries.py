@@ -1165,6 +1165,41 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _lsh_jaccard_oracle(k: int, band_rows: int, threshold: float) -> str:
+    ji = (
+        "ROUND(len(list_intersect(a.grams, b.grams)) / "
+        "(len(a.grams) + len(b.grams)"
+        " - len(list_intersect(a.grams, b.grams))), 6)"
+    )
+    return f"""
+    WITH {_lsh_pairs_cte(k, band_rows)},
+    g AS (SELECT doc_id, {_NGRAMS_SQL} AS grams FROM documents)
+    SELECT p.doc_a, p.doc_b, {ji} AS jaccard
+    FROM pairs p
+    JOIN g a ON p.doc_a = a.doc_id
+    JOIN g b ON p.doc_b = b.doc_id
+    WHERE {ji} >= {threshold}
+    """
+
+
+@_register(
+    "dedup_lsh_jaccard",
+    _lsh_jaccard_oracle(
+        dedup.MINHASH_K, dedup.LSH_BAND_ROWS, dedup.JACCARD_THRESHOLD
+    ),
+    local_only=True,
+)
+def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard VALUES on MinHash-LSH candidates
+    (operators/dedup.py lsh_jaccard_pairs) — the 100 TB pair-mining
+    formulation for corpora whose gram-frequency skew makes the exact
+    inverted index explode (measured: 1.15B candidate rows on a 50k-doc
+    Zipf corpus vs 313k LSH candidates). Candidate volume tracks true
+    near-dup density; every emitted value is exact; recall is the LSH
+    band recall. local_only: driver cap."""
+    return dedup.lsh_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
 @_register(
     "dedup_clusters",
     _clusters_oracle(dedup.MINHASH_K, dedup.LSH_BAND_ROWS),
