@@ -203,6 +203,7 @@ def main() -> None:
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_pairs",
         "dedup_ngram_jaccard",
+        "dedup_lsh_jaccard",
         "dedup_clusters",
         "sim_neardup_pairs",
         "pipeline_clean_corpus",
