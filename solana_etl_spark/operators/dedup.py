@@ -655,6 +655,63 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+SPAN_W = 8  # duplicated-span window length in tokens (Lee et al. use 50
+# BPE tokens on web corpora; fixture docs are 10-100 words, so 8 keeps the
+# operator non-vacuous at every sf — 45/47/477 spans at sf0.001/0.01/0.1)
+
+
+def duplicated_spans(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Exact-substring duplicate spans [Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"]: every MAXIMAL token span
+    covered by some w-token window whose exact content occurs ≥ 2 times
+    anywhere in the corpus (another document OR elsewhere in the same
+    one). Output: one row per maximal merged span —
+    ``(doc_id, span_start, span_end, n_windows)`` in token offsets — the
+    removal set of substring-level dedup, which catches templated/quoted
+    passages inside otherwise-unique documents that document-level
+    (exact/MinHash) dedup never sees.
+
+    Plan shape, 100 TB: positional w-token windows are a per-row
+    posexplode; windows reduce to a 60-bit hash immediately (16-byte
+    shuffle rows; both engines hash identically so the oracle is
+    value-exact — the 60-bit collision odds are the standard trade);
+    duplicated-window detection is ONE map-side-combined count keyed by
+    the hash; occurrences rejoin the duplicated set by hash (AQE
+    broadcast when the dup set is small); the interval merge is a
+    gaps-and-islands cumsum windowed per doc_id — state bounded by
+    document length, never corpus-global.
+    """
+    from solana_etl_spark.operators.text import _ngram_expr
+
+    pos_grams = ensure_compute_parallelism(documents).select(
+        "doc_id", F.posexplode(F.expr(_ngram_expr(w))).alias("pos", "gram")
+    ).select("doc_id", "pos", hash64(F.col("gram")).alias("h"))
+    dup = (
+        pos_grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = pos_grams.join(dup, "h").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + w).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "ni",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("island", F.sum("ni").over(w_doc))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + w).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
 def lsh_jaccard_pairs(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:

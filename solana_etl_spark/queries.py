@@ -1200,6 +1200,51 @@ def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _dup_spans_oracle(w: int) -> str:
+    h = hash64_sql(f"array_to_string(list_slice(t, i, i + {w} - 1), ' ')")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ),
+    win AS (
+        SELECT doc_id, i - 1 AS pos, {h} AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {w} + 1)) AS i
+              FROM toks WHERE len(t) >= {w})
+    ),
+    dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {w}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM hits
+    ),
+    isl2 AS (SELECT doc_id, pos,
+                    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {w} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl2 GROUP BY doc_id, island
+    """
+
+
+@_register(
+    "dedup_exact_spans", _dup_spans_oracle(dedup.SPAN_W), local_only=True
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/dedup.py
+    duplicated_spans — Lee et al. 2022): maximal token spans covered by a
+    w-token window occurring ≥ 2 times corpus-wide, the removal set of
+    substring-level dedup that document-level exact/MinHash dedup can't
+    see (templated/quoted passages inside otherwise-unique docs). One
+    16-byte-hash count shuffle + a doc-bounded gaps-and-islands window.
+    local_only: driver cap."""
+    return dedup.duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
 @_register(
     "dedup_clusters",
     _clusters_oracle(dedup.MINHASH_K, dedup.LSH_BAND_ROWS),

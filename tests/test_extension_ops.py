@@ -1029,3 +1029,43 @@ def test_cdc_chunks_shift_robust(spark):
     # all but the first (perturbed) chunk should be recoverable
     assert len(shared) >= len(h0) - 2
     assert len(shared) >= 3  # the corpus actually chunked
+
+
+def test_duplicated_spans_semantics(spark):
+    """Lee-style exact-substring spans: a w-token window occurring twice
+    (across docs OR within one) marks its positions; overlapping windows
+    merge into ONE maximal span; unique text yields none."""
+    from solana_etl_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta " * 3  # 12 tokens, shared block
+    rows = [
+        # doc 0: unique prefix (4 toks) + shared block at positions 4..16
+        (0, "zero one two three " + shared, "en", "s"),
+        # doc 1: shared block at positions 0..12 + unique suffix
+        (1, shared + "four five six seven", "en", "s"),
+        # doc 2: fully unique, no duplicated window
+        (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11", "en", "s"),
+        # doc 3: internal repeat — "r0..r7 r0..r7" duplicates within itself
+        (3, " ".join(f"r{i}" for i in range(8)) + " "
+            + " ".join(f"r{i}" for i in range(8)), "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(docs, w=8).collect()
+    }
+    # shared 12-token block: windows at 5 consecutive starts merge to one
+    # 12-token span at the right offsets in each doc
+    assert spans[0] == (4, 16, 5)
+    assert spans[1] == (0, 12, 5)
+    assert 2 not in spans
+    # doc 3: the 8-token unit repeats, so EVERY window w/ the wrap-around
+    # content duplicates too — "r0..r7" at 0 and 8 plus the 8 rotations in
+    # between each occur... only exact equality counts: window at pos p
+    # equals window at pos p+8 for p in 0..8-? stream is 16 tokens, windows
+    # 0..8; window p and p+8 equal only for p=0 (p+8=8 is the last window).
+    # Windows 1..7 are rotations (distinct content) — single span [0, 16).
+    assert spans[3] == (0, 16, 2)
+    # token conservation: span bounds inside the doc
+    for did, (s, e, _) in spans.items():
+        assert 0 <= s < e
