@@ -535,6 +535,26 @@ def ngram_jaccard_pairs(
     # ~10 s on the same corpus), trading the recall tail for linear
     # shuffles. Exact-recall pair mining on such corpora is intrinsically
     # the Σ C(df,2) object; no formulation avoids it.
+    scored = _ngram_intersections(documents)
+    return (
+        scored.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _ngram_intersections(documents: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, grams_a, grams_b) for every pair sharing a
+    char n-gram within its (lang, source) block — the shared exact core
+    of the Jaccard and containment scorers (the score is the only thing
+    that differs)."""
     grams = ensure_compute_parallelism(documents).select(
         "doc_id",
         "lang",
@@ -560,19 +580,38 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
+    return inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def ngram_containment_pairs(
+    documents: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER document's
+    gram set is ≥ ``threshold`` contained in the pair's intersection —
+    ``containment = |A∩B| / min(|A|, |B|)``. Catches the
+    page-inside-boilerplate / quoted-article / chrome-wrapped-copy cases
+    whose Jaccard is LOW because the larger side dilutes the union (a doc
+    fully contained in one 10× its size has containment 1.0 but Jaccard
+    ≤ 0.1, invisible to :func:`ngram_jaccard_pairs` at any useful
+    threshold). Exact recall: same single-scan inverted index
+    (:func:`_ngram_intersections`) — this is the standard Broder
+    containment score over the same machinery, and deliberately NOT
+    LSH-seeded (minhash bands are tuned for Jaccard; a small-in-big pair
+    rarely collides, so LSH candidates would miss exactly the pairs this
+    operator exists for)."""
+    scored = _ngram_intersections(documents)
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
+        scored.withColumn(
+            "containment",
             F.round(
-                F.col("n_inter")
-                / (F.col("grams_a") + F.col("grams_b") - F.col("n_inter")),
-                6,
+                F.col("n_inter") / F.least("grams_a", "grams_b"), 6
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )
 
 
@@ -709,6 +748,39 @@ def duplicated_spans(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def strip_duplicated_spans(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """The removal half of substring dedup [Lee et al. 2022]: drop every
+    token covered by a duplicated span (:func:`duplicated_spans`), keep
+    the rest in order. Output per document:
+    ``(doc_id, n_tokens, n_dup_tokens, text_stripped)``.
+
+    Shape: the span table (small — it is the duplicated content) groups
+    to one array per affected doc and left-joins back; the strip itself
+    is a per-row array filter (codegen, zero extra shuffle on top of
+    duplicated_spans' own)."""
+    spans = duplicated_spans(documents, w).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_dup"),
+    )
+    toks = tokens(F.col("text"))
+    kept = F.expr(
+        "filter(transform(split(lower(trim(text)), '\\\\s+'), (t, i) -> "
+        "CASE WHEN exists(_spans, s -> i >= s.span_start AND i < s.span_end) "
+        "THEN NULL ELSE t END), t -> t IS NOT NULL)"
+    )
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    return (
+        documents.join(spans, "doc_id", "left")
+        .withColumn("_spans", F.coalesce("_spans", empty))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.coalesce("_dup", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.array_join(kept, " ").alias("text_stripped"),
+        )
     )
 
 

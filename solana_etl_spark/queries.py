@@ -1200,10 +1200,9 @@ def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
-def _dup_spans_oracle(w: int) -> str:
+def _dup_spans_ctes(w: int) -> str:
     h = hash64_sql(f"array_to_string(list_slice(t, i, i + {w} - 1), ' ')")
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
     ),
     win AS (
@@ -1223,12 +1222,98 @@ def _dup_spans_oracle(w: int) -> str:
     ),
     isl2 AS (SELECT doc_id, pos,
                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-             FROM isl)
+             FROM isl)"""
+
+
+def _dup_spans_oracle(w: int) -> str:
+    return f"""
+    WITH {_dup_spans_ctes(w)}
     SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
            CAST(MAX(pos) + {w} AS BIGINT) AS span_end,
            CAST(COUNT(*) AS BIGINT) AS n_windows
     FROM isl2 GROUP BY doc_id, island
     """
+
+
+def _strip_spans_oracle(w: int) -> str:
+    return f"""
+    WITH {_dup_spans_ctes(w)},
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {w} AS span_end
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    tokpos AS (
+        SELECT doc_id, n_tokens, i - 1 AS pos, t[i] AS tok
+        FROM (SELECT doc_id, t, len(t) AS n_tokens,
+                     unnest(generate_series(1, len(t))) AS i
+              FROM toks)
+    ),
+    marked AS (
+        SELECT tp.*,
+               EXISTS (SELECT 1 FROM spans s
+                       WHERE s.doc_id = tp.doc_id
+                         AND tp.pos >= s.span_start
+                         AND tp.pos < s.span_end) AS covered
+        FROM tokpos tp
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE covered) AS BIGINT) AS n_dup_tokens,
+           COALESCE(array_to_string(
+               list(tok ORDER BY pos) FILTER (WHERE NOT covered), ' '),
+               '') AS text_stripped
+    FROM marked GROUP BY doc_id
+    """
+
+
+@_register(
+    "text_strip_dup_spans", _strip_spans_oracle(dedup.SPAN_W), local_only=True
+)
+def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup (operators/dedup.py
+    strip_duplicated_spans — Lee et al. 2022): every token covered by a
+    duplicated span dropped, survivors rejoined in order, with per-doc
+    duplicated-token accounting. The strip is a per-row codegen array
+    filter on top of the span table's shuffles. local_only: driver
+    cap."""
+    return dedup.strip_duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_containment_pairs",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, lang, source, unnest({_NGRAMS_SQL}) AS ngram
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM grams a JOIN grams b
+          ON a.ngram = b.ngram AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / least(sa.n_grams, sb.n_grams), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(n_inter / least(sa.n_grams, sb.n_grams), 6)
+          >= {dedup.CONTAINMENT_THRESHOLD}
+    """,
+    local_only=True,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by Broder containment
+    (operators/dedup.py ngram_containment_pairs): |A∩B| / min(|A|,|B|) —
+    catches a document contained in one much larger (quoted article,
+    chrome-wrapped copy) whose Jaccard is diluted below any useful
+    threshold by the big side's union. Same exact single-scan inverted
+    index as the Jaccard scorer; deliberately not LSH-seeded (minhash
+    bands are Jaccard-tuned and rarely collide on small-in-big pairs).
+    local_only: driver cap."""
+    return dedup.ngram_containment_pairs(_t(spark, sf_dir, "documents"))
 
 
 @_register(

@@ -1069,3 +1069,51 @@ def test_duplicated_spans_semantics(spark):
     # token conservation: span bounds inside the doc
     for did, (s, e, _) in spans.items():
         assert 0 <= s < e
+
+
+def test_containment_catches_small_in_big(spark):
+    """A document fully contained in one 10x its size has containment 1.0
+    but Jaccard ~0.1 — containment finds it, Jaccard (at any useful
+    threshold) cannot."""
+    from solana_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "the quick brown fox jumps over the lazy dog"
+    big = small + " " + " ".join(f"unique{i:02d}filler{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, small, "en", "s"), (1, big, "en", "s"), (2, "unrelated words only", "en", "s")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert cont[(0, 1)] == 1.0
+    assert (0, 2) not in cont
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert jac[(0, 1)] < 0.2  # the union dilution containment fixes
+
+
+def test_strip_duplicated_spans_removes_and_conserves(spark):
+    """Strip drops exactly the span-covered tokens, keeps order, and
+    leaves span-free documents untouched."""
+    from solana_etl_spark.operators.dedup import strip_duplicated_spans
+
+    shared = "alpha beta gamma delta " * 3  # 12 shared tokens
+    rows = [
+        (0, "zero one two three " + shared.strip(), "en", "s"),
+        (1, (shared + "four five six seven").strip(), "en", "s"),
+        (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r.doc_id: r for r in strip_duplicated_spans(docs, w=8).collect()}
+    assert out[0].text_stripped == "zero one two three"
+    assert out[0].n_dup_tokens == 12 and out[0].n_tokens == 16
+    assert out[1].text_stripped == "four five six seven"
+    assert out[2].n_dup_tokens == 0
+    assert out[2].text_stripped == rows[2][1]
