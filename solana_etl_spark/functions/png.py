@@ -25,6 +25,12 @@ import zlib
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# mimes this module can really decode — the multimodal capability gate
+# routes ONLY these here (real PIL, when installed, handles all image/*);
+# other image formats keep the deterministic stub rather than crashing on
+# a perfectly valid JPEG
+CAN_DECODE = ("image/png", "image/x-png")
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -111,7 +117,17 @@ class PngImage:
 def open(fp) -> PngImage:  # noqa: A001 - mirrors PIL.Image.open
     """Decode a PNG from a file-like object (the PIL.Image.open subset the
     multimodal kernels call). Raises ValueError on anything that is not a
-    decodable PNG."""
+    decodable PNG — including truncated headers and corrupt zlib streams,
+    which stdlib would otherwise surface as struct.error / zlib.error."""
+    try:
+        return _open(fp)
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, IndexError, ...
+        raise ValueError(f"png: undecodable ({type(e).__name__}: {e})") from e
+
+
+def _open(fp) -> PngImage:
     data = fp.read()
     if not data.startswith(_SIGNATURE):
         raise ValueError("png: bad signature")
@@ -151,6 +167,14 @@ def open(fp) -> PngImage:  # noqa: A001 - mirrors PIL.Image.open
     if color_type == 3:  # expand palette indexes to RGB
         if not palette:
             raise ValueError("png: palette image without PLTE")
+        n_entries = len(palette) // 3
+        for row in rows:
+            for idx in row:
+                if idx >= n_entries:
+                    raise ValueError(
+                        f"png: palette index {idx} out of range "
+                        f"({n_entries} PLTE entries)"
+                    )
         rows = [
             bytearray(
                 b"".join(palette[3 * idx : 3 * idx + 3] for idx in row)

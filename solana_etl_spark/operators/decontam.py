@@ -56,11 +56,18 @@ def contamination(
     (n_overlap ≥ min_overlap). Keeps every training row (zero-filled), so the
     caller can either drop or audit.
     """
+    from solana_etl_spark.functions.parallelism import ensure_compute_parallelism
+
+    # the md5 5-gram hashing is the expensive per-row expression and the
+    # corpus often arrives in 1-2 parquet partitions — repartition up to
+    # core count or the whole decontam pass runs single-threaded
+    # (measured: 74 s -> seconds at 50k docs)
     probe = (
-        eval_docs.select(F.explode(word_ngram_hashes(F.col("text"), n)).alias("g"))
+        ensure_compute_parallelism(eval_docs)
+        .select(F.explode(word_ngram_hashes(F.col("text"), n)).alias("g"))
         .distinct()
     )
-    doc_grams = documents.select(
+    doc_grams = ensure_compute_parallelism(documents).select(
         "doc_id", word_ngram_hashes(F.col("text"), n).alias("_grams")
     )
     overlap = (

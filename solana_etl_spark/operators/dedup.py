@@ -812,22 +812,39 @@ def lsh_jaccard_pairs(
     are doc-keyed.
     """
     cands = minhash_lsh_pairs(documents)
-    grams = documents.select(
-        "doc_id", char_ngrams("text", NGRAM_N).alias("_grams")
+    # parallelize the gram projection: char_ngrams is the expensive
+    # interpreted expression and the source often arrives in 1-2 parquet
+    # partitions (measured: the unpartitioned verify scan dominated the
+    # whole query at 50k docs)
+    grams = ensure_compute_parallelism(documents).select(
+        "doc_id", "lang", "source", char_ngrams("text", NGRAM_N).alias("_grams")
     )
     ga = grams.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("_lang_a"),
+        F.col("source").alias("_source_a"),
         F.col("_grams").alias("_ga"),
         F.size("_grams").alias("grams_a"),
     )
     gb = grams.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("_lang_b"),
+        F.col("source").alias("_source_b"),
         F.col("_grams").alias("_gb"),
         F.size("_grams").alias("grams_b"),
     )
     return (
         cands.join(ga, "doc_a")
         .join(gb, "doc_b")
+        # same (lang, source) blocking as ngram_jaccard_pairs, so this
+        # output is a true recall-SUBSET of the exact operator (without it
+        # LSH would emit cross-block pairs the exact path never emits —
+        # a contract divergence, not just lower recall). Null-safe
+        # equality matches the exact plan's groupBy-key semantics.
+        .filter(
+            F.col("_lang_a").eqNullSafe(F.col("_lang_b"))
+            & F.col("_source_a").eqNullSafe(F.col("_source_b"))
+        )
         .withColumn("n_inter", F.size(F.array_intersect("_ga", "_gb")))
         .withColumn(
             "jaccard",

@@ -91,12 +91,13 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 def _pil_image():
     """PIL's Image module when importable, else the vendored pure-Python
     PNG decoder (functions/png.py, same ``open``/``width``/``height``/
-    ``resize``/``tobytes`` subset) — ``image/*`` payloads ALWAYS have a
-    real decode path now; the deterministic stub remains the kernel for
-    non-image mimes (the fixture corpus is text/plain, so the registry
-    oracles are unchanged). A corrupt image payload raises ValueError
-    from the real decoder — pipeline error isolation must see it, not
-    fake dimensions."""
+    ``resize``/``tobytes`` subset) — PNG payloads ALWAYS have a real
+    decode path now. The vendored module declares which mimes it really
+    decodes (``CAN_DECODE``); the gate routes only those to it, so a
+    valid JPEG in a Pillow-less deployment keeps the deterministic stub
+    instead of crashing on a signature check. A corrupt payload of a
+    decodable mime raises ValueError from the real decoder — pipeline
+    error isolation must see it, not fake dimensions."""
     try:
         from PIL import Image
 
@@ -110,6 +111,19 @@ def _pil_image():
 _PIL_IMAGE = _pil_image()
 
 
+def _decoder_for(pil, mime: str):
+    """The real decoder for ``mime`` under module ``pil``, or None if this
+    mime should take the stub. Real PIL (no CAN_DECODE attr) handles all
+    image/*; a partial decoder (the vendored PNG module, or an injected
+    fake declaring CAN_DECODE) handles only the mimes it lists."""
+    if pil is None or mime is None or not mime.startswith("image/"):
+        return None
+    can = getattr(pil, "CAN_DECODE", None)
+    if can is not None and mime not in can:
+        return None
+    return pil
+
+
 def decode_dims(payload: bytes, mime: str, pil_image=None) -> tuple[int, int]:
     """Capability-gated decode: a REAL image decode (PIL) for ``image/*``
     payloads when PIL is importable, the deterministic stub otherwise —
@@ -120,8 +134,10 @@ def decode_dims(payload: bytes, mime: str, pil_image=None) -> tuple[int, int]:
     always takes the stub)."""
     if payload is None:
         raise NotImplementedError("no payload")
-    pil = pil_image if pil_image is not None else _PIL_IMAGE
-    if pil is not None and mime is not None and mime.startswith("image/"):
+    pil = _decoder_for(
+        pil_image if pil_image is not None else _PIL_IMAGE, mime
+    )
+    if pil is not None:
         import io
 
         with pil.open(io.BytesIO(payload)) as im:
@@ -136,8 +152,10 @@ def resize_payload(
     ``image/*`` when PIL is present, cyclic-resample stub otherwise."""
     if payload is None:
         raise NotImplementedError("no payload")
-    pil = pil_image if pil_image is not None else _PIL_IMAGE
-    if pil is not None and mime is not None and mime.startswith("image/"):
+    pil = _decoder_for(
+        pil_image if pil_image is not None else _PIL_IMAGE, mime
+    )
+    if pil is not None:
         import io
 
         with pil.open(io.BytesIO(payload)) as im:

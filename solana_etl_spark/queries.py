@@ -1173,12 +1173,15 @@ def _lsh_jaccard_oracle(k: int, band_rows: int, threshold: float) -> str:
     )
     return f"""
     WITH {_lsh_pairs_cte(k, band_rows)},
-    g AS (SELECT doc_id, {_NGRAMS_SQL} AS grams FROM documents)
+    g AS (SELECT doc_id, lang, source, {_NGRAMS_SQL} AS grams
+          FROM documents)
     SELECT p.doc_a, p.doc_b, {ji} AS jaccard
     FROM pairs p
     JOIN g a ON p.doc_a = a.doc_id
     JOIN g b ON p.doc_b = b.doc_id
-    WHERE {ji} >= {threshold}
+    WHERE a.lang IS NOT DISTINCT FROM b.lang
+      AND a.source IS NOT DISTINCT FROM b.source
+      AND {ji} >= {threshold}
     """
 
 

@@ -222,15 +222,82 @@ def test_multimodal_codec_capability_gate():
         b"hello"
     )
     # no Pillow in this container: the gate falls back to the vendored
-    # pure-Python PNG decoder, so image/* ALWAYS takes a real path — a
+    # pure-Python PNG decoder, so image/png ALWAYS takes a real path — a
     # corrupt payload must raise, never return fake dimensions
     with pytest.raises(ValueError):
         decode_dims(png, "image/png")
     # ...while non-image mimes keep the deterministic stub
     assert decode_dims(png, "text/plain") == _decode_stub(png)
     assert resize_payload(png, "text/plain", 4, 2) == _resize_stub(png, 4, 2)
+    # image mimes the vendored decoder does NOT handle keep the stub too —
+    # a valid JPEG in a Pillow-less deployment must not crash on a PNG
+    # signature check (reviewed bug)
+    jpeg = b"\xff\xd8\xff\xe0 fake jpeg bytes"
+    assert decode_dims(jpeg, "image/jpeg") == _decode_stub(jpeg)
+    assert resize_payload(jpeg, "image/jpeg", 4, 2) == _resize_stub(jpeg, 4, 2)
     with pytest.raises(NotImplementedError):
         decode_dims(None, "image/png", pil_image=_FakePIL)
+
+
+def test_vendored_png_error_contract():
+    """functions/png.py promises ValueError on ANYTHING undecodable:
+    truncated headers and corrupt zlib streams must not leak struct.error
+    / zlib.error, and out-of-range palette indexes must raise instead of
+    silently truncating pixel rows (reviewed bugs)."""
+    import binascii
+    import io
+    import struct
+    import zlib
+
+    import pytest
+
+    from solana_etl_spark.functions import png
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # truncated mid-IHDR
+    with pytest.raises(ValueError):
+        png.open(io.BytesIO(sig + chunk(b"IHDR", b"\x00\x00\x00")[:10]))
+    # corrupt zlib stream in IDAT
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        png.open(
+            io.BytesIO(
+                sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"garbage")
+                + chunk(b"IEND", b"")
+            )
+        )
+    # palette index beyond PLTE (1 entry, index 5)
+    ihdr3 = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = b"\x00\x00\x05"  # filter 0, indexes [0, 5]
+    bad_pal = (
+        sig
+        + chunk(b"IHDR", ihdr3)
+        + chunk(b"PLTE", b"\x10\x20\x30")
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        png.open(io.BytesIO(bad_pal))
+    # ...and a VALID palette image still decodes (to RGB)
+    ok_raw = b"\x00\x01\x00"
+    ok = (
+        sig
+        + chunk(b"IHDR", ihdr3)
+        + chunk(b"PLTE", b"\x10\x20\x30\x40\x50\x60")
+        + chunk(b"IDAT", zlib.compress(ok_raw))
+        + chunk(b"IEND", b"")
+    )
+    with png.open(io.BytesIO(ok)) as im:
+        assert (im.width, im.height) == (2, 1)
+        assert im.tobytes() == b"\x40\x50\x60\x10\x20\x30"
 
 
 def _png_bytes(width, height, rows, color_type=2, filters=None):
