@@ -210,3 +210,29 @@ def test_apply_bpe_replace_unicode_line_terminators(spark):
     }
     assert fold == rep
     assert fold[1][0] == "a\u2028"  # the merge fired on the terminator pair
+
+
+def test_bpe_encode_roundtrip_reconstructs_text(spark):
+    """Structural invariant of ANY correct BPE segmentation: concatenating
+    the tokens and splitting on </w> reconstructs the normalized input
+    exactly (merges only ever glue adjacent symbols — they can't create,
+    drop, or reorder characters). A mis-merge that loses or duplicates a
+    boundary breaks this; it is the invariant the round-3 adjacent-repeat
+    bug class violates structurally, independent of any fold-vs-replace
+    comparison."""
+    import re
+
+    from solana_etl_spark.operators.vocab import EOW, SEP, apply_bpe_replace
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .limit(200)
+    )
+    merges = _ref_train(CORPUS, 10)
+    rows = apply_bpe_replace(docs, merges).select("text", "bpe_tokens").collect()
+    assert rows
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r.text.lower().replace(SEP, "")).strip()
+        joined = "".join(r.bpe_tokens)
+        words = [w for w in joined.split(EOW) if w != ""]
+        assert " ".join(words) == norm, (r.text[:80], r.bpe_tokens[:10])
