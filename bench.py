@@ -272,6 +272,16 @@ def main() -> None:
                 "queries": timings,
                 "scaling": scaling,
                 "scaling_up": scaling_up,
+                "scaling_up_note": (
+                    "synthetic sf0.1->sf1 decade (same Zipf-vocab generator"
+                    " both sizes; rows_* recorded so output-bound pair"
+                    " queries read rows-normalized). dedup_ngram_jaccard's"
+                    " super-linear exponent is the perfect-recall contract"
+                    " itself: exact pair mining is Sigma C(df,2)-bound"
+                    " (candidate-, not output-bound — see rows_big) and"
+                    " PPJoin measured slower (operators/dedup.py docstring);"
+                    " dedup_lsh_jaccard is the linear-shuffle scale path."
+                ),
                 "full_total_with_r2_workloads": full_total,
                 "steady_floor_comparable_total": round(
                     sum(

@@ -529,6 +529,52 @@ def structure_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Unicode script classes for script-mix profiling. Literal \uXXXX ranges
+# inside character classes parse identically in Java regex (Spark) and RE2
+# (DuckDB), so the counts are cross-engine exact.
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "cjk": "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]",
+    "cyrillic": "[\\u0400-\\u04ff]",
+    "arabic": "[\\u0600-\\u06ff]",
+    # explicit class, NOT \s: Java \s includes \x0B (vertical tab), RE2 \s
+    # does not — the literal class is identical in both engines
+    "whitespace": "[ \\t\\n\\x0B\\f\\r]",
+}
+
+
+def script_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script mix — the multilingual-curation signal
+    lang-ID heuristics sit on top of: the fraction of characters in each
+    major script class (Latin, digits, CJK, Cyrillic, Arabic, whitespace)
+    plus ``other_frac`` for everything else (emoji, symbols, control
+    bytes — a high value is the mojibake/binary-spill flag). A corpus
+    card's script histogram and the router for script-specific cleaning
+    both read this table.
+
+    Pure per-row ``regexp_count`` projections over one scan — zero
+    shuffle, codegen'd, the cheapest 100 TB shape; fractions round at 9
+    (the cross-engine float boundary) against the true char count (docs
+    with no characters report zeros)."""
+    n = F.length(F.col(text_col))
+    denom = F.greatest(n, F.lit(1))
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(cls + ""))
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    other = n - sum(counts.values())
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_text"),
+        *[
+            F.round(c / denom, 9).alias(f"{name}_frac")
+            for name, c in counts.items()
+        ],
+        F.round(other / denom, 9).alias("other_frac"),
+    )
+
+
 _ENT_TYPE = "decimal(28,9)"
 
 # log10(2) as a shared LITERAL: both engines parse the same double, so the

@@ -6591,6 +6591,49 @@ def text_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.structure_stats(_t(spark, sf_dir, "documents"))
 
 
+def _script_stats_oracle() -> str:
+    # RE2 classes mirroring operators/text.py SCRIPT_CLASSES byte-for-byte
+    # in semantics (\x{....} escapes; explicit whitespace class because
+    # Java \s includes \x0B and RE2 \s does not). Every class matches
+    # single characters, so count = chars removed by a global replace.
+    classes = {
+        "latin": "[A-Za-z]",
+        "digit": "[0-9]",
+        "cjk": "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]",
+        "cyrillic": "[\\x{0400}-\\x{04ff}]",
+        "arabic": "[\\x{0600}-\\x{06ff}]",
+        "whitespace": "[ \\t\\n\\x0B\\f\\r]",
+    }
+
+    def cnt(cls: str) -> str:
+        return f"(length(text) - length(regexp_replace(text, '{cls}', '', 'g')))"
+
+    fracs = ",\n           ".join(
+        f"ROUND({cnt(cls)} / CAST(greatest(length(text), 1) AS DOUBLE), 9)"
+        f" AS {name}_frac"
+        for name, cls in classes.items()
+    )
+    other = " - ".join(["length(text)"] + [cnt(c) for c in classes.values()])
+    return f"""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+           {fracs},
+           ROUND(({other}) / CAST(greatest(length(text), 1) AS DOUBLE), 9)
+               AS other_frac
+    FROM documents
+    """
+
+
+@_register("text_script_stats", _script_stats_oracle(), local_only=True)
+def text_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script mix (operators/text.py script_stats):
+    Latin/digit/CJK/Cyrillic/Arabic/whitespace character fractions plus
+    other_frac (the mojibake/binary-spill flag) — the multilingual
+    curation signal lang-ID heuristics sit on top of, and a corpus
+    card's script histogram. Zero shuffle, per-row regexp_count
+    projections. local_only: driver cap."""
+    return text_ops.script_stats(_t(spark, sf_dir, "documents"))
+
+
 @_register(
     "text_char_entropy",
     # per-character p*log10(p) terms rounded at 9 then exact-decimal summed

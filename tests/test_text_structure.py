@@ -56,3 +56,24 @@ def test_collocations_pmi_semantics(spark):
     assert top.bigram == "san francisco"
     # "the" is frequent in varied contexts, so its pairs score lower
     assert by["san francisco"].pmi > by["the cat"].pmi
+
+
+def test_script_stats_mixed_scripts(spark):
+    """Script fractions on constructed multilingual text: Latin, CJK,
+    Cyrillic, digits, whitespace, and the other_frac catch-all."""
+    from solana_etl_spark.operators.text import script_stats
+
+    rows = [
+        (0, "abc 12"),          # 3 latin, 2 digit, 1 ws
+        (1, "中文 ok"),  # 2 cjk, 1 ws, 2 latin
+        (2, "пр!"),    # 2 cyrillic, 1 other
+        (3, ""),                # empty -> all zeros
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in script_stats(docs).collect()}
+    assert out[0].latin_frac == 0.5 and out[0].digit_frac == round(2 / 6, 9)
+    assert out[0].whitespace_frac == round(1 / 6, 9)
+    assert out[1].cjk_frac == 0.4 and out[1].latin_frac == 0.4
+    assert out[2].cyrillic_frac == round(2 / 3, 9)
+    assert out[2].other_frac == round(1 / 3, 9)
+    assert out[3].n_chars_text == 0 and out[3].other_frac == 0.0
