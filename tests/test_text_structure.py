@@ -77,3 +77,52 @@ def test_script_stats_mixed_scripts(spark):
     assert out[2].cyrillic_frac == round(2 / 3, 9)
     assert out[2].other_frac == round(1 / 3, 9)
     assert out[3].n_chars_text == 0 and out[3].other_frac == 0.0
+
+
+def test_script_stats_cross_engine_on_multilingual(spark, tmp_path):
+    """The gate fixture is ASCII-only, so the CJK/Cyrillic/Arabic oracle
+    classes are vacuous there — this pins Spark==DuckDB on real
+    multilingual text, including emoji (surrogate pairs), vertical tab
+    (Java \\s includes \\x0B, RE2's does not — the classes are explicit),
+    and the empty string."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from solana_etl_spark.queries import all_oracle_sql, all_queries
+
+    texts = [
+        "hello world 123",
+        "中文文本 mixed with latin",
+        "привет мир! Кириллица 42",
+        "مرحبا بالعالم",
+        "カタカナとひらがな 한국어",
+        "emoji 😀🎉 and\ttabs\nnewlines\x0bvtab",
+        "",
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    sp = sorted(
+        tuple(r)
+        for r in all_queries()["text_script_stats"](spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    du = sorted(
+        tuple(r)
+        for r in con.execute(all_oracle_sql()["text_script_stats"]).fetchall()
+    )
+    assert sp == du
