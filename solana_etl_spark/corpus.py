@@ -114,6 +114,49 @@ class CorpusPipeline:
         )
         return self._with(self.df.join(flagged, _ID, "left_anti"))
 
+    def strip_dup_spans(self, w: int | None = None) -> "CorpusPipeline":
+        """Rewrite each document with its exact duplicated substrings
+        removed (Lee et al. 2022 span dedup — dedup.strip_duplicated_spans):
+        ``text`` becomes the stripped text, and the original token /
+        dup-token accounting rides along as ``n_tokens_orig`` /
+        ``n_dup_tokens``. Span detection adds its documented hash-count
+        shuffle; the strip itself is per-row."""
+        from solana_etl_spark.operators.dedup import SPAN_W, strip_duplicated_spans
+
+        stripped = strip_duplicated_spans(
+            self.df, w=SPAN_W if w is None else w
+        ).select(
+            _ID,
+            F.col("n_tokens").alias("n_tokens_orig"),
+            "n_dup_tokens",
+            F.col("text_stripped").alias("_text_stripped"),
+        )
+        keep = [c for c in self.df.columns if c != "text"]
+        return self._with(
+            self.df.join(stripped, _ID)
+            .select(
+                *keep,
+                F.col("_text_stripped").alias("text"),
+                "n_tokens_orig",
+                "n_dup_tokens",
+            )
+        )
+
+    def drop_script_outliers(self, max_other_frac: float = 0.2) -> "CorpusPipeline":
+        """Drop documents whose non-script character fraction exceeds the
+        threshold (mojibake / binary spills / emoji floods) — a bare
+        per-row predicate over text.SCRIPT_CLASSES counts, fusing into the
+        scan like the other per-row gates."""
+        n = F.length(F.col("text"))
+        denom = F.greatest(n, F.lit(1))
+        counted = sum(
+            F.regexp_count(F.col("text"), F.lit(cls))
+            for cls in text_ops.SCRIPT_CLASSES.values()
+        )
+        return self._with(
+            self.df.filter((n - counted) / denom <= max_other_frac)
+        )
+
     def sample(self, rate_bp: int) -> "CorpusPipeline":
         """Deterministic hash-Bernoulli downsample (rate in basis points)
         — stateless per-row predicate, retry-safe."""

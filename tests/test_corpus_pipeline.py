@@ -137,3 +137,43 @@ def test_decontaminate_semantic_drops_neardup_doc(spark):
     # docs 2 (vec dim 2) is cosine-1.0 to the eval vector -> dropped
     assert 2 not in kept_ids
     assert {0, 1, 3, 4, 5} <= kept_ids
+
+
+def test_pipeline_strip_dup_spans_stage(spark):
+    from solana_etl_spark.corpus import CorpusPipeline
+
+    shared = ("alpha beta gamma delta " * 3).strip()
+    docs = spark.createDataFrame(
+        [
+            (0, "zero one two three " + shared, "en", "s0", 10),
+            (1, shared + " four five six seven", "en", "s0", 10),
+            (2, "all unique tokens here really truly unique words now ok", "en", "s0", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {
+        r.doc_id: r
+        for r in CorpusPipeline(docs).strip_dup_spans(w=8).df.collect()
+    }
+    assert out[0].text == "zero one two three"
+    assert out[0].n_dup_tokens == 12 and out[0].n_tokens_orig == 16
+    assert out[2].n_dup_tokens == 0
+    # downstream stages still see a documents-shaped frame
+    assert {"doc_id", "text", "lang", "source"} <= set(out[0].asDict())
+
+
+def test_pipeline_drop_script_outliers(spark):
+    from solana_etl_spark.corpus import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [
+            (0, "perfectly normal latin text", "en", "s0", 27),
+            (1, "\x00\x01\x02\x03\x04\x05 binary spill", "en", "s0", 19),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    kept = {
+        r.doc_id
+        for r in CorpusPipeline(docs).drop_script_outliers(0.2).df.collect()
+    }
+    assert kept == {0}
