@@ -119,8 +119,12 @@ class CorpusPipeline:
         removed (Lee et al. 2022 span dedup — dedup.strip_duplicated_spans):
         ``text`` becomes the stripped text, and the original token /
         dup-token accounting rides along as ``n_tokens_orig`` /
-        ``n_dup_tokens``. Span detection adds its documented hash-count
-        shuffle; the strip itself is per-row."""
+        ``n_dup_tokens``. Documents with zero duplicated spans keep their
+        ORIGINAL text byte-for-byte — the stripped reconstruction is
+        lowercased and whitespace-collapsed, a lossy normalization that
+        must only apply where a span was actually removed. Span detection
+        adds its documented hash-count shuffle; the strip itself is
+        per-row."""
         from solana_etl_spark.operators.dedup import SPAN_W, strip_duplicated_spans
 
         stripped = strip_duplicated_spans(
@@ -136,7 +140,9 @@ class CorpusPipeline:
             self.df.join(stripped, _ID)
             .select(
                 *keep,
-                F.col("_text_stripped").alias("text"),
+                F.when(F.col("n_dup_tokens") == 0, F.col("text"))
+                .otherwise(F.col("_text_stripped"))
+                .alias("text"),
                 "n_tokens_orig",
                 "n_dup_tokens",
             )

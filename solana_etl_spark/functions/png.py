@@ -24,6 +24,9 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Pixel-count ceiling for untrusted payloads (matches the spirit of
+# Pillow's MAX_IMAGE_PIXELS decompression-bomb check).
+_MAX_PIXELS = 64 * 1024 * 1024
 
 # mimes this module can really decode — the multimodal capability gate
 # routes ONLY these here (real PIL, when installed, handles all image/*);
@@ -161,8 +164,22 @@ def _open(fp) -> PngImage:
         raise ValueError("png: interlaced images unsupported")
     if not idat:
         raise ValueError("png: missing IDAT")
-    raw = zlib.decompress(bytes(idat))
     channels = _CHANNELS[color_type]
+    # Decompression-bomb guard: this decoder runs on untrusted scraped
+    # payloads, so a crafted IDAT must raise ValueError, never expand
+    # unbounded and OOM an executor. Raw scanline size is fully determined
+    # by IHDR (height rows of 1 filter byte + width*channels samples);
+    # reject absurd dims before allocating and cap inflate at exactly that.
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
+        raise ValueError(f"png: implausible dimensions {width}x{height}")
+    expected = height * (1 + width * channels)
+    decomp = zlib.decompressobj()
+    raw = decomp.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError(
+            f"png: IDAT inflates past the {expected}-byte scanline size "
+            f"implied by IHDR ({width}x{height}, {channels} channels)"
+        )
     rows = _unfilter(raw, width, height, channels)
     if color_type == 3:  # expand palette indexes to RGB
         if not palette:

@@ -80,10 +80,6 @@ def drift_report(
         F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
     )
     h = h.crossJoin(F.broadcast(totals))
-    # an empty (or all-NULL) slice must fail the job, not emit a
-    # plausible-looking report: NULL reference bounds would clamp every
-    # current row into the top bin and 0/0 proportions EPS-floor into
-    # finite garbage. Same fail-loudly discipline as weighted_sample.
     p = F.greatest(F.col("ref_cnt") / F.col("n_ref"), F.lit(EPS))
     q = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(EPS))
     # an empty (or all-NULL) slice must fail the job, not emit a

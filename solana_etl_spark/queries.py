@@ -1293,7 +1293,8 @@ def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM grams a JOIN grams b
-          ON a.ngram = b.ngram AND a.lang = b.lang AND a.source = b.source
+          ON a.ngram = b.ngram AND a.lang IS NOT DISTINCT FROM b.lang
+             AND a.source IS NOT DISTINCT FROM b.source
              AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
@@ -1506,7 +1507,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM grams a JOIN grams b
-          ON a.ngram = b.ngram AND a.lang = b.lang AND a.source = b.source
+          ON a.ngram = b.ngram AND a.lang IS NOT DISTINCT FROM b.lang
+             AND a.source IS NOT DISTINCT FROM b.source
              AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )

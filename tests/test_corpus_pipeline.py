@@ -158,6 +158,12 @@ def test_pipeline_strip_dup_spans_stage(spark):
     assert out[0].text == "zero one two three"
     assert out[0].n_dup_tokens == 12 and out[0].n_tokens_orig == 16
     assert out[2].n_dup_tokens == 0
+    # zero-dup docs keep ORIGINAL text — the stripped reconstruction is
+    # lowercased/whitespace-collapsed and must not leak into clean docs
+    assert (
+        out[2].text
+        == "all unique tokens here really truly unique words now ok"
+    )
     # downstream stages still see a documents-shaped frame
     assert {"doc_id", "text", "lang", "source"} <= set(out[0].asDict())
 

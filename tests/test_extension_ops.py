@@ -300,6 +300,71 @@ def test_vendored_png_error_contract():
         assert im.tobytes() == b"\x40\x50\x60\x10\x20\x30"
 
 
+def test_vendored_png_decompression_bomb_guard():
+    """A crafted PNG (huge IHDR dims, or an IDAT that inflates past the
+    scanline size IHDR implies) must raise ValueError BEFORE expanding to
+    gigabytes — this decoder runs on untrusted scraped payloads in
+    Pillow-less deployments, so unbounded zlib.decompress would OOM an
+    executor instead of taking the documented error contract."""
+    import binascii
+    import io
+    import struct
+    import zlib
+
+    import pytest
+
+    from solana_etl_spark.functions import png
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", binascii.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # absurd dimensions: 2^16 x 2^16 = 4 G pixels, tiny high-ratio IDAT
+    ihdr_huge = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)
+    bomb = (
+        sig
+        + chunk(b"IHDR", ihdr_huge)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 65536, 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="implausible dimensions"):
+        png.open(io.BytesIO(bomb))
+    # zero-dimension IHDR
+    ihdr_zero = struct.pack(">IIBBBBB", 0, 1, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="implausible dimensions"):
+        png.open(
+            io.BytesIO(
+                sig + chunk(b"IHDR", ihdr_zero)
+                + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+            )
+        )
+    # plausible dims (2x1 gray = 6 raw bytes) but the IDAT inflates to 1 MiB:
+    # must raise after at most expected+1 bytes of output, not inflate it all
+    ihdr_small = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    overlong = (
+        sig
+        + chunk(b"IHDR", ihdr_small)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20), 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past"):
+        png.open(io.BytesIO(overlong))
+    # and a valid image still decodes after the guard
+    ok = (
+        sig
+        + chunk(b"IHDR", ihdr_small)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07\x09"))
+        + chunk(b"IEND", b"")
+    )
+    with png.open(io.BytesIO(ok)) as im:
+        assert im.tobytes() == b"\x07\x09"
+
+
 def _png_bytes(width, height, rows, color_type=2, filters=None):
     """Stdlib PNG writer (struct + zlib + crc32) — real, spec-conformant
     bytes for exercising the vendored decoder's real path."""
