@@ -202,7 +202,12 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_pairs",
-        "dedup_ngram_jaccard",
+        # dedup_ngram_jaccard is excluded by design: it is the exact-recall
+        # AUDIT operator, Σ C(df,2)-bound by contract (r4 measured exponent
+        # 1.47, candidate- not output-bound), and it now raises above a 100M
+        # candidate estimate — the sf1 synthetic corpus (1.15B candidates)
+        # is exactly the misuse the guard exists to stop. Its scale path,
+        # dedup_lsh_jaccard, stays measured below.
         "dedup_lsh_jaccard",
         "dedup_clusters",
         "sim_neardup_pairs",
@@ -271,14 +276,16 @@ def main() -> None:
                 "scaling": scaling,
                 "scaling_up": scaling_up,
                 "scaling_up_note": (
-                    "synthetic sf0.1->sf1 decade (same Zipf-vocab generator"
-                    " both sizes; rows_* recorded so output-bound pair"
-                    " queries read rows-normalized). dedup_ngram_jaccard's"
-                    " super-linear exponent is the perfect-recall contract"
-                    " itself: exact pair mining is Sigma C(df,2)-bound"
-                    " (candidate-, not output-bound — see rows_big) and"
-                    " PPJoin measured slower (operators/dedup.py docstring);"
-                    " dedup_lsh_jaccard is the linear-shuffle scale path."
+                    "synthetic scaling decades (same Zipf-vocab generator"
+                    " at every size; rows_* recorded so output-bound pair"
+                    " queries read rows-normalized). dedup_ngram_jaccard is"
+                    " excluded by design since r5: it is the exact-recall"
+                    " AUDIT operator — Sigma C(df,2)-bound by contract (r4"
+                    " exponent 1.47, candidate- not output-bound; PPJoin"
+                    " measured slower, operators/dedup.py docstring) — and"
+                    " it now raises above a 100M candidate estimate unless"
+                    " force=True; dedup_lsh_jaccard is the measured"
+                    " linear-shuffle scale path."
                 ),
                 "full_total_with_r2_workloads": full_total,
                 "steady_floor_comparable_total": round(

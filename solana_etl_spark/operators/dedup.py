@@ -501,12 +501,33 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+# Guard cap for the exact inverted-index pair miners: ~10× the sf0.1
+# fixture candidate volume (~10 M), ~10% of the measured 50 k-doc Zipf
+# blowup (1.15 B) — fixture/audit runs pass untouched, corpus-scale
+# misuse fails loudly before the pair stream is built.
+MAX_EXACT_NGRAM_CANDIDATES = 100_000_000
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    force: bool = False,
+    max_candidates: int = MAX_EXACT_NGRAM_CANDIDATES,
 ) -> DataFrame:
-    """Exact Jaccard over distinct char n-gram sets via an inverted-index
-    join (explode → join on ngram → count per pair), restricted to pairs
-    sharing (lang, source) to bound the candidate space."""
+    """AUDIT-SCALE ground truth: exact Jaccard with PERFECT RECALL over
+    distinct char n-gram sets via an inverted-index join (explode → join
+    on ngram → count per pair), restricted to pairs sharing
+    (lang, source) to bound the candidate space.
+
+    This is the exact-recall oracle you validate :func:`lsh_jaccard_pairs`
+    against on a sample — NOT a corpus-scale pair miner. Exact-recall
+    mining is intrinsically Σ C(df,2)-bound (see the measurements below),
+    so before building the pair stream this operator estimates that sum
+    with one cheap count-aggregate over the gram table and raises
+    ``ValueError`` above ``max_candidates`` (default 100M — ~10× the
+    sf0.1 fixture volume, ~10% of the measured 50k-doc blowup) unless
+    ``force=True``. Production near-dup paths use
+    :func:`lsh_jaccard_pairs` / :func:`minhash_lsh_drop_set`."""
     # Inverted index as ONE scan: group postings by (ngram, lang, source),
     # expand each posting list's sorted doc pairs per-row, then count per
     # pair — the (pairs × shared-grams) stream partial-aggregates map-side in
@@ -535,7 +556,9 @@ def ngram_jaccard_pairs(
     # ~10 s on the same corpus), trading the recall tail for linear
     # shuffles. Exact-recall pair mining on such corpora is intrinsically
     # the Σ C(df,2) object; no formulation avoids it.
-    scored = _ngram_intersections(documents)
+    scored = _ngram_intersections(
+        documents, force=force, max_candidates=max_candidates
+    )
     return (
         scored.withColumn(
             "jaccard",
@@ -550,17 +573,56 @@ def ngram_jaccard_pairs(
     )
 
 
-def _ngram_intersections(documents: DataFrame) -> DataFrame:
+def _ngram_intersections(
+    documents: DataFrame,
+    force: bool = False,
+    max_candidates: int = MAX_EXACT_NGRAM_CANDIDATES,
+) -> DataFrame:
     """(doc_a, doc_b, n_inter, grams_a, grams_b) for every pair sharing a
     char n-gram within its (lang, source) block — the shared exact core
     of the Jaccard and containment scorers (the score is the only thing
-    that differs)."""
+    that differs).
+
+    Candidate-volume guard: the pair stream this builds is exactly
+    Σ_grams C(df, 2) rows — on hot-gram corpora that explodes far beyond
+    the output (measured 1.15 B candidate rows for 22 true pairs on a
+    50 k-doc Zipf corpus). Unless ``force=True``, the sum is estimated
+    FIRST with one count-only aggregate over the gram stream (no posting
+    arrays materialized — a linear shuffle of (ngram, count) rows, cheap
+    relative to the pair expansion it may avert) and a ``ValueError``
+    names :func:`lsh_jaccard_pairs` as the scale path when the estimate
+    exceeds ``max_candidates``. Pass-through at fixture scale (sf0.1
+    streams ~10 M candidates; the default cap is 100 M), so driver
+    oracles are unaffected."""
     grams = ensure_compute_parallelism(documents).select(
         "doc_id",
         "lang",
         "source",
         F.explode(char_ngrams("text", NGRAM_N)).alias("ngram"),
     )
+    if not force:
+        est = (
+            grams.groupBy("ngram", "lang", "source")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(
+                    F.col("df").cast("double")
+                    * (F.col("df") - 1).cast("double")
+                    / 2.0
+                ).alias("cand")
+            )
+            .first()["cand"]
+        )
+        if est is not None and est > max_candidates:
+            raise ValueError(
+                f"exact n-gram pair mining would stream ~{est:.3g} candidate "
+                f"rows (Σ C(df,2) over the inverted index; cap "
+                f"{max_candidates}). This operator is the audit-scale "
+                "exact-recall ground truth, not a corpus-scale miner — use "
+                "lsh_jaccard_pairs (exact Jaccard values on LSH candidates, "
+                "linear shuffles) or minhash_lsh_drop_set for production "
+                "dedup, or pass force=True to run the audit anyway."
+            )
     # per-doc set size from the (already-distinct) gram array BEFORE the
     # explode: a per-row projection over the narrow documents scan, instead
     # of re-aggregating the exploded gram stream (removes one shuffle over
@@ -587,7 +649,10 @@ CONTAINMENT_THRESHOLD = 0.8
 
 
 def ngram_containment_pairs(
-    documents: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+    documents: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    force: bool = False,
+    max_candidates: int = MAX_EXACT_NGRAM_CANDIDATES,
 ) -> DataFrame:
     """Asymmetric near-dup detection: pairs where the SMALLER document's
     gram set is ≥ ``threshold`` contained in the pair's intersection —
@@ -601,8 +666,13 @@ def ngram_containment_pairs(
     containment score over the same machinery, and deliberately NOT
     LSH-seeded (minhash bands are tuned for Jaccard; a small-in-big pair
     rarely collides, so LSH candidates would miss exactly the pairs this
-    operator exists for)."""
-    scored = _ngram_intersections(documents)
+    operator exists for). Shares :func:`_ngram_intersections`'s
+    Σ C(df,2) candidate-volume guard (``force=True`` overrides) — there
+    is no LSH fallback for containment, so above the cap the remedy is
+    sharding the corpus or raising ``max_candidates`` deliberately."""
+    scored = _ngram_intersections(
+        documents, force=force, max_candidates=max_candidates
+    )
     return (
         scored.withColumn(
             "containment",

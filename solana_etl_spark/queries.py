@@ -1521,6 +1521,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT-SCALE exact-recall Jaccard ground truth (operators/dedup.py
+    ngram_jaccard_pairs): the oracle you validate dedup_lsh_jaccard's
+    recall against on a sample — NOT a corpus-scale miner. Its pair
+    stream is Σ C(df,2)-bound, and the operator now raises above a 100M
+    candidate estimate unless force=True (pass-through here: the sf0.1
+    fixture streams ~10M). Production near-dup paths: dedup_lsh_jaccard
+    / CorpusPipeline.dedup_near's drop set."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 

@@ -1231,6 +1231,38 @@ def test_containment_catches_small_in_big(spark):
     assert jac[(0, 1)] < 0.2  # the union dilution containment fixes
 
 
+def test_exact_ngram_guard_raises_on_hot_gram_corpus(spark):
+    """The exact inverted-index pair miners are Σ C(df,2)-bound by
+    contract — above the candidate cap they must FAIL LOUDLY (naming
+    lsh_jaccard_pairs as the scale path) instead of silently building a
+    quadratic candidate stream; force=True runs the audit anyway."""
+    import pytest
+
+    from solana_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # 60 docs all sharing the same hot text: every gram has df=60, so the
+    # candidate estimate is >= C(60,2) = 1770 per gram — far above cap=1000
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog", "en", "s")
+         for i in range(60)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    with pytest.raises(ValueError, match="lsh_jaccard_pairs"):
+        ngram_jaccard_pairs(docs, max_candidates=1000).collect()
+    with pytest.raises(ValueError, match="force=True"):
+        ngram_containment_pairs(docs, max_candidates=1000).collect()
+    # force=True overrides and still produces exact values
+    forced = ngram_jaccard_pairs(docs, max_candidates=1000, force=True)
+    rows = forced.collect()
+    assert len(rows) == 60 * 59 // 2 and all(r.jaccard == 1.0 for r in rows)
+    # pass-through below the cap: identical corpus, generous cap, no raise
+    ok = ngram_jaccard_pairs(docs, max_candidates=10_000_000).collect()
+    assert len(ok) == len(rows)
+
+
 def test_strip_duplicated_spans_removes_and_conserves(spark):
     """Strip drops exactly the span-covered tokens, keeps order, and
     leaves span-free documents untouched."""
