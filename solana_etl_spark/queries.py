@@ -7043,6 +7043,349 @@ def pipeline_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer family — the second tokenizer
+# next to BPE. Cross-engine exactness rests on 9-decimal DECIMAL piece
+# costs: every Viterbi DP sum/comparison is exact decimal arithmetic in
+# both engines, and the DuckDB oracle runs the SAME shortest-path DP as an
+# unrolled CTE chain (positions 1.._UNI_W) + a recursive backtrace.
+# ---------------------------------------------------------------------------
+
+# Frozen vocabulary artifact for text_unigram_encode: trained ONCE with
+# operators/unigram.py:train_unigram_vocab on the sf0.001 documents sample
+# (seed 64, vocab 48, 2 hard-EM iters, pieces <= 4 chars) and frozen — the
+# production shape (train on a bounded sample, ship the vocabulary).
+_UNIGRAM_VOCAB: list[tuple[str, str]] = [
+    ("a", "1.346957776"), ("agg", "1.931227285"), ("al", "1.957043849"),
+    ("alu", "1.932596580"), ("as", "1.945118484"), ("at", "1.653602440"),
+    ("b", "1.478474140"), ("c", "1.474157538"), ("co", "1.919981331"),
+    ("d", "1.944178453"), ("e", "1.038805627"), ("er", "1.947950850"),
+    ("f", "1.647869096"), ("g", "1.469568485"), ("h", "1.346127725"),
+    ("i", "1.653362033"), ("in", "1.635700566"), ("j", "1.939044337"),
+    ("k", "1.641976272"), ("l", "1.248980846"), ("lumn", "1.919981331"),
+    ("m", "1.650965258"), ("mer", "1.649295352"), ("n", "4.910320186"),
+    ("o", "1.649057317"), ("or", "1.941370505"), ("orde", "1.921315570"),
+    ("ow", "1.468939301"), ("p", "4.910320186"), ("par", "1.951278793"),
+    ("part", "1.926693898"), ("q", "1.939973309"), ("r", "1.342823294"),
+    ("ro", "1.939973309"), ("s", "1.474316650"), ("scan", "1.917325087"),
+    ("sort", "1.921761229"), ("st", "1.475591644"), ("t", "1.469725924"),
+    ("ta", "1.954632435"), ("u", "1.961418425"), ("ue", "1.939973309"),
+    ("up", "1.926693898"), ("v", "1.635931390"), ("w", "4.910320186"),
+    ("wind", "1.920870368"), ("y", "1.636393405"),
+]
+
+# DP unroll depth for the oracle: fixture max word length is 8 (checked at
+# all three sf); 16 leaves drift headroom. The Spark operator itself is
+# length-unbounded (sequence-driven fold) — this cap is oracle-only.
+_UNI_W = 16
+
+
+def _uni_base_sql() -> str:
+    """Shared CTEs: the (word, freq) table, the substring-candidate
+    relation, and the single-char table — the same normalization as
+    operators/vocab.py:word_freq_table (lower, split \\s+, drop '')."""
+    from solana_etl_spark.operators.unigram import MAX_PIECE_LEN
+
+    return f"""
+    uniw AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ) GROUP BY word
+    ),
+    unic AS MATERIALIZED (
+        SELECT w.word, w.freq, s.s, j.j, substr(w.word, s.s, j.j) AS piece
+        FROM uniw w
+        JOIN (SELECT unnest(generate_series(1, {_UNI_W})) AS s) s
+             ON s.s <= len(w.word)
+        JOIN (SELECT unnest(generate_series(1, {MAX_PIECE_LEN})) AS j) j
+             ON j.j <= least({MAX_PIECE_LEN}, len(w.word) - s.s + 1)
+    ),
+    unichars AS MATERIALIZED (SELECT DISTINCT piece FROM unic WHERE j = 1)
+    """
+
+
+def _uni_seg_sql(prefix: str, words_cte: str, cand_cte: str,
+                 vocab_cte: str) -> str:
+    """CTE chain segmenting every word of ``words_cte`` under the costs in
+    ``vocab_cte``: edges (vocab pieces + fixed-cost single-char fallback),
+    unrolled min-cost DP over end positions 1.._UNI_W (ties: longer piece),
+    recursive backpointer trace. Emits ``{prefix}seg(word, toks)``."""
+    from solana_etl_spark.operators.unigram import UNK_COST
+
+    parts = [f"""
+    {prefix}e AS MATERIALIZED (
+        SELECT c.word, c.s, c.j,
+               COALESCE(v.cost, CAST('{UNK_COST}' AS DECIMAL(12,9))) AS cost
+        FROM {cand_cte} c LEFT JOIN {vocab_cte} v ON v.piece = c.piece
+        WHERE v.piece IS NOT NULL OR c.j = 1
+    )""", f"""
+    {prefix}b0 AS MATERIALIZED (
+        SELECT word, 0 AS pos, CAST(0 AS DECIMAL(28,9)) AS cost, 0 AS back
+        FROM {words_cte}
+    )"""]
+    for k in range(1, _UNI_W + 1):
+        parts.append(f"""
+    {prefix}b{k} AS MATERIALIZED (
+        SELECT * FROM {prefix}b{k - 1}
+        UNION ALL
+        SELECT word, pos, cost, back FROM (
+            SELECT b.word, {k} AS pos,
+                   CAST(b.cost + e.cost AS DECIMAL(28,9)) AS cost,
+                   e.j AS back,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.word
+                       ORDER BY b.cost + e.cost ASC, e.j DESC) AS rn
+            FROM {prefix}b{k - 1} b
+            JOIN {prefix}e e ON e.word = b.word AND e.s = b.pos + 1
+                 AND b.pos + e.j = {k}
+        ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    {prefix}tr AS (
+        SELECT word, len(word) AS pos, CAST([] AS VARCHAR[]) AS toks
+        FROM {words_cte}
+        UNION ALL
+        SELECT t.word, t.pos - b.back,
+               list_prepend(substr(t.word, t.pos - b.back + 1, b.back),
+                            t.toks)
+        FROM {prefix}tr t
+        JOIN {prefix}b{_UNI_W} b ON b.word = t.word AND b.pos = t.pos
+        WHERE t.pos > 0
+    )""")
+    parts.append(f"""
+    {prefix}seg AS (SELECT word, toks FROM {prefix}tr WHERE pos = 0)""")
+    return ",".join(parts)
+
+
+def _uni_cost_sql(name: str, counts_cte: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT piece,
+               CAST(ROUND(-log10(CAST(cnt AS DOUBLE) / t.total), 9)
+                    AS DECIMAL(12,9)) AS cost
+        FROM {counts_cte},
+             (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM {counts_cte}) t
+    )"""
+
+
+def _uni_vocab_oracle() -> str:
+    from solana_etl_spark.operators.unigram import (
+        N_ITERS,
+        SEED_SIZE,
+        VOCAB_SIZE,
+    )
+
+    seed = f"""
+    seedc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+              FROM unic GROUP BY piece),
+    seedsel AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+            FROM seedc WHERE len(piece) > 1) WHERE rn <= {SEED_SIZE}
+        UNION ALL
+        SELECT piece, cnt FROM seedc WHERE len(piece) = 1
+    )"""
+    em = [_uni_cost_sql("uvocab0", "seedsel")]
+    for i in range(N_ITERS):
+        pf = f"em{i}"
+        em.append(_uni_seg_sql(pf, "uniw", "unic", f"uvocab{i}"))
+        em.append(f"""
+    {pf}cnt AS (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT w.freq, unnest(s.toks) AS piece
+            FROM {pf}seg s JOIN uniw w ON w.word = s.word
+        ) GROUP BY piece
+    ),
+    {pf}next AS (
+        SELECT piece, cnt FROM {pf}cnt WHERE len(piece) > 1
+        UNION ALL
+        SELECT c.piece,
+               CAST(GREATEST(COALESCE(ct.cnt, 0), 1) AS BIGINT) AS cnt
+        FROM unichars c LEFT JOIN {pf}cnt ct ON ct.piece = c.piece
+    )""")
+        if i + 1 < N_ITERS:
+            em.append(_uni_cost_sql(f"uvocab{i + 1}", f"{pf}next"))
+    last = f"em{N_ITERS - 1}next"
+    return f"""
+    WITH RECURSIVE {_uni_base_sql()}, {seed}, {",".join(em)},
+    ufinal AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+            FROM {last} WHERE len(piece) > 1) WHERE rn <= {VOCAB_SIZE}
+        UNION ALL
+        SELECT piece, cnt FROM {last} WHERE len(piece) = 1
+    )
+    SELECT piece, cnt,
+           ROUND(-log10(CAST(cnt AS DOUBLE) / t.total), 9) AS cost
+    FROM ufinal,
+         (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM ufinal) t
+    """
+
+
+@_register("text_unigram_vocab", _uni_vocab_oracle(), local_only=True)
+def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (operators/unigram.py
+    train_unigram_vocab — Kudo 2018 / SentencePiece, hard-EM variant):
+    substring seed vocabulary -> 2 Viterbi-EM rounds over the Zipf-bounded
+    (word, freq) table -> prune to top pieces + all chars, renormalized.
+    The bounded vocabulary is the only driver state per round (the BPE /
+    k-means contract); the Viterbi E-step is a per-row DECIMAL-exact DP
+    fold, no Python. Cross-engine: the DuckDB oracle replays the entire
+    training — seed selection, both EM rounds (unrolled DP + recursive
+    backtrace), pruning — bit-exactly, which the 9-decimal DECIMAL cost
+    quantization makes possible. local_only: driver cap."""
+    from solana_etl_spark.operators.unigram import train_unigram_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_unigram_vocab(docs).select(
+        "piece", F.col("cnt").cast("long").alias("cnt"), "cost"
+    )
+
+
+def _uni_encode_oracle() -> str:
+    vocab_vals = ", ".join(
+        f"('{p}', CAST('{c}' AS DECIMAL(12,9)))" for p, c in _UNIGRAM_VOCAB
+    )
+    seg = _uni_seg_sql("enc", "uniw", "unic", "encv")
+    return f"""
+    WITH RECURSIVE {_uni_base_sql()},
+    encv(piece, cost) AS (VALUES {vocab_vals}),
+    {seg},
+    encw AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    encd AS (
+        SELECT doc_id, flatten(list(toks ORDER BY pos)) AS toks
+        FROM encw JOIN encseg USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(COALESCE(len(e.toks), 0) AS BIGINT) END AS n_tokens,
+           CASE WHEN d.text IS NULL THEN ''
+                ELSE array_to_string(COALESCE(e.toks, [])[1:8], ' ')
+           END AS tok_prefix,
+           ROUND(d.n_chars / CAST(NULLIF(
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(len(e.toks), 0) END, 0) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM documents d LEFT JOIN encd e USING (doc_id)
+    """
+
+
+@_register("text_unigram_encode", _uni_encode_oracle(), local_only=True)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the shipped unigram-LM vocabulary
+    (operators/unigram.py:encode_unigram): Viterbi min-cost segmentation
+    runs once per DISTINCT word (Zipf-bounded), segments join back to the
+    in-order word stream and reassemble per document — two linear
+    shuffles, zero Python, OOV chars via the fixed-cost fallback. Same
+    output shape as text_bpe_encode (count / prefix / compression).
+    Cross-engine: DuckDB replays the DP exactly (DECIMAL costs).
+    local_only: driver cap."""
+    from decimal import Decimal
+
+    from solana_etl_spark.operators.unigram import encode_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encode_unigram(docs, [(p, Decimal(c)) for p, c in _UNIGRAM_VOCAB])
+    n_tokens = F.size("unigram_tokens").cast("long")
+    return enc.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.concat_ws(" ", F.slice("unigram_tokens", 1, 8)).alias("tok_prefix"),
+        F.round(F.col("n_chars") / n_tokens, 6).alias("chars_per_token"),
+    )
+
+
+def _uni_pack_oracle() -> str:
+    b = _BPE_PACK_BUDGET
+    vocab_vals = ", ".join(
+        f"('{p}', CAST('{c}' AS DECIMAL(12,9)))" for p, c in _UNIGRAM_VOCAB
+    )
+    seg = _uni_seg_sql("upk", "uniw", "unic", "upkv")
+    return f"""
+    WITH RECURSIVE {_uni_base_sql()},
+    upkv(piece, cost) AS (VALUES {vocab_vals}),
+    {seg},
+    upkw AS (
+        SELECT doc_id, lang, unnest(ws) AS word
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    upkd AS (
+        SELECT w.doc_id, ANY_VALUE(w.lang) AS lang,
+               CAST(SUM(len(s.toks)) AS BIGINT) AS n_tokens
+        FROM upkw w JOIN upkseg s USING (word) GROUP BY w.doc_id
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS e
+        FROM upkd
+    ),
+    ex AS (
+        SELECT lang, doc_id, n_tokens, e - n_tokens AS s, e,
+               unnest(generate_series(CAST((e - n_tokens) // {b} AS BIGINT),
+                                      CAST((e - 1) // {b} AS BIGINT)))
+                   AS seq_id
+        FROM cum WHERE n_tokens > 0
+    )
+    SELECT lang, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           seq_id,
+           CAST(greatest(s, seq_id * {b}) - seq_id * {b} AS BIGINT)
+               AS seq_offset,
+           CAST(least(e, seq_id * {b} + {b}) - greatest(s, seq_id * {b})
+                AS BIGINT) AS tokens_in_seq
+    FROM ex
+    """
+
+
+@_register("pipeline_unigram_pack", _uni_pack_oracle(), local_only=True)
+def pipeline_unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer->packing composite on the unigram-LM family: encode the
+    corpus with the shipped unigram vocabulary, then pack the REAL token
+    counts into fixed 2048-token training sequences per language
+    (operators/packing.py:pack_sequences) — the pipeline_bpe_pack
+    counterpart proving the second tokenizer chains into the same
+    downstream accounting. One pack-window shuffle on top of the encode's
+    two linear ones. local_only: driver cap."""
+    from decimal import Decimal
+
+    from solana_etl_spark.operators.packing import pack_sequences
+    from solana_etl_spark.operators.unigram import encode_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = encode_unigram(docs, [(p, Decimal(c)) for p, c in _UNIGRAM_VOCAB])
+    packed = pack_sequences(
+        enc,
+        budget=_BPE_PACK_BUDGET,
+        group_cols=("lang",),
+        order_col="doc_id",
+        n_tokens=F.size("unigram_tokens"),
+    )
+    return packed.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+        "tokens_in_seq",
+    )
+
+
 @_register(
     "pack_efficiency_report",
     f"""
