@@ -200,3 +200,35 @@ def _open(fp) -> PngImage:
         ]
         channels = 3
     return PngImage(width, height, channels, rows)
+
+
+def encode_gray(width: int, height: int, data: bytes) -> bytes:
+    """Minimal grayscale-8 PNG writer (filter 0, one IDAT) — the encode
+    half the synthetic image fixtures use so the decoder's production
+    path gets exercised on REAL spec-conformant payloads. ``data`` is
+    row-major, one byte per pixel, ``width * height`` long."""
+    import binascii
+
+    if len(data) != width * height:
+        raise ValueError(
+            f"png: payload is {len(data)} bytes, expected {width * height}"
+        )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", binascii.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + data[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )

@@ -385,10 +385,36 @@ def simhash_pairs(
     sf0.1 on dup-heavy data, and risked a single giant array per hot bucket;
     the join streams hot buckets instead).
     """
+    s = simhash(documents, bits)
+    return banded_hamming_pairs(
+        s, "doc_id", "simhash", bits, bands, max_hamming
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """The signature-agnostic core of :func:`simhash_pairs`: (id_a, id_b,
+    hamming ≤ max_hamming) pairs over ANY integer-signature column
+    (simhash, image dHash, …) via multi-band hamming-LSH with exact
+    ``bit_count(xor)`` verification. Exactly the all-pairs answer when
+    ``max_hamming < bands`` (pigeonhole); codegen band-key self-join,
+    first-colliding-band emission — no distinct() over the pair stream."""
     assert max_hamming < bands, "banded hamming-LSH is exact only if bands > max_hamming"
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    s = simhash(documents, bits)
+    s = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    )
 
     def _side(doc: str, sim: str) -> DataFrame:
         return s.select(
@@ -397,7 +423,7 @@ def simhash_pairs(
                     *[
                         F.struct(
                             F.lit(i).alias("band"),
-                            F.shiftright("simhash", i * band_bits)
+                            F.shiftright("_sig", i * band_bits)
                             .bitwiseAND(F.lit(mask))
                             .alias("band_val"),
                         )
@@ -405,13 +431,13 @@ def simhash_pairs(
                     ]
                 )
             ).alias("bb"),
-            F.col("doc_id").alias(doc),
-            F.col("simhash").alias(sim),
+            F.col("_id").alias(doc),
+            F.col("_sig").alias(sim),
         ).select("bb.band", "bb.band_val", doc, sim)
 
-    joined = _side("doc_a", "sim_a").join(
-        _side("doc_b", "sim_b"), ["band", "band_val"]
-    ).filter(F.col("doc_a") < F.col("doc_b"))
+    joined = _side("id_a", "sim_a").join(
+        _side("id_b", "sim_b"), ["band", "band_val"]
+    ).filter(F.col("id_a") < F.col("id_b"))
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     hamming = F.bit_count(xor)
     # emit each pair only from its FIRST colliding band (every earlier band
@@ -426,7 +452,7 @@ def simhash_pairs(
         cond = (F.col("band") <= j) | differs_j
         first_band_only = cond if first_band_only is None else first_band_only & cond
     return joined.filter(first_band_only & (hamming <= max_hamming)).select(
-        "doc_a", "doc_b", hamming.alias("hamming")
+        "id_a", "id_b", hamming.alias("hamming")
     )
 
 

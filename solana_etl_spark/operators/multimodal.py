@@ -349,3 +349,96 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             )
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image dedup — the multimodal member of the
+# dedup family, computed from REAL decoded pixels (functions/png.py).
+# ---------------------------------------------------------------------------
+
+# 6 grid rows × 11 grid cols → 6·10 = 60 horizontal-gradient comparisons:
+# a 60-bit signature, BIGINT-safe in both engines and band-compatible with
+# the existing 15-bit×4 banded Hamming-LSH (operators/dedup.py
+# banded_hamming_pairs — the simhash constants apply unchanged).
+DHASH_GRID_ROWS = 6
+DHASH_GRID_COLS = 11
+
+
+def _dhash_from_gray(width: int, height: int, gray: bytes) -> int:
+    """60-bit dHash of a grayscale pixel buffer. Cell means are compared
+    as EXACT cross-multiplied rationals (sum_r·n_l > sum_l·n_r), so the
+    hash is integer-exact for arbitrary dimensions — no float resize, and
+    the DuckDB oracle reproduces it bit-for-bit from the ground-truth
+    pixel array. Bit r·10+c is 1 iff cell (r, c+1) is strictly brighter
+    than cell (r, c) — the classic horizontal-gradient dHash."""
+    import numpy as np
+
+    gr, gc = DHASH_GRID_ROWS, DHASH_GRID_COLS
+    px = (
+        np.asarray(gray, dtype=np.int64)
+        if isinstance(gray, np.ndarray)
+        else np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+    )
+    ys, xs = np.divmod(np.arange(width * height, dtype=np.int64), width)
+    cell = (ys * gr // height) * gc + (xs * gc // width)
+    sums = np.bincount(cell, weights=px, minlength=gr * gc).astype(np.int64)
+    ns = np.bincount(cell, minlength=gr * gc).astype(np.int64)
+    s = sums.reshape(gr, gc)
+    n = ns.reshape(gr, gc)
+    bits = (s[:, 1:] * n[:, :-1]) > (s[:, :-1] * n[:, 1:])
+    idx = np.arange(gr * (gc - 1), dtype=np.uint64)
+    return int((bits.reshape(-1).astype(np.uint64) << idx).sum())
+
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """(media_id, dhash): Arrow-batched ``mapInPandas`` kernel decoding
+    each PNG payload with the vendored codec (the REAL decode path — a
+    corrupt payload raises ValueError into pipeline error isolation) and
+    reducing it to the 60-bit gradient signature. RGB payloads reduce to
+    integer-exact luma via the plain channel sum (deterministic, no
+    float weights). Input needs (media_id, payload) columns."""
+    import io
+
+    from solana_etl_spark.functions import png
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                with png.open(io.BytesIO(bytes(payload))) as im:
+                    buf = im.tobytes()
+                    if im.channels > 1:
+                        a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+                        # channel-sum luma: ints, no float weights
+                        buf = a.reshape(-1, im.channels)[:, :3].sum(axis=1)
+                    h = _dhash_from_gray(im.width, im.height, buf)
+                out.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        hash_batches, schema="media_id long, dhash long"
+    )
+
+
+def dhash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs (img_a < img_b, hamming ≤ max_hamming):
+    dHash signatures from real pixel decode, pairs via the shared banded
+    Hamming-LSH (exact by pigeonhole for max_hamming < 4). The decode
+    kernel is the only Python stage; pair mining stays codegen."""
+    from solana_etl_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = dhash_images(media)
+    return banded_hamming_pairs(
+        sigs, "media_id", "dhash", bits=60, bands=4, max_hamming=max_hamming
+    ).select(
+        F.col("id_a").alias("img_a"),
+        F.col("id_b").alias("img_b"),
+        "hamming",
+    )

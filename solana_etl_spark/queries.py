@@ -103,9 +103,13 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracle_sql() -> dict[str, str]:
-    from solana_etl_spark.sources.synth import ensure_e2e_corpus
+    from solana_etl_spark.sources.synth import (
+        ensure_e2e_corpus,
+        ensure_images_table,
+    )
 
     ensure_e2e_corpus()
+    ensure_images_table()  # mm_phash_dedup's oracle reads it directly
     return {**_ORACLES, **_LOCAL_ORACLES}
 
 
@@ -3388,6 +3392,79 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_report(documents_as_media(_t(spark, sf_dir, "documents")))
+
+
+def _phash_oracle() -> str:
+    """Ground-truth dHash pairs from the PIXEL ARRAY (the Spark side hashes
+    from the PNG payload through the real decoder — the payload/pixels
+    pairing in the synthetic table is the cross-check of the decode path):
+    integer cell sums on the 6x11 grid, exact cross-multiplied mean
+    comparisons, then the brute-force all-pairs hamming definition the
+    banded-LSH plan provably equals (pigeonhole, max_hamming 3 < 4 bands)."""
+    from solana_etl_spark.operators.multimodal import (
+        DHASH_GRID_COLS,
+        DHASH_GRID_ROWS,
+    )
+    from solana_etl_spark.sources.synth import (
+        IMAGES_VERSION,
+        N_IMAGES,
+        _tables_root,
+    )
+
+    d = f"{_tables_root()}/img_v{IMAGES_VERSION}_{N_IMAGES}"
+    gr, gc = DHASH_GRID_ROWS, DHASH_GRID_COLS
+    return f"""
+    WITH pix AS (
+        SELECT img_id, width, height,
+               generate_subscripts(pixels, 1) - 1 AS i, unnest(pixels) AS px
+        FROM read_parquet('{d}/images.parquet')
+    ),
+    cells AS (
+        SELECT img_id,
+               ((i // width) * {gr}) // height AS gy,
+               ((i % width) * {gc}) // width AS gx,
+               CAST(SUM(px) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pix GROUP BY img_id, gy, gx
+    ),
+    bits AS (
+        SELECT l.img_id, (l.gy * {gc - 1} + l.gx) AS idx,
+               CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+        FROM cells l JOIN cells r
+          ON r.img_id = l.img_id AND r.gy = l.gy AND r.gx = l.gx + 1
+    ),
+    h AS (
+        SELECT img_id,
+               CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << idx))
+                    AS BIGINT) AS dhash
+        FROM bits GROUP BY img_id
+    )
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+    FROM h a JOIN h b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """
+
+
+@_register("mm_phash_dedup", _phash_oracle(), local_only=True)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL decoded pixels: the synthetic
+    image table (sources/synth.py ensure_images_table — real PNG payloads
+    + ground-truth pixel arrays) flows through the Arrow-batched decode
+    kernel (operators/multimodal.py dhash_images, vendored codec), each
+    image reduces to a 60-bit gradient dHash, and near-dup pairs come
+    from the shared banded Hamming-LSH (operators/dedup.py
+    banded_hamming_pairs — exact by pigeonhole). The oracle recomputes
+    everything from the PIXEL ARRAYS, so a decode divergence anywhere in
+    the PNG path fails the value hash. local_only: driver cap."""
+    from solana_etl_spark.operators.multimodal import dhash_pairs
+    from solana_etl_spark.sources.synth import ensure_images_table
+
+    d = ensure_images_table()
+    media = spark.read.parquet(f"{d}/images.parquet").select(
+        F.col("img_id").alias("media_id"), "payload"
+    )
+    return dhash_pairs(media)
+
 
 
 def _e2e_oracle() -> str:

@@ -475,3 +475,92 @@ def ensure_sf_tables(
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Synthetic image fixtures (real PNG payloads + ground-truth pixel arrays)
+# ---------------------------------------------------------------------------
+
+IMAGES_VERSION = 2
+N_IMAGES = 400
+# dims are free-form for the dHash operator (cell comparisons are exact
+# cross-multiplied rational means); varied here to exercise that path
+_IMG_DIMS = [(22, 12), (33, 18), (44, 24), (30, 20)]
+
+
+def _synth_image(img_id: int, prev: tuple | None):
+    """Deterministic grayscale image; every 20th is a small perturbation
+    of the previous one (near-dup for the perceptual-hash family), every
+    100th an exact copy."""
+    rng = random.Random(f"img-{IMAGES_VERSION}-{img_id}")
+    if img_id % 100 == 99 and prev is not None:
+        w, h, px = prev
+        return w, h, list(px)
+    if img_id % 20 == 19 and prev is not None:
+        w, h, px = prev
+        px = list(px)
+        for _ in range(rng.randint(1, 4)):
+            i = rng.randrange(len(px))
+            px[i] = max(0, min(255, px[i] + rng.randint(-3, 3)))
+        return w, h, px
+    w, h = rng.choice(_IMG_DIMS)
+    # smooth per-image gradient (random direction/phase — unrelated images
+    # get distinct hashes) + noise small enough that near-dup perturbations
+    # rarely flip a cell comparison
+    a, b, p0 = rng.randrange(3, 17), rng.randrange(3, 17), rng.randrange(256)
+    px = [
+        (p0 + x * a + y * b + rng.randrange(64)) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    return w, h, px
+
+
+def ensure_images_table(
+    n_images: int = N_IMAGES, root: str | None = None
+) -> str:
+    """Generate images.parquet — (img_id, payload REAL PNG bytes, pixels
+    ground-truth grayscale array, width, height) — if absent; atomic +
+    idempotent like :func:`ensure_sf_tables`. The payload/pixels pairing
+    is what lets the dHash gate row cross-check the REAL decode path:
+    Spark hashes from the payload (vendored PNG decode), the DuckDB
+    oracle from the pixel array."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from solana_etl_spark.functions.png import encode_gray
+
+    root = root or _tables_root()
+    out = os.path.join(root, f"img_v{IMAGES_VERSION}_{n_images}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+
+    rows = []
+    prev = None
+    for img_id in range(n_images):
+        w, h, px = _synth_image(img_id, prev)
+        prev = (w, h, px)
+        rows.append((img_id, encode_gray(w, h, bytes(px)), px, w, h))
+    pq.write_table(
+        pa.table(
+            {
+                "img_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "pixels": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+                "width": pa.array([r[3] for r in rows], pa.int32()),
+                "height": pa.array([r[4] for r in rows], pa.int32()),
+            }
+        ),
+        os.path.join(tmp, "images.parquet"),
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

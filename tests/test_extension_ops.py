@@ -1281,3 +1281,65 @@ def test_strip_duplicated_spans_removes_and_conserves(spark):
     assert out[1].text_stripped == "four five six seven"
     assert out[2].n_dup_tokens == 0
     assert out[2].text_stripped == rows[2][1]
+
+
+def test_dhash_from_real_png_payloads(spark):
+    """dHash pipeline over REAL PNG payloads: hashes must equal the
+    ground-truth computation from the raw pixels, exact/near dups must
+    pair up, distinct images must not, and a corrupt payload must raise
+    (error contract, not a fake hash)."""
+    import pytest
+
+    from solana_etl_spark.functions.png import encode_gray
+    from solana_etl_spark.operators.multimodal import (
+        _dhash_from_gray,
+        dhash_images,
+        dhash_pairs,
+    )
+
+    w, h = 22, 12
+    base = bytes((x * 5 + y * 9) % 256 for y in range(h) for x in range(w))
+    near = bytearray(base)
+    near[7] = max(0, near[7] - 2)  # tiny perturbation
+    other = bytes((255 - x * 11 - y * 3) % 256 for y in range(h) for x in range(w))
+    rows = [
+        (0, bytearray(encode_gray(w, h, base))),
+        (1, bytearray(encode_gray(w, h, base))),        # exact dup
+        (2, bytearray(encode_gray(w, h, bytes(near)))),  # near dup
+        (3, bytearray(encode_gray(w, h, other))),        # distinct
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["dhash"] for r in dhash_images(media).collect()}
+    assert got[0] == _dhash_from_gray(w, h, base)  # decode == ground truth
+    assert got[0] == got[1]
+    assert bin(got[0] ^ got[2]).count("1") <= 3
+    assert 0 <= got[3] < 1 << 60
+    pairs = {
+        (r["img_a"], r["img_b"]): r["hamming"]
+        for r in dhash_pairs(media).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+    # corrupt payload -> ValueError from the real decoder, not a hash
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\x89PNG not really"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="png"):
+        dhash_images(bad).collect()
+
+
+def test_dhash_rgb_and_odd_dims(spark):
+    """Non-divisible dims (cross-multiplied exact means) and RGB payloads
+    (integer channel-sum luma) both hash deterministically."""
+    from solana_etl_spark.operators.multimodal import _dhash_from_gray
+
+    # 13x7: no dimension divisible by the 11x6 grid
+    w, h = 13, 7
+    px = bytes((x * 3 + y * 5) % 256 for y in range(h) for x in range(w))
+    h1 = _dhash_from_gray(w, h, px)
+    h2 = _dhash_from_gray(w, h, px)
+    assert h1 == h2 and 0 <= h1 < 1 << 60
+    # monotone rows: every right cell is brighter -> all 60 bits set
+    inc = bytes(min(255, x * 19) for y in range(6) for x in range(11))
+    assert _dhash_from_gray(11, 6, inc) == (1 << 60) - 1
