@@ -8727,6 +8727,90 @@ def _materialize_and_clean(df: DataFrame, work_dir: str) -> DataFrame:
     return pinned
 
 
+def _stream_corpus_pipeline_oracle() -> str:
+    """Batch-equivalent of the streaming cleaning chain: quality filter
+    FIRST (the CorpusPipeline stage order), then exact keepers / LSH pairs
+    over the quality-filtered corpus, then n-gram decontamination vs the
+    src19 eval slice. Safe to compute pairs over the pre-exact-dedup set:
+    exact copies share every LSH band with their keeper, so dropping
+    non-keepers never changes a bucket minimum (survivor-set invariant)."""
+    n = 5
+    toks = _TOKENS_SQL
+    gram_hash = hash64_sql(f"array_to_string(toks[i:i+{n - 1}], ' ')")
+    return f"""
+    WITH qdocs AS (
+        SELECT * FROM documents
+        WHERE source <> 'src19' AND {_quality_cond_sql()}
+    ),
+    {_clean_corpus_ctes("qdocs")},
+    g AS (
+        SELECT doc_id, source,
+               list_distinct([ {gram_hash}
+                   for i in generate_series(1, greatest(len(toks) - {n - 1}, 0)) ]) AS grams
+        FROM (SELECT doc_id, source, {toks} AS toks FROM documents)
+    ),
+    probe AS (SELECT DISTINCT unnest(grams) AS gh FROM g
+              WHERE source = 'src19'),
+    contam AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gh FROM g
+              WHERE source <> 'src19') t
+        JOIN probe USING (gh)
+    )
+    SELECT d.doc_id, d.lang, d.source FROM qdocs d
+    WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+      AND d.doc_id NOT IN (SELECT doc_b FROM pairs)
+      AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    """
+
+
+@_register(
+    "stream_corpus_pipeline", _stream_corpus_pipeline_oracle(), local_only=True
+)
+def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL CorpusPipeline cleaning chain (quality -> exact dedup ->
+    LSH near-dedup -> n-gram decontamination) as a REAL Structured-
+    Streaming run (streaming/corpus_stream.py): the corpus streams
+    through twice (two files, two foreachBatch micro-batches) against
+    the persisted dedup index, so the first pass must equal the batch
+    pipeline's output and the re-ingest pass must add zero rows —
+    stream-equals-batch for the whole capstone composition, not just the
+    dedup stage. Eval slice (src19) is static model-side state. The
+    oracle is the batch-SQL pipeline. local_only: streaming state dirs
+    are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.corpus_stream import (
+        start_streaming_corpus_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src19")
+    eval_docs = docs.filter(F.col("source") == "src19")
+    work = tempfile.mkdtemp(prefix="gate_stream_corpus_")
+    for p in ("a", "b"):
+        corpus.coalesce(1).write.mode("overwrite").parquet(f"{work}/src/{p}")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*/*.parquet")
+    )
+    q = start_streaming_corpus_pipeline(
+        spark,
+        stream,
+        eval_docs,
+        survivors_dir=f"{work}/out",
+        index_dir=f"{work}/idx",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    return _materialize_and_clean(
+        spark.read.parquet(f"{work}/out").select("doc_id", "lang", "source"),
+        work,
+    )
+
+
+
 @_register(
     "stream_attribution_view",
     """
