@@ -198,6 +198,7 @@ def main() -> None:
     # output-bound, and rows_big/rows_small says how much of the time
     # growth the output itself explains.
     scaling_up: dict[str, dict] = {}
+    scaling_up2: dict[str, dict] = {}
     HEAVY_UP = [
         "dedup_exact",
         "dedup_minhash_lsh_pairs",
@@ -216,6 +217,7 @@ def main() -> None:
         "ann_ivf_assign",
         "s8_cluster_safe_split",
         "pipeline_cluster_pack",
+        "text_unigram_encode",
     ]
     if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
         try:
@@ -247,6 +249,44 @@ def main() -> None:
                         math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
                     ),
                 }
+            # third decade (sf1 -> sf10, ~500k docs) for the LINEAR-path
+            # family only: distinguishes constant-factor noise from creep
+            # on the queries whose sf0.1->sf1 exponents were fine-but-not-
+            # obviously-flat. Single cold run per query (no warm pass —
+            # at 100s+ runtimes the JIT/page-cache warmup is amortized and
+            # a second pass would double bench wall-clock); exponent is
+            # computed against scaling_up's measured t_big.
+            LINEAR_UP = [
+                "dedup_exact",
+                "dedup_minhash_lsh_pairs",
+                "dedup_lsh_jaccard",
+                "dedup_clusters",
+                "pipeline_pretrain_e2e",
+                "s8_cluster_safe_split",
+            ]
+            huge_t = ensure_sf_tables(500000, 200000)
+            for name in LINEAR_UP:
+                base = scaling_up.get(name)
+                if base is None:
+                    continue
+                try:
+                    t0 = time.time()
+                    rows_huge = all_qs[name](spark, huge_t).count()
+                    t_huge = round(time.time() - t0, 3)
+                except Exception:
+                    continue
+                scaling_up2[name] = {
+                    "t_big": base["t_big"],
+                    "t_huge": t_huge,
+                    "rows_big": base["rows_big"],
+                    "rows_huge": rows_huge,
+                    "exponent": round(
+                        math.log10(
+                            max(t_huge, 1e-3) / max(base["t_big"], 1e-3)
+                        ),
+                        3,
+                    ),
+                }
         except Exception:
             pass
 
@@ -275,6 +315,7 @@ def main() -> None:
                 "queries": timings,
                 "scaling": scaling,
                 "scaling_up": scaling_up,
+                "scaling_up2": scaling_up2,
                 "scaling_up_note": (
                     "synthetic scaling decades (same Zipf-vocab generator"
                     " at every size; rows_* recorded so output-bound pair"
@@ -302,6 +343,12 @@ def main() -> None:
                 "scaling_up_max_exponent": (
                     max(
                         (s["exponent"] for s in scaling_up.values()),
+                        default=None,
+                    )
+                ),
+                "scaling_up2_max_exponent": (
+                    max(
+                        (s["exponent"] for s in scaling_up2.values()),
                         default=None,
                     )
                 ),

@@ -8,6 +8,19 @@ otherwise the deterministic stub does (this container ships no codecs, and
 the fixture corpus is ``text/plain``, so the stub remains the oracle-checked
 canonical path). Everything Spark-side — schema, batch shape, partitioning,
 UDF signature — is real and tested on both paths.
+
+Codec scope (the charter decision): **PNG is the reference codec** of the
+Pillow-less deployment — the vendored pure-Python decoder
+(functions/png.py) gives ``image/png`` a REAL decode path everywhere,
+exercised end-to-end by the dHash dedup operator below and its
+pixel-ground-truth oracle (mm_phash_dedup). Every other image format
+(JPEG, WebP, …) takes its real decode from Pillow when installed — the
+capability gate routes ``image/*`` to PIL whenever present (tested) — and
+the deterministic stub otherwise; vendoring further codecs was judged not
+worth the maintenance surface since JPEG decode is not bit-reproducible
+across decoder implementations (iDCT tolerance, ISO/IEC 10918-1 Annex K),
+which would break the cross-engine value-hash oracle contract this repo
+holds every operator to.
 """
 
 from __future__ import annotations

@@ -235,6 +235,15 @@ def test_multimodal_codec_capability_gate():
     jpeg = b"\xff\xd8\xff\xe0 fake jpeg bytes"
     assert decode_dims(jpeg, "image/jpeg") == _decode_stub(jpeg)
     assert resize_payload(jpeg, "image/jpeg", 4, 2) == _resize_stub(jpeg, 4, 2)
+    # ...but WITH Pillow present (no CAN_DECODE restriction), image/jpeg
+    # takes the REAL path — the documented deployment contract: PNG is the
+    # reference codec of the vendored fallback, every other image format
+    # gets its real decode from Pillow when installed
+    assert decode_dims(jpeg, "image/jpeg", pil_image=_FakePIL) == (640, 480)
+    assert (
+        resize_payload(jpeg, "image/jpeg", 4, 2, pil_image=_FakePIL)
+        == b"\x01" * 8
+    )
     with pytest.raises(NotImplementedError):
         decode_dims(None, "image/png", pil_image=_FakePIL)
 
