@@ -603,6 +603,10 @@ def _ngram_intersections(
     documents: DataFrame,
     force: bool = False,
     max_candidates: int = MAX_EXACT_NGRAM_CANDIDATES,
+    scale_remedy: str = (
+        "use lsh_jaccard_pairs (exact Jaccard values on LSH candidates, "
+        "linear shuffles) or minhash_lsh_drop_set for production dedup"
+    ),
 ) -> DataFrame:
     """(doc_a, doc_b, n_inter, grams_a, grams_b) for every pair sharing a
     char n-gram within its (lang, source) block — the shared exact core
@@ -644,10 +648,9 @@ def _ngram_intersections(
                 f"exact n-gram pair mining would stream ~{est:.3g} candidate "
                 f"rows (Σ C(df,2) over the inverted index; cap "
                 f"{max_candidates}). This operator is the audit-scale "
-                "exact-recall ground truth, not a corpus-scale miner — use "
-                "lsh_jaccard_pairs (exact Jaccard values on LSH candidates, "
-                "linear shuffles) or minhash_lsh_drop_set for production "
-                "dedup, or pass force=True to run the audit anyway."
+                f"exact-recall ground truth, not a corpus-scale miner — "
+                f"{scale_remedy}, or pass force=True to run the audit "
+                "anyway."
             )
     # per-doc set size from the (already-distinct) gram array BEFORE the
     # explode: a per-row projection over the narrow documents scan, instead
@@ -697,7 +700,17 @@ def ngram_containment_pairs(
     is no LSH fallback for containment, so above the cap the remedy is
     sharding the corpus or raising ``max_candidates`` deliberately."""
     scored = _ngram_intersections(
-        documents, force=force, max_candidates=max_candidates
+        documents,
+        force=force,
+        max_candidates=max_candidates,
+        # LSH candidates systematically miss small-in-big pairs, so unlike
+        # the Jaccard miner there is no LSH fallback to point at here.
+        scale_remedy=(
+            "shard the corpus into bounded (lang, source, shard) blocks or "
+            "raise max_candidates deliberately (containment has no LSH "
+            "fallback: minhash bands tuned for Jaccard rarely collide for "
+            "the small-in-big pairs this operator exists to find)"
+        ),
     )
     return (
         scored.withColumn(

@@ -424,8 +424,14 @@ def dhash_images(media: DataFrame) -> DataFrame:
                     buf = im.tobytes()
                     if im.channels > 1:
                         a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
-                        # channel-sum luma: ints, no float weights
-                        buf = a.reshape(-1, im.channels)[:, :3].sum(axis=1)
+                        # channel-sum luma over COLOR channels only: ints,
+                        # no float weights. Alpha never contributes — for
+                        # gray+alpha (channels=2) luma is the gray plane
+                        # alone, for RGBA the first three planes.
+                        n_color = 1 if im.channels == 2 else 3
+                        buf = a.reshape(-1, im.channels)[:, :n_color].sum(
+                            axis=1
+                        )
                     h = _dhash_from_gray(im.width, im.height, buf)
                 out.append(h)
             yield pd.DataFrame(

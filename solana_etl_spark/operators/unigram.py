@@ -345,28 +345,39 @@ def train_unigram_vocab(
 
     Driver state per round: the bounded vocabulary only (like BPE merges
     / k-means centroids); everything row-shaped stays distributed."""
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
     spark = docs.sparkSession
     words = word_freq_table(docs, text_col).persist()
+    chars = _char_table(words).persist()
+    counts = None  # the persisted last E-step (n_iters >= 1)
     try:
-        chars = _char_table(words).persist()
-        vocab = _costs_rows(seed_vocab_counts(words, seed_size, max_piece_len))
-        counts = None
+        # n_iters=0 degrades to the pruned SEED vocabulary (no EM): the
+        # seed counts table plays the role of the last E-step.
+        last = seed_vocab_counts(words, seed_size, max_piece_len)
+        vocab = _costs_rows(last)
         for _ in range(n_iters):
-            counts = em_piece_counts(
+            new_counts = em_piece_counts(
                 words, _vocab_df(spark, vocab), chars, max_piece_len
             ).persist()
-            counts.count()
+            new_counts.count()
+            if counts is not None:
+                counts.unpersist()  # rounds only need the LATEST E-step
+            counts = new_counts
+            last = counts
             vocab = _costs_rows(counts)
         # prune: top vocab_size multi-char by (cnt, piece) + all chars,
-        # then renormalize costs over the kept set
+        # then renormalize costs over the kept set. The result is bounded
+        # (vocab_size + alphabet) driver state — collect it so every
+        # cache this function pinned can be released before returning.
         multi = (
-            counts.filter(F.length("piece") > 1)
+            last.filter(F.length("piece") > 1)
             .orderBy(F.desc("cnt"), F.asc("piece"))
             .limit(vocab_size)
         )
-        kept = multi.unionByName(counts.filter(F.length("piece") == 1))
+        kept = multi.unionByName(last.filter(F.length("piece") == 1))
         total = kept.agg(F.sum("cnt").cast("double").alias("_t"))
-        return (
+        final_rows = (
             kept.crossJoin(F.broadcast(total))
             .select(
                 "piece",
@@ -376,8 +387,15 @@ def train_unigram_vocab(
                 ).alias("cost"),
             )
             .orderBy("piece")
+            .collect()
         )
+        return spark.createDataFrame(
+            final_rows, schema="piece string, cnt long, cost double"
+        ).orderBy("piece")
     finally:
+        if counts is not None:
+            counts.unpersist()
+        chars.unpersist()
         words.unpersist()
 
 

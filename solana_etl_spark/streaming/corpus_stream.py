@@ -16,12 +16,17 @@ Stage-by-stage streaming semantics:
   vocabulary or rate map): a per-batch anti-join against the same eval
   set the batch pipeline uses, stateless across batches.
 
-The dedup index is updated from the WRITTEN survivors (post-
-decontamination): a contaminated document never enters the index, and a
-later copy of it is re-dropped by the same deterministic decontamination
-predicate rather than by the index — batch/stream equivalence holds
-either way, and the index stays a pure content index of the corpus that
-actually survived.
+The dedup index is updated from the DEDUP-STAGE survivors — BEFORE the
+decontamination drop. The batch pipeline dedups before it
+decontaminates, so a near-duplicate of a contaminated keeper is dropped
+by dedup (keeper = min doc_id) even though the keeper itself is later
+removed by decontamination; if the index only recorded written
+survivors, a band-colliding near-dup arriving in a LATER micro-batch
+whose differing region is exactly the leaked sentence would survive the
+stream but not the batch run. (Exact copies alone would not need this —
+they share the keeper's eval n-grams and re-drop on the decontamination
+predicate — but near-dups do not.) Indexing pre-decontamination keeps
+stream ≡ batch across every chunking of the corpus.
 
 At 100 TB the per-batch cost is the pipeline's own linear stages plus
 two narrow index anti-joins — no corpus re-scan, no unbounded stream
@@ -41,6 +46,37 @@ from solana_etl_spark.operators.text import quality_predicate
 from solana_etl_spark.streaming.dedup_stream import dedup_batch_against_index
 
 
+def dedup_stage(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """quality gate + exact/near dedup vs the persisted index — the prefix
+    of the chain whose output feeds BOTH the survivor write (after
+    decontamination) and the index update (before it; see module doc)."""
+    cleaned = batch_df.filter(quality_predicate())
+    return dedup_batch_against_index(
+        spark, cleaned, index_dir, exclude_batch=exclude_batch
+    )
+
+
+def decontaminate_stage(
+    survivors: DataFrame, eval_docs: DataFrame | None
+) -> DataFrame:
+    """n-gram decontamination vs the static eval corpus (stateless)."""
+    from solana_etl_spark.operators.decontam import contamination
+
+    if eval_docs is None:
+        return survivors
+    bad = (
+        contamination(survivors, eval_docs)
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    return survivors.join(bad, "doc_id", "left_anti")
+
+
 def clean_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -50,20 +86,10 @@ def clean_batch(
 ) -> DataFrame:
     """One micro-batch through the cleaning chain — the deterministic
     function both the streaming wiring and its tests share."""
-    from solana_etl_spark.operators.decontam import contamination
-
-    cleaned = batch_df.filter(quality_predicate())
-    survivors = dedup_batch_against_index(
-        spark, cleaned, index_dir, exclude_batch=exclude_batch
+    return decontaminate_stage(
+        dedup_stage(spark, batch_df, index_dir, exclude_batch=exclude_batch),
+        eval_docs,
     )
-    if eval_docs is not None:
-        bad = (
-            contamination(survivors, eval_docs)
-            .filter(F.col("is_contaminated"))
-            .select("doc_id")
-        )
-        survivors = survivors.join(bad, "doc_id", "left_anti")
-    return survivors
 
 
 def start_streaming_corpus_pipeline(
@@ -81,22 +107,25 @@ def start_streaming_corpus_pipeline(
     ``start_streaming_corpus_ingest``)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = clean_batch(
-            spark, batch_df, eval_docs, index_dir, exclude_batch=batch_id
-        )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(survivors_dir, f"batch={batch_id}")
-        )
-        written = spark.read.parquet(
-            os.path.join(survivors_dir, f"batch={batch_id}")
-        )
-        new_exact, new_bands = dedup_index(written)
-        new_exact.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "exact", f"batch={batch_id}")
-        )
-        new_bands.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "bands", f"batch={batch_id}")
-        )
+        # One materialization feeds both writes (persist, not re-read):
+        # the index must see the DEDUP-stage survivors, survivors_dir the
+        # post-decontamination set — see module doc for why they differ.
+        deduped = dedup_stage(
+            spark, batch_df, index_dir, exclude_batch=batch_id
+        ).persist()
+        try:
+            new_exact, new_bands = dedup_index(deduped)
+            new_exact.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "exact", f"batch={batch_id}")
+            )
+            new_bands.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "bands", f"batch={batch_id}")
+            )
+            decontaminate_stage(deduped, eval_docs).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(survivors_dir, f"batch={batch_id}"))
+        finally:
+            deduped.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

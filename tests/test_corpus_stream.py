@@ -134,3 +134,67 @@ def test_clean_batch_retry_converges(spark, tmp_path):
     # whereas a LATER batch (exclude_batch=1) is suppressed by the index
     later = clean_batch(spark, batch, eval_docs, idx, exclude_batch=1)
     assert later.count() == 0
+
+
+def test_near_dup_of_contaminated_keeper_across_batches(spark, tmp_path):
+    """The index must record DEDUP-stage survivors BEFORE decontamination:
+    a contaminated keeper's near-dup arriving in a LATER micro-batch (with
+    the leaked sentence as its differing region, so the near-dup itself is
+    clean) must still be dropped — the batch pipeline dedups before it
+    decontaminates, so batch-over-everything keeps neither doc."""
+    from solana_etl_spark.corpus import CorpusPipeline
+    from solana_etl_spark.operators.dedup import lsh_duplicate_ids
+
+    # X leaks an eval 5-gram; Y differs from X in exactly the leaked words.
+    # A long shared tail keeps the pair inside LSH near-dup range while the
+    # two word edits break every eval 5-gram on Y's side.
+    tail = " ".join(
+        f"shared narrative sentence number {i} about partition planning"
+        for i in range(8)
+    )
+    leak_x = _LEAK + " " + tail
+    clean_y = (
+        _LEAK.replace("benchmark", "reference").replace("own", "new")
+        + " "
+        + tail
+    )
+    eval_docs = _docs(spark, [(100, _EVAL, "en", "eval", len(_EVAL))])
+    x_row = (1, leak_x, "en", "s0", len(leak_x))
+    y_row = (2, clean_y, "en", "s0", len(clean_y))
+
+    # precondition 1: Y alone is NOT contaminated
+    from solana_etl_spark.operators.decontam import contamination
+
+    assert (
+        contamination(_docs(spark, [y_row]), eval_docs)
+        .filter(F.col("is_contaminated"))
+        .count()
+        == 0
+    )
+    # precondition 2: (X, Y) IS an LSH near-dup pair (Y the non-keeper)
+    both = _docs(spark, [x_row, y_row])
+    assert sorted(
+        r["doc_id"] for r in lsh_duplicate_ids(both).collect()
+    ) == [2]
+
+    out = str(tmp_path / "out")
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    _docs(spark, [x_row]).write.parquet(f"{stream_dir}/b1.parquet")
+    _run(spark, stream_dir, out, eval_docs)
+    _docs(spark, [y_row]).write.parquet(f"{stream_dir}/b2.parquet")
+    _run(spark, stream_dir, out, eval_docs)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/survivors").collect()
+    )
+    batch_ref = sorted(
+        r["doc_id"]
+        for r in CorpusPipeline(both)
+        .quality_filter()
+        .dedup_exact()
+        .dedup_near()
+        .decontaminate(eval_docs)
+        .df.collect()
+    )
+    assert got == batch_ref == []

@@ -1352,3 +1352,60 @@ def test_dhash_rgb_and_odd_dims(spark):
     # monotone rows: every right cell is brighter -> all 60 bits set
     inc = bytes(min(255, x * 19) for y in range(6) for x in range(11))
     assert _dhash_from_gray(11, 6, inc) == (1 << 60) - 1
+
+
+def test_dhash_gray_alpha_ignores_alpha_plane(spark):
+    """Gray+alpha (color type 4) payloads must hash from the GRAY plane
+    only: identical gray content under different alpha ramps hashes the
+    same as the plain grayscale encoding of that content (regression —
+    [:, :3] on an (N,2) array used to sum alpha into the luma)."""
+    import binascii
+    import struct
+    import zlib
+
+    from solana_etl_spark.functions.png import _SIGNATURE, encode_gray
+    from solana_etl_spark.operators.multimodal import dhash_images
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", binascii.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def encode_ga(width, height, gray, alpha):
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 4, 0, 0, 0)
+        raw = b"".join(
+            b"\x00"
+            + bytes(
+                b
+                for x in range(width)
+                for b in (
+                    gray[y * width + x],
+                    alpha[y * width + x],
+                )
+            )
+            for y in range(height)
+        )
+        return (
+            _SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b"")
+        )
+
+    w, h = 22, 12
+    gray = bytes((x * 5 + y * 9) % 256 for y in range(h) for x in range(w))
+    ramp = bytes((x * 23) % 256 for y in range(h) for x in range(w))
+    flat = bytes(255 for _ in range(w * h))
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_gray(w, h, gray))),
+            (1, bytearray(encode_ga(w, h, gray, ramp))),
+            (2, bytearray(encode_ga(w, h, gray, flat))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in dhash_images(media).collect()}
+    assert got[0] == got[1] == got[2]
