@@ -1,0 +1,164 @@
+"""C4-style web-page cleaning (Raffel et al. 2020, the public C4 recipe):
+per-line retention rules, per-page drop rules, and corpus-wide
+three-sentence-span deduplication.
+
+Line rules (applied per newline-separated line; C4 §2.2):
+
+* keep only lines ending in a terminal punctuation mark (``. ! ? "``)
+* keep only lines with at least :data:`MIN_LINE_WORDS` words
+* drop any line containing the word "javascript" (case-insensitive)
+
+Page rules:
+
+* drop pages containing any :data:`BAD_WORDS` entry, the phrase
+  "lorem ipsum", or a ``{`` (code spill)
+* after line filtering, keep only pages with at least
+  :data:`MIN_PAGE_LINES` surviving lines (each surviving line ends in
+  terminal punctuation, so surviving lines approximate C4's "at least 3
+  sentences" retention rule — documented simplification)
+
+Span dedup (C4 §2.2 "we removed all but one of any three-sentence span
+occurring more than once"): every run of :data:`SPAN_SENTS` consecutive
+lines hashes to md5(joined text); the globally first occurrence — the
+(page_id, position)-minimal one — is the keeper, and every line covered
+by any OTHER occurrence is removed from its page.
+
+Scale shape: the line/page rules are bare per-row array expressions
+(zero shuffle — they fuse into the scan). Span dedup shuffles only
+32-byte (hash, page, pos) rows: one hash-keyed aggregate picks keepers,
+one join back tags non-keeper occurrences, one per-page aggregate
+collects dropped line indexes — all linear in corpus size, never
+pairwise. The reference for the span trick is the same
+gaps-free hash-grouping used by ``dedup.exact_duplicate_spans`` (Lee et
+al. 2022) with sentences instead of token windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIN_LINE_WORDS = 5
+MIN_PAGE_LINES = 3
+SPAN_SENTS = 3
+TERMINAL_RE = r'[.!?"]\s*$'
+BAD_WORDS = ("viagra", "casino", "jackpot")
+
+
+def _lines(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+
+
+def _line_kept(line: Column) -> Column:
+    return (
+        line.rlike(TERMINAL_RE)
+        & (F.regexp_count(line, F.lit(r"\S+")) >= MIN_LINE_WORDS)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def page_drop_predicate(text_col: str = "text") -> Column:
+    """True for pages the page-level rules remove (bad word / lorem
+    ipsum / ``{``) — a bare predicate, composable with any plan."""
+    lowered = F.lower(F.col(text_col))
+    bad = F.lit(False)
+    for w in BAD_WORDS:
+        bad = bad | lowered.contains(w)
+    return bad | lowered.contains("lorem ipsum") | F.col(text_col).contains("{")
+
+
+def c4_line_filter(
+    pages: DataFrame, text_col: str = "text", id_col: str = "page_id"
+) -> DataFrame:
+    """Apply the line + page rules. Returns surviving pages as
+    (id, n_lines, n_kept, text_clean) where ``text_clean`` is the kept
+    lines re-joined — one projection + one filter, zero shuffle."""
+    lines = _lines(text_col)
+    kept = F.filter(lines, _line_kept)
+    return (
+        pages.filter(~page_drop_predicate(text_col))
+        .select(
+            id_col,
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+        .filter(F.col("n_kept") >= MIN_PAGE_LINES)
+    )
+
+
+def _span_occurrences(
+    pages: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, span_hash) for every SPAN_SENTS-line window."""
+    spans = F.expr(
+        f"""
+        transform(
+            sequence(0, size(_ls) - {SPAN_SENTS}),
+            i -> struct(
+                i AS pos,
+                md5(concat_ws('\\n', slice(_ls, i + 1, {SPAN_SENTS}))) AS h
+            )
+        )
+        """
+    )
+    return (
+        pages.select(id_col, _lines(text_col).alias("_ls"))
+        .filter(F.size("_ls") >= SPAN_SENTS)
+        .select(id_col, F.explode(spans).alias("_s"))
+        .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+    )
+
+
+def c4_span_dedup(
+    pages: DataFrame, text_col: str = "text", id_col: str = "page_id"
+) -> DataFrame:
+    """Corpus-wide three-sentence-span dedup. Returns every input page as
+    (id, n_lines, n_dropped_lines, text_dedup) — pages containing no
+    duplicated span pass through with their text unchanged (modulo the
+    newline re-join of the same lines, byte-identical for
+    newline-separated input)."""
+    occ = _span_occurrences(pages, text_col, id_col)
+    keepers = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dup_lines = (
+        occ.join(keepers.filter(F.col("_n") > 1), "h")
+        .filter(
+            (F.col(id_col) != F.col(f"_first.{id_col}"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_SENTS - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("_drop"))
+    )
+    lines = _lines(text_col)
+    return (
+        pages.join(dup_lines, id_col, "left")
+        .select(
+            id_col,
+            F.size(lines).cast("long").alias("n_lines"),
+            # explicit isNull guard: size(NULL) is -1 under the session's
+            # legacy sizeOfNull conf, so coalesce(size(...)) never fires
+            F.when(F.col("_drop").isNull(), F.lit(0))
+            .otherwise(F.size("_drop"))
+            .cast("long")
+            .alias("n_dropped_lines"),
+            F.array_join(
+                F.filter(
+                    lines,
+                    lambda l, i: ~F.coalesce(
+                        F.array_contains("_drop", i), F.lit(False)
+                    ),
+                ),
+                "\n",
+            ).alias("text_dedup"),
+        )
+    )

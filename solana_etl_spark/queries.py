@@ -106,10 +106,12 @@ def all_oracle_sql() -> dict[str, str]:
     from solana_etl_spark.sources.synth import (
         ensure_e2e_corpus,
         ensure_images_table,
+        ensure_web_table,
     )
 
     ensure_e2e_corpus()
     ensure_images_table()  # mm_phash_dedup's oracle reads it directly
+    ensure_web_table()  # web_/c4_ oracles read it directly
     return {**_ORACLES, **_LOCAL_ORACLES}
 
 
@@ -8985,4 +8987,332 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(
         spark.read.parquet(f"{work}/out").select("doc_id", "lang", "source"),
         work,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Web curation: URL canonicalization/dedup/domain caps + C4 cleaning
+# ---------------------------------------------------------------------------
+
+
+def _web_pages_path() -> str:
+    from solana_etl_spark.sources.synth import (
+        N_PAGES,
+        WEB_VERSION,
+        _tables_root,
+    )
+
+    return f"{_tables_root()}/web_v{WEB_VERSION}_{N_PAGES}/pages.parquet"
+
+
+def _read_web(spark: SparkSession) -> DataFrame:
+    from solana_etl_spark.sources.synth import ensure_web_table
+
+    ensure_web_table()
+    return spark.read.parquet(_web_pages_path())
+
+
+_URL_SQL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def _url_canon_cte() -> str:
+    """CTE body producing (page_id, url, text, url_canonical, domain) —
+    the DuckDB mirror of operators/web.py's canonical_url/domain_of
+    (identical RE2-safe regexes, identical rule order)."""
+    re_ = _URL_SQL_RE
+    return f"""
+        SELECT page_id, url, text,
+               scheme || '://' || host || cpath ||
+               CASE WHEN len(params) > 0
+                    THEN '?' || array_to_string(params, '&')
+                    ELSE '' END AS url_canonical,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+        FROM (
+            SELECT *,
+                   regexp_replace(
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(hp, ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(hp, ':443$', '')
+                            ELSE hp END,
+                       '^www\\.', '') AS host,
+                   regexp_replace(p0, '/+$', '') AS cpath,
+                   list_sort(list_filter(
+                       string_split(regexp_replace(q0, '^\\?', ''), '&'),
+                       x -> x <> '' AND NOT regexp_matches(
+                           x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')
+                   )) AS params
+            FROM (
+                SELECT page_id, url, text,
+                       lower(regexp_extract(url, '{re_}', 1)) AS scheme,
+                       lower(regexp_extract(url, '{re_}', 2)) AS hp,
+                       regexp_extract(url, '{re_}', 3) AS p0,
+                       regexp_extract(url, '{re_}', 4) AS q0
+                FROM read_parquet('{_web_pages_path()}')
+            )
+        )
+    """
+
+
+def _web_url_canonical_oracle() -> str:
+    return f"""
+    WITH canon AS ({_url_canon_cte()})
+    SELECT page_id, url_canonical, domain FROM canon
+    """
+
+
+@_register("web_url_canonical", _web_url_canonical_oracle(), local_only=True)
+def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.py canonical_url): lowercase
+    scheme/host, fragment + default-port + www + tracking-param strip,
+    param sort, trailing-slash strip — one codegen projection over the
+    scan, zero shuffle, zero UDFs. The synthetic web corpus plants every
+    variant class (case, :443/:80, utm/fbclid/ref noise, fragments,
+    trailing slashes). local_only: reads the generated pages table."""
+    from solana_etl_spark.operators.web import canonicalize
+
+    return canonicalize(_read_web(spark)).select(
+        "page_id", "url_canonical", "domain"
+    )
+
+
+def _dedup_url_oracle() -> str:
+    return f"""
+    WITH canon AS ({_url_canon_cte()})
+    SELECT url_canonical, page_id, n_variants FROM (
+        SELECT url_canonical, page_id,
+               row_number() OVER (
+                   PARTITION BY url_canonical
+                   ORDER BY len(text) DESC, page_id ASC) AS rn,
+               count(*) OVER (PARTITION BY url_canonical) AS n_variants
+        FROM canon
+    ) WHERE rn = 1
+    """
+
+
+@_register("dedup_url_keep_best", _dedup_url_oracle(), local_only=True)
+def dedup_url_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup, keep-best (operators/web.py): the same
+    resource served under tracking noise collapses to its longest-text
+    copy (ties to smallest id) via ONE hash aggregate with the
+    struct-argmax — no window, no sort, no pair materialization; the
+    oracle states the same semantics as a rank-1 window. local_only:
+    reads the generated pages table."""
+    from solana_etl_spark.operators.web import url_dedup_keep_best
+
+    return url_dedup_keep_best(_read_web(spark))
+
+
+def _domain_cap_oracle() -> str:
+    return f"""
+    WITH canon AS ({_url_canon_cte()})
+    SELECT page_id, domain FROM (
+        SELECT page_id, domain,
+               row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(domain || ':' || CAST(page_id AS VARCHAR))
+               ) AS rn
+        FROM canon
+    ) WHERE rn <= 3
+    """
+
+
+@_register("s9_domain_cap", _domain_cap_oracle(), local_only=True)
+def s9_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain cap (operators/web.py per_domain_cap):
+    keep ≤ cap pages per domain by deterministic md5 order. The plan is
+    the TWO-LEVEL rank — first inside (domain, id-hash shard), bounding
+    any window partition to ~domain/16, then over the ≤ cap*16 per-domain
+    survivors — so a mega-domain never pins one reducer; provably equal
+    to the oracle's single global rank (each global winner ranks ≤ cap
+    in its own shard). local_only: reads the generated pages table."""
+    from solana_etl_spark.operators.web import per_domain_cap
+
+    return per_domain_cap(_read_web(spark))
+
+
+_C4_LINE_KEPT_SQL = (
+    "regexp_matches(x, '[.!?\"]\\s*$') "
+    "AND len(regexp_extract_all(x, '\\S+')) >= 5 "
+    "AND NOT contains(lower(x), 'javascript')"
+)
+_C4_PAGE_DROP_SQL = (
+    "contains(lower(text), 'viagra') OR contains(lower(text), 'casino') "
+    "OR contains(lower(text), 'jackpot') "
+    "OR contains(lower(text), 'lorem ipsum') OR contains(text, '{')"
+)
+
+
+def _c4_line_filter_oracle() -> str:
+    return f"""
+    SELECT page_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS text_clean
+    FROM (
+        SELECT page_id, text,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+               list_filter(list_filter(string_split(text, chr(10)),
+                                       x -> x <> ''),
+                           x -> {_C4_LINE_KEPT_SQL}) AS kept
+        FROM read_parquet('{_web_pages_path()}')
+        WHERE NOT ({_C4_PAGE_DROP_SQL})
+    )
+    WHERE len(kept) >= 3
+    """
+
+
+@_register("text_c4_line_filter", _c4_line_filter_oracle(), local_only=True)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line + page rules (operators/c4.py c4_line_filter; Raffel et
+    al. 2020 §2.2): terminal-punctuation lines of ≥5 words without
+    'javascript', pages without bad words / 'lorem ipsum' / braces and
+    with ≥3 surviving lines. Bare array expressions over one scan —
+    zero shuffle; at 100 TB this is a map-only stage. local_only:
+    reads the generated pages table."""
+    from solana_etl_spark.operators.c4 import c4_line_filter
+
+    return c4_line_filter(_read_web(spark))
+
+
+def _c4_span_cte(src: str) -> str:
+    """CTEs (occ, drops) for three-sentence-span dedup over ``src``
+    (page_id, text) — mirror of operators/c4.py c4_span_dedup."""
+    return f"""
+    lsrc AS (
+        SELECT page_id,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        FROM {src}
+    ),
+    occ AS (
+        SELECT page_id, i - 1 AS pos,
+               md5(array_to_string(ls[i:i+2], chr(10))) AS h
+        FROM (
+            SELECT page_id, ls,
+                   unnest(generate_series(1, len(ls) - 2)) AS i
+            FROM lsrc WHERE len(ls) >= 3
+        )
+    ),
+    k AS (
+        SELECT h, page_id AS kp, pos AS kpos FROM (
+            SELECT h, page_id, pos,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY page_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY h) AS n
+            FROM occ
+        ) WHERE rn = 1 AND n > 1
+    ),
+    drops AS (
+        SELECT page_id, list(DISTINCT idx) AS idxs
+        FROM (
+            SELECT o.page_id, o.pos + j AS idx
+            FROM occ o
+            JOIN k USING (h), generate_series(0, 2) AS g(j)
+            WHERE NOT (o.page_id = k.kp AND o.pos = k.kpos)
+        ) GROUP BY page_id
+    )
+    """
+
+
+def _c4_span_dedup_oracle() -> str:
+    src = f"read_parquet('{_web_pages_path()}')"
+    return f"""
+    WITH {_c4_span_cte(src)}
+    SELECT l.page_id,
+           CAST(len(l.ls) AS BIGINT) AS n_lines,
+           CAST(coalesce(len(d.idxs), 0) AS BIGINT) AS n_dropped_lines,
+           coalesce(array_to_string(
+               [l.ls[i] for i in generate_series(1, len(l.ls))
+                if NOT coalesce(list_contains(d.idxs, i - 1), false)],
+               chr(10)), '') AS text_dedup
+    FROM lsrc l LEFT JOIN drops d USING (page_id)
+    """
+
+
+@_register("dedup_c4_spans", _c4_span_dedup_oracle(), local_only=True)
+def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span corpus dedup (operators/c4.py
+    c4_span_dedup): every 3-consecutive-line window hashes (md5), the
+    globally (page, pos)-first occurrence survives, all lines covered by
+    other occurrences are removed. Catches the planted per-site cookie
+    blocks and cross-site syndicated blocks. Shuffles only 32-byte
+    (hash, page, pos) rows — linear, never pairwise. local_only:
+    reads the generated pages table."""
+    from solana_etl_spark.operators.c4 import c4_span_dedup
+
+    return c4_span_dedup(_read_web(spark))
+
+
+def _pipeline_web_clean_oracle() -> str:
+    keep_best = f"""
+    canon AS ({_url_canon_cte()}),
+    best AS (
+        SELECT page_id, domain, text FROM (
+            SELECT page_id, domain, text,
+                   row_number() OVER (
+                       PARTITION BY url_canonical
+                       ORDER BY len(text) DESC, page_id ASC) AS rn
+            FROM canon
+        ) WHERE rn = 1
+    ),
+    clean AS (
+        SELECT page_id, domain,
+               array_to_string(kept, chr(10)) AS text
+        FROM (
+            SELECT page_id, domain,
+                   list_filter(list_filter(string_split(text, chr(10)),
+                                           x -> x <> ''),
+                               x -> {_C4_LINE_KEPT_SQL}) AS kept
+            FROM best
+            WHERE NOT ({_C4_PAGE_DROP_SQL})
+        )
+        WHERE len(kept) >= 3
+    )
+    """
+    return f"""
+    WITH {keep_best},
+    {_c4_span_cte("clean")}
+    SELECT l.page_id, c.domain,
+           CAST(len(l.ls) AS BIGINT) AS n_kept,
+           CAST(coalesce(len(d.idxs), 0) AS BIGINT) AS n_dropped_lines,
+           coalesce(array_to_string(
+               [l.ls[i] for i in generate_series(1, len(l.ls))
+                if NOT coalesce(list_contains(d.idxs, i - 1), false)],
+               chr(10)), '') AS text_final
+    FROM lsrc l
+    JOIN clean c USING (page_id)
+    LEFT JOIN drops d USING (page_id)
+    """
+
+
+@_register("pipeline_web_clean", _pipeline_web_clean_oracle(), local_only=True)
+def pipeline_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation capstone: canonicalize → canonical-URL keep-best →
+    C4 line/page rules → corpus-wide three-sentence-span dedup, one lazy
+    plan. Stage costs at scale: projection (0 shuffles) + keep-best
+    (1 hash agg) + line rules (0) + span dedup (hash-keyed linear) —
+    the whole chain is map-heavy with three narrow shuffles, no windows
+    over unbounded partitions. local_only: reads the generated pages
+    table."""
+    from solana_etl_spark.operators.c4 import c4_line_filter, c4_span_dedup
+    from solana_etl_spark.operators.web import (
+        canonicalize,
+        url_dedup_keep_best,
+    )
+
+    pages = _read_web(spark)
+    keepers = url_dedup_keep_best(pages).select("page_id")
+    best = canonicalize(pages).join(keepers, "page_id", "left_semi")
+    clean = c4_line_filter(best).withColumnRenamed("text_clean", "text")
+    domains = best.select("page_id", "domain")
+    return (
+        c4_span_dedup(clean)
+        .join(domains, "page_id")
+        .select(
+            "page_id",
+            "domain",
+            F.col("n_lines").alias("n_kept"),
+            "n_dropped_lines",
+            F.col("text_dedup").alias("text_final"),
+        )
     )

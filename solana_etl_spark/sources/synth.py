@@ -564,3 +564,146 @@ def ensure_images_table(
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Web-page corpus: multi-line documents + URLs for the C4-style cleaning
+# and URL/domain operator families
+# ---------------------------------------------------------------------------
+
+WEB_VERSION = 2
+N_PAGES = 600
+_N_SITES = 24
+WEB_BAD_WORDS = ("viagra", "casino", "jackpot")
+
+# content sentences draw from the same Zipf vocabulary as the documents
+# table (see _DOC_VOCAB note: a tiny vocab makes every page pair a
+# near-dup and measures the fixture, not the plan)
+_WEB_TERMINALS = [".", ".", ".", "!", "?"]
+
+
+def _web_sentence(rng: "random.Random") -> str:
+    n = rng.randint(5, 12)
+    words = rng.choices(_DOC_VOCAB, weights=_DOC_WEIGHTS, k=n)
+    return " ".join(words) + rng.choice(_WEB_TERMINALS)
+
+
+def _site_boilerplate(site: int) -> list[str]:
+    """Per-site 3-line cookie/consent block: passes every C4 LINE rule
+    (>= 5 words, terminal punctuation) so only the three-sentence-span
+    corpus dedup can remove its repeats — the planted syndication case."""
+    rng = random.Random(f"site-{WEB_VERSION}-{site}")
+    flavor = " ".join(rng.choices(_DOC_VOCAB, weights=_DOC_WEIGHTS, k=3))
+    return [
+        f"this website site{site} uses cookies to improve {flavor} experience.",
+        f"by continuing to browse site{site} you accept our cookie policy.",
+        f"manage your site{site} consent preferences in the settings page.",
+    ]
+
+
+def _synth_web_pages(n_pages: int):
+    """(page_id, url, text) rows with every planted shape the C4 /
+    URL-family operators exist to handle:
+
+    * per-site 3-line boilerplate blocks (span-dedup fodder)
+    * nav lines without terminal punctuation / < 5-word lines /
+      "please enable javascript" lines (line-rule fodder)
+    * lorem-ipsum, bad-word and ``{`` pages (page-rule fodder)
+    * thin pages with < 3 surviving lines (page-retention fodder)
+    * every 7th page syndicates 3 consecutive content lines from an
+      earlier page (cross-page span dedup)
+    * every 13th page re-serves the previous page's text at a URL
+      variant of the SAME canonical form — scheme/host case, default
+      ports, www, utm/fbclid params, fragments, trailing slashes
+      (URL-canonicalization + keep-best dedup fodder)
+    """
+    pages = []
+    content_memory: list[list[str]] = []  # content lines per prior page
+    for page_id in range(n_pages):
+        rng = random.Random(f"web-{WEB_VERSION}-{page_id}")
+        site = page_id % _N_SITES
+        content = [
+            _web_sentence(rng) for _ in range(rng.randint(3, 8))
+        ]
+        if page_id % 7 == 3 and len(content_memory) > 2:
+            donor = content_memory[rng.randrange(len(content_memory))]
+            if len(donor) >= 3:
+                start = rng.randrange(len(donor) - 2)
+                content[:3] = donor[start : start + 3]  # syndicated block
+        lines = ["home about contact"]  # nav: no terminal punct
+        if page_id % 17 == 5:
+            lines += content[:2]  # thin page: < 3 surviving lines
+        else:
+            lines += _site_boilerplate(site) + content
+        if page_id % 11 == 7:
+            lines.append("buy now!")  # < 5 words
+        if page_id % 19 == 9:
+            lines.append(
+                "please enable javascript to view the dynamic content here."
+            )
+        if page_id % 23 == 11:
+            lines.append(
+                "lorem ipsum dolor sit amet consectetur adipiscing elit today."
+            )
+        if page_id % 29 == 13:
+            lines.append(
+                f"cheap {WEB_BAD_WORDS[page_id % len(WEB_BAD_WORDS)]} deals"
+                " with free overnight shipping included."
+            )
+        if page_id % 31 == 17:
+            lines.append("window.dataLayer = { push: true } and more text.")
+        text = "\n".join(lines)
+        url = f"https://site{site}.com/articles/{page_id}?id={page_id}"
+        if page_id % 13 == 6 and pages:
+            # URL-variant re-serve: previous page's TEXT, same canonical
+            # URL as the previous page modulo tracking noise
+            prev_id = page_id - 1
+            prev_site = prev_id % _N_SITES
+            text = pages[-1][2]
+            url = (
+                f"HTTPS://WWW.Site{prev_site}.COM:443/articles/{prev_id}/"
+                f"?utm_source=feed&id={prev_id}&utm_campaign=x&fbclid=abc"
+                f"#section-{page_id}"
+            )
+        elif page_id % 9 == 4:
+            url = (
+                f"http://www.site{site}.com:80/articles/{page_id}"
+                f"?id={page_id}&ref=homepage"
+            )
+        content_memory.append(content)
+        pages.append((page_id, url, text))
+    return pages
+
+
+def ensure_web_table(n_pages: int = N_PAGES, root: str | None = None) -> str:
+    """Generate pages.parquet (page_id, url, text) if absent; atomic +
+    idempotent like :func:`ensure_sf_tables`. Returns the directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = root or _tables_root()
+    out = os.path.join(root, f"web_v{WEB_VERSION}_{n_pages}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    rows = _synth_web_pages(n_pages)
+    pq.write_table(
+        pa.table(
+            {
+                "page_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(tmp, "pages.parquet"),
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

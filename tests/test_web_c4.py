@@ -1,0 +1,214 @@
+"""URL/domain operators (operators/web.py) and C4-style cleaning
+(operators/c4.py): canonicalization rule-by-rule, keep-best dedup,
+two-level domain caps, line/page rules, and span dedup semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.c4 import (
+    c4_line_filter,
+    c4_span_dedup,
+    page_drop_predicate,
+)
+from solana_etl_spark.operators.web import (
+    canonical_url,
+    canonicalize,
+    per_domain_cap,
+    url_dedup_keep_best,
+)
+
+PAGES = "page_id long, url string, text string"
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonical_url(F.col("url")).alias("c")).first()["c"]
+
+
+def test_canonical_url_rules(spark):
+    cases = {
+        # case + default port + www + fragment
+        "HTTPS://WWW.Ex.COM:443/a#frag": "https://ex.com/a",
+        "http://www.ex.com:80/a": "http://ex.com/a",
+        # non-default port kept; wrong-scheme default port kept
+        "https://ex.com:8443/a": "https://ex.com:8443/a",
+        "http://ex.com:443/a": "http://ex.com:443/a",
+        # tracking params dropped, others sorted, empty query removed
+        "https://ex.com/a?utm_source=x&b=2&a=1&fbclid=z": "https://ex.com/a?a=1&b=2",
+        "https://ex.com/a?utm_campaign=only": "https://ex.com/a",
+        "https://ex.com/a?ref=h&gclid=1": "https://ex.com/a",
+        # trailing slashes (incl. bare root)
+        "https://ex.com/a/": "https://ex.com/a",
+        "https://ex.com/": "https://ex.com",
+        "https://ex.com": "https://ex.com",
+        # www only stripped as a LEADING label; m. kept
+        "https://wwwx.ex.com/a": "https://wwwx.ex.com/a",
+        "https://m.ex.com/a": "https://m.ex.com/a",
+    }
+    for url, want in cases.items():
+        assert _canon(spark, url) == want, url
+
+
+def test_canonicalize_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "https://news.sub.example.co/x", "t")], PAGES
+    )
+    row = canonicalize(df).first()
+    assert row["domain"] == "example.co"
+
+
+def test_url_dedup_keep_best(spark):
+    rows = [
+        (1, "https://ex.com/a?utm_source=x", "short"),
+        (2, "HTTPS://WWW.EX.COM:443/a", "the longest text wins here"),
+        (3, "https://ex.com/a/", "middle text"),
+        (4, "https://ex.com/b", "solo"),
+    ]
+    got = {
+        r["url_canonical"]: (r["page_id"], r["n_variants"])
+        for r in url_dedup_keep_best(
+            spark.createDataFrame(rows, PAGES)
+        ).collect()
+    }
+    assert got == {"https://ex.com/a": (2, 3), "https://ex.com/b": (4, 1)}
+
+
+def test_url_dedup_tie_breaks_to_min_id(spark):
+    rows = [
+        (9, "https://ex.com/a", "same size"),
+        (2, "https://ex.com/a/", "same size"),
+    ]
+    got = url_dedup_keep_best(spark.createDataFrame(rows, PAGES)).first()
+    assert got["page_id"] == 2 and got["n_variants"] == 2
+
+
+def test_per_domain_cap_matches_single_level_reference(spark):
+    # 40 pages on one hot domain + 2 on another; cap=3, sharded 2 ways
+    rows = [
+        (i, f"https://hot.com/p{i}", "t") for i in range(40)
+    ] + [(100, "https://cold.com/x", "t"), (101, "https://cold.com/y", "t")]
+    got = sorted(
+        (r["domain"], r["page_id"])
+        for r in per_domain_cap(
+            spark.createDataFrame(rows, PAGES), cap=3, n_shards=2
+        ).collect()
+    )
+
+    def order(domain, pid):
+        return hashlib.md5(f"{domain}:{pid}".encode()).hexdigest()
+
+    want_hot = sorted(range(40), key=lambda i: order("hot.com", i))[:3]
+    want = sorted(
+        [("hot.com", i) for i in want_hot]
+        + [("cold.com", 100), ("cold.com", 101)]
+    )
+    assert got == want
+
+
+GOOD = "one two three four five six seven eight."
+
+
+def test_c4_line_rules(spark):
+    text = "\n".join(
+        [
+            GOOD,                          # kept
+            "no terminal punctuation here", # dropped: no terminal punct
+            "too few words.",               # dropped: < 5 words
+            "please enable javascript to continue viewing.",  # dropped
+            'quoted line with five words."', # kept: quote terminal
+            "another fine sentence with enough words!",       # kept
+        ]
+    )
+    got = c4_line_filter(
+        spark.createDataFrame([(1, "u", text)], PAGES)
+    ).first()
+    assert got["n_lines"] == 6 and got["n_kept"] == 3
+    assert got["text_clean"].split("\n") == [
+        GOOD,
+        'quoted line with five words."',
+        "another fine sentence with enough words!",
+    ]
+
+
+def test_c4_page_rules(spark):
+    three_good = "\n".join([GOOD, GOOD.replace("one", "ten"), GOOD.replace("one", "red")])
+    rows = [
+        (1, "u", three_good),                             # survives
+        (2, "u", three_good + "\nclick for lorem ipsum deals today."),
+        (3, "u", three_good + "\ncheap viagra pills shipped to you."),
+        (4, "u", three_good + "\nvar x = { broken: true } here."),
+        (5, "u", GOOD + "\n" + GOOD.replace("one", "ten")),  # < 3 kept
+    ]
+    df = spark.createDataFrame(rows, PAGES)
+    assert [r["page_id"] for r in c4_line_filter(df).collect()] == [1]
+    flagged = sorted(
+        r["page_id"] for r in df.filter(page_drop_predicate()).collect()
+    )
+    assert flagged == [2, 3, 4]
+
+
+def _sent(i):
+    return f"sentence number {i} has exactly enough words."
+
+
+def test_c4_span_dedup_keeps_first_occurrence(spark):
+    block = [_sent(i) for i in range(3)]
+    rows = [
+        (1, "u", "\n".join(block + [_sent(10), _sent(11)])),
+        (2, "u", "\n".join([_sent(20)] + block + [_sent(21)])),
+        (3, "u", "\n".join([_sent(30), _sent(31), _sent(32)])),  # unique
+    ]
+    got = {
+        r["page_id"]: r
+        for r in c4_span_dedup(spark.createDataFrame(rows, PAGES)).collect()
+    }
+    # page 1 is the (page, pos)-first occurrence: untouched
+    assert got[1]["n_dropped_lines"] == 0
+    assert got[1]["text_dedup"].split("\n") == block + [_sent(10), _sent(11)]
+    # page 2 loses exactly the copied block
+    assert got[2]["n_dropped_lines"] == 3
+    assert got[2]["text_dedup"].split("\n") == [_sent(20), _sent(21)]
+    assert got[3]["n_dropped_lines"] == 0
+
+
+def test_c4_span_dedup_overlapping_spans_union(spark):
+    # pages share a 4-line run -> two overlapping duplicated 3-spans on
+    # the copy; the union of covered lines (all 4) is dropped
+    run = [_sent(i) for i in range(4)]
+    rows = [
+        (1, "u", "\n".join(run)),
+        (2, "u", "\n".join(run + [_sent(9)])),
+    ]
+    got = {
+        r["page_id"]: r
+        for r in c4_span_dedup(spark.createDataFrame(rows, PAGES)).collect()
+    }
+    assert got[1]["n_dropped_lines"] == 0
+    assert got[2]["n_dropped_lines"] == 4
+    assert got[2]["text_dedup"] == _sent(9)
+
+
+def test_c4_span_dedup_full_duplicate_page_empties(spark):
+    block = [_sent(i) for i in range(3)]
+    rows = [(1, "u", "\n".join(block)), (2, "u", "\n".join(block))]
+    got = {
+        r["page_id"]: r
+        for r in c4_span_dedup(spark.createDataFrame(rows, PAGES)).collect()
+    }
+    assert got[1]["text_dedup"] == "\n".join(block)
+    assert got[2]["n_dropped_lines"] == 3 and got[2]["text_dedup"] == ""
+
+
+def test_plan_shapes_map_only_stages(spark):
+    """Canonicalization and the line rules must stay exchange-free —
+    they are the map-only stages the 100 TB story rests on."""
+    df = spark.createDataFrame([(1, "https://ex.com/a", GOOD)], PAGES)
+    for plan_df in (
+        canonicalize(df),
+        c4_line_filter(spark.createDataFrame([(1, "u", GOOD)], PAGES)),
+    ):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
