@@ -51,11 +51,17 @@ def _initial_symbols(word: Column, append_eow: bool) -> Column:
     return chars
 
 
-def merge_pair_expr(symbols: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right merge of adjacent (a, b) -> a||b, as a pure
-    fold: acc = (out, pending); pending==a and next==b emits the merged
-    symbol, else pending is flushed. Equivalent to the classic BPE apply."""
-    merged = a + b
+def merge_pair_expr(
+    symbols: Column, a: str, b: str, merged: str | None = None
+) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> ``merged``
+    (default a||b), as a pure fold: acc = (out, pending); pending==a and
+    next==b emits the merged symbol, else pending is flushed. Equivalent
+    to the classic BPE apply. ``merged`` exists for symbol alphabets
+    where plain concatenation is wrong (WordPiece strips the ``##``
+    continuation prefix off the right piece)."""
+    if merged is None:
+        merged = a + b
     return F.aggregate(
         symbols,
         F.struct(

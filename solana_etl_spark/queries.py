@@ -7377,7 +7377,14 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     enc = encode_unigram(docs, [(p, Decimal(c)) for p, c in _UNIGRAM_VOCAB])
-    n_tokens = F.size("unigram_tokens").cast("long")
+    # explicit isNull branch: size(NULL) is -1 under non-ANSI legacy
+    # semantics, while the oracle emits NULL for NULL text (latent on
+    # current fixtures — no NULL texts — but contract-correct)
+    n_tokens = (
+        F.when(F.col("text").isNull(), F.lit(None))
+        .otherwise(F.size("unigram_tokens"))
+        .cast("long")
+    )
     return enc.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -9315,4 +9322,137 @@ def pipeline_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped_lines",
             F.col("text_dedup").alias("text_final"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. WordPiece tokenizer (third tokenizer family)
+# ---------------------------------------------------------------------------
+
+# Frozen vocabulary artifact for text_wordpiece_encode: trained ONCE with
+# operators/wordpiece.py:train_wordpiece_vocab on the sf0.001 documents
+# sample (24 merges, likelihood score count(ab)/(count(a)*count(b))) and
+# frozen — the production shape (train on a bounded sample, ship the
+# vocabulary). Alphabet first (bare + ## continuation forms), then the
+# 24 merged pieces in merge order.
+_WORDPIECE_VOCAB: list[str] = [
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##k", "##l",
+    "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##u", "##w", "##y",
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p", "q",
+    "r", "s", "t", "v", "w",
+    "li", "wi", "qu", "lin", "win", "wind", "th", "##sh", "##ch", "fi",
+    "bi", "##in", "big", "ag", "agg", "##bl", "fil", "##up", "sp", "##us",
+    "cus", "##lu", "##lum", "##lumn",
+]
+
+
+def _wordpiece_encode_oracle() -> str:
+    from solana_etl_spark.operators.wordpiece import MAX_PIECE_LEN, UNK
+
+    vocab_vals = ", ".join(f"('{p}')" for p in _WORDPIECE_VOCAB)
+    return f"""
+    WITH RECURSIVE
+    wpv(piece) AS (VALUES {vocab_vals}),
+    wpw AS MATERIALIZED (
+        SELECT DISTINCT unnest(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   x -> x <> '')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wpc AS (
+        SELECT word, s, unnest(generate_series(
+                   1, least({MAX_PIECE_LEN}, length(word) - s + 1))) AS j
+        FROM (SELECT word, unnest(generate_series(1, length(word))) AS s
+              FROM wpw)
+    ),
+    wpm AS MATERIALIZED (
+        -- longest vocabulary match per (word, cursor): continuation
+        -- positions (s > 1) match only ## pieces
+        SELECT word, s - 1 AS pos, max(j) AS l
+        FROM wpc JOIN wpv
+          ON wpv.piece = CASE WHEN s = 1 THEN substr(word, s, j)
+                              ELSE '##' || substr(word, s, j) END
+        GROUP BY word, s
+    ),
+    walk AS (
+        SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS toks,
+               false AS failed
+        FROM wpw
+        UNION ALL
+        SELECT w.word,
+               CASE WHEN m.l IS NULL THEN length(w.word)
+                    ELSE w.pos + m.l END,
+               CASE WHEN m.l IS NULL THEN w.toks
+                    ELSE list_append(w.toks,
+                         CASE WHEN w.pos > 0 THEN '##' ELSE '' END
+                         || substr(w.word, w.pos + 1, m.l)) END,
+               m.l IS NULL
+        FROM walk w LEFT JOIN wpm m ON m.word = w.word AND m.pos = w.pos
+        WHERE w.pos < length(w.word) AND NOT w.failed
+    ),
+    segs AS (
+        SELECT word,
+               CASE WHEN failed THEN ['{UNK}'] ELSE toks END AS pieces
+        FROM walk WHERE pos = length(word)
+    ),
+    wpstream AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    wpdoc AS (
+        SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS toks
+        FROM wpstream JOIN segs USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(COALESCE(len(e.toks), 0) AS BIGINT) END AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(COALESCE(len(list_filter(e.toks,
+                     x -> x = '{UNK}')), 0) AS BIGINT) END AS n_unk,
+           CASE WHEN d.text IS NULL THEN ''
+                ELSE array_to_string(COALESCE(e.toks, [])[1:8], ' ')
+           END AS tok_prefix
+    FROM documents d LEFT JOIN wpdoc e USING (doc_id)
+    """
+
+
+@_register(
+    "text_wordpiece_encode", _wordpiece_encode_oracle(), local_only=True
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a shipped WordPiece vocabulary
+    (operators/wordpiece.py apply_wordpiece) — the THIRD tokenizer
+    family (BERT's greedy longest-match-first, whole-word [UNK] on any
+    unmatchable cursor), next to BPE (text_bpe_encode) and unigram-LM
+    (text_unigram_encode). Greedy segmentation runs once per DISTINCT
+    word (Zipf-bounded) as a membership-map build + per-row fold — zero
+    Python — then joins back in word order. The DuckDB oracle replays
+    the greedy walk as a recursive CTE over (word, cursor) states.
+    Returns per-doc token count, [UNK] count, first 8 tokens.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.wordpiece import UNK, apply_wordpiece
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_wordpiece(docs, _WORDPIECE_VOCAB)
+    toks = F.col("wp_tokens")
+    # size(NULL) is -1 under the session's non-ANSI legacy semantics, so
+    # NULL-text rows need the explicit isNull branch to match the
+    # oracle's NULL (latent on current fixtures, which carry no NULLs)
+    null_text = F.col("text").isNull()
+    return enc.select(
+        "doc_id",
+        F.when(null_text, F.lit(None))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_tokens"),
+        F.when(null_text, F.lit(None))
+        .otherwise(F.size(F.filter(toks, lambda t: t == UNK)))
+        .cast("long")
+        .alias("n_unk"),
+        F.when(null_text, F.lit(""))
+        .otherwise(F.array_join(F.slice(toks, 1, 8), " "))
+        .alias("tok_prefix"),
     )
