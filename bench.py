@@ -290,6 +290,109 @@ def main() -> None:
         except Exception:
             pass
 
+    # Web-family scaling decade (6k -> 60k pages, same generator): the
+    # round-5 URL/C4 operators run over the parametrized web corpus so
+    # their exponents are measured like the document family's. Registry
+    # rows read the fixed 600-page fixture, so the operators are invoked
+    # directly here on the bigger tables.
+    scaling_web: dict[str, dict] = {}
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
+        try:
+            import math
+
+            from solana_etl_spark.operators.c4 import (
+                c4_line_filter,
+                c4_span_dedup,
+            )
+            from solana_etl_spark.operators.web import url_dedup_keep_best
+            from solana_etl_spark.sources.synth import ensure_web_table
+
+            def _pages(d: str):
+                return spark.read.parquet(f"{d}/pages.parquet")
+
+            def _web_clean(d: str):
+                pages = _pages(d)
+                keepers = url_dedup_keep_best(pages).select("page_id")
+                best = pages.join(keepers, "page_id", "left_semi")
+                clean = c4_line_filter(best).withColumnRenamed(
+                    "text_clean", "text"
+                )
+                return c4_span_dedup(clean)
+
+            web_fns = {
+                "web_url_dedup": lambda d: url_dedup_keep_best(_pages(d)),
+                "web_c4_span_dedup": lambda d: c4_span_dedup(_pages(d)),
+                "pipeline_web_clean": _web_clean,
+            }
+            small_w = ensure_web_table(6000)
+            big_w = ensure_web_table(60000)
+            for name, fn in web_fns.items():
+                try:
+                    fn(small_w).count()  # warm
+                    t0 = time.time()
+                    rows_small = fn(small_w).count()
+                    t_small = round(time.time() - t0, 3)
+                    t0 = time.time()
+                    rows_big = fn(big_w).count()
+                    t_big = round(time.time() - t0, 3)
+                except Exception:
+                    continue
+                scaling_web[name] = {
+                    "t_small": t_small,
+                    "t_big": t_big,
+                    "rows_small": rows_small,
+                    "rows_big": rows_big,
+                    "exponent": round(
+                        math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
+                    ),
+                }
+        except Exception:
+            pass
+
+    # Multimodal scaling decade (4k -> 40k images): the dHash dedup path
+    # (vendored PNG decode in Arrow batches -> banded Hamming-LSH) over
+    # the parametrized image table — the registry row reads the fixed
+    # 400-image fixture, so the operator is invoked directly here.
+    scaling_mm: dict[str, dict] = {}
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.1":
+        try:
+            import math
+
+            from pyspark.sql import functions as F
+
+            from solana_etl_spark.operators.multimodal import dhash_pairs
+            from solana_etl_spark.sources.synth import ensure_images_table
+
+            def _mm(d: str):
+                media = spark.read.parquet(f"{d}/images.parquet").select(
+                    F.col("img_id").alias("media_id"), "payload"
+                )
+                return dhash_pairs(media)
+
+            small_m = ensure_images_table(4000)
+            big_m = ensure_images_table(40000)
+            try:
+                _mm(small_m).count()  # warm
+                t0 = time.time()
+                rows_small = _mm(small_m).count()
+                t_small = round(time.time() - t0, 3)
+                t0 = time.time()
+                rows_big = _mm(big_m).count()
+                t_big = round(time.time() - t0, 3)
+                scaling_mm["mm_phash_pairs"] = {
+                    "t_small": t_small,
+                    "t_big": t_big,
+                    "rows_small": rows_small,
+                    "rows_big": rows_big,
+                    "exponent": round(
+                        math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
+                    ),
+                }
+            except Exception:
+                pass
+        except Exception:
+            pass
+
     for k, v in timings.items():
         floors.setdefault(k, v)
     full_total = round(sum(v for v in timings.values() if v > 0), 3)
@@ -316,6 +419,8 @@ def main() -> None:
                 "scaling": scaling,
                 "scaling_up": scaling_up,
                 "scaling_up2": scaling_up2,
+                "scaling_web": scaling_web,
+                "scaling_mm": scaling_mm,
                 "scaling_up_note": (
                     "synthetic scaling decades (same Zipf-vocab generator"
                     " at every size; rows_* recorded so output-bound pair"
@@ -349,6 +454,18 @@ def main() -> None:
                 "scaling_up2_max_exponent": (
                     max(
                         (s["exponent"] for s in scaling_up2.values()),
+                        default=None,
+                    )
+                ),
+                "scaling_web_max_exponent": (
+                    max(
+                        (s["exponent"] for s in scaling_web.values()),
+                        default=None,
+                    )
+                ),
+                "scaling_mm_max_exponent": (
+                    max(
+                        (s["exponent"] for s in scaling_mm.values()),
                         default=None,
                     )
                 ),
