@@ -197,6 +197,32 @@ def main() -> None:
     # Row counts are recorded alongside: pair-emitting queries are
     # output-bound, and rows_big/rows_small says how much of the time
     # growth the output itself explains.
+    def _decade(fn, small_dir: str, big_dir: str) -> dict | None:
+        """Warm once on the small table, then time one counted run at
+        each size; exponent = log10(t_big/t_small) with output rows
+        recorded so output-bound queries read rows-normalized."""
+        import math
+
+        try:
+            fn(small_dir).count()  # warm
+            t0 = time.time()
+            rows_small = fn(small_dir).count()
+            t_small = round(time.time() - t0, 3)
+            t0 = time.time()
+            rows_big = fn(big_dir).count()
+            t_big = round(time.time() - t0, 3)
+        except Exception:
+            return None
+        return {
+            "t_small": t_small,
+            "t_big": t_big,
+            "rows_small": rows_small,
+            "rows_big": rows_big,
+            "exponent": round(
+                math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
+            ),
+        }
+
     scaling_up: dict[str, dict] = {}
     scaling_up2: dict[str, dict] = {}
     HEAVY_UP = [
@@ -229,26 +255,12 @@ def main() -> None:
             big_t = ensure_sf_tables(50000, 20000)
             all_qs = _q.all_queries()
             for name in HEAVY_UP:
-                try:
-                    fn = all_qs[name]
-                    fn(spark, small_t).count()  # warm
-                    t0 = time.time()
-                    rows_small = fn(spark, small_t).count()
-                    t_small = round(time.time() - t0, 3)
-                    t0 = time.time()
-                    rows_big = fn(spark, big_t).count()
-                    t_big = round(time.time() - t0, 3)
-                except Exception:
-                    continue
-                scaling_up[name] = {
-                    "t_small": t_small,
-                    "t_big": t_big,
-                    "rows_small": rows_small,
-                    "rows_big": rows_big,
-                    "exponent": round(
-                        math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
-                    ),
-                }
+                fn = all_qs[name]
+                entry = _decade(
+                    lambda d, fn=fn: fn(spark, d), small_t, big_t
+                )
+                if entry is not None:
+                    scaling_up[name] = entry
             # third decade (sf1 -> sf10, ~500k docs) for the LINEAR-path
             # family only: distinguishes constant-factor noise from creep
             # on the queries whose sf0.1->sf1 exponents were fine-but-not-
@@ -327,25 +339,9 @@ def main() -> None:
             small_w = ensure_web_table(6000)
             big_w = ensure_web_table(60000)
             for name, fn in web_fns.items():
-                try:
-                    fn(small_w).count()  # warm
-                    t0 = time.time()
-                    rows_small = fn(small_w).count()
-                    t_small = round(time.time() - t0, 3)
-                    t0 = time.time()
-                    rows_big = fn(big_w).count()
-                    t_big = round(time.time() - t0, 3)
-                except Exception:
-                    continue
-                scaling_web[name] = {
-                    "t_small": t_small,
-                    "t_big": t_big,
-                    "rows_small": rows_small,
-                    "rows_big": rows_big,
-                    "exponent": round(
-                        math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
-                    ),
-                }
+                entry = _decade(fn, small_w, big_w)
+                if entry is not None:
+                    scaling_web[name] = entry
         except Exception:
             pass
 
@@ -371,25 +367,9 @@ def main() -> None:
 
             small_m = ensure_images_table(4000)
             big_m = ensure_images_table(40000)
-            try:
-                _mm(small_m).count()  # warm
-                t0 = time.time()
-                rows_small = _mm(small_m).count()
-                t_small = round(time.time() - t0, 3)
-                t0 = time.time()
-                rows_big = _mm(big_m).count()
-                t_big = round(time.time() - t0, 3)
-                scaling_mm["mm_phash_pairs"] = {
-                    "t_small": t_small,
-                    "t_big": t_big,
-                    "rows_small": rows_small,
-                    "rows_big": rows_big,
-                    "exponent": round(
-                        math.log10(max(t_big, 1e-3) / max(t_small, 1e-3)), 3
-                    ),
-                }
-            except Exception:
-                pass
+            entry = _decade(_mm, small_m, big_m)
+            if entry is not None:
+                scaling_mm["mm_phash_pairs"] = entry
         except Exception:
             pass
 

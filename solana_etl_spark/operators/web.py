@@ -85,8 +85,12 @@ def canonical_url(url: Column) -> Column:
 
 
 def domain_of(url: Column) -> Column:
-    """Registrable domain (last two labels of the canonical host)."""
-    return F.regexp_extract(_host(url), DOMAIN_RE, 1)
+    """Registrable domain (last two labels of the canonical host). Any
+    surviving port is stripped first — the canonical host keeps
+    NON-default ports, but ex.com:8443 and ex.com:21 are the same
+    registrable domain and must share one cap group."""
+    host = F.regexp_replace(_host(url), r":[0-9]+$", "")
+    return F.regexp_extract(host, DOMAIN_RE, 1)
 
 
 def canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
@@ -116,7 +120,6 @@ def url_dedup_keep_best(
                 F.length(text_col).alias("len"),
                 (-F.col(id_col)).alias("neg_id"),
             ).alias("_k"),
-            F.col(id_col),
         )
         .groupBy("url_canonical")
         .agg(

@@ -93,10 +93,15 @@ def train_wordpiece_vocab(
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("cnt"))
             )
+            # persisted for the round: the count table broadcasts into
+            # BOTH join sides with different projections, and without the
+            # persist each side re-runs the explode+sum over the full
+            # word table — doubling the dominant per-round cost
             syms = (
                 words.select(F.explode("symbols").alias("s"), "freq")
                 .groupBy("s")
                 .agg(F.sum("freq").alias("scnt"))
+                .persist()
             )
             top = (
                 pairs.join(
@@ -117,6 +122,7 @@ def train_wordpiece_vocab(
                 .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
                 .first()
             )
+            syms.unpersist()
             if top is None:
                 break
             merged = top["a"] + _strip_cont(top["b"])
@@ -146,6 +152,12 @@ def _match_maps(
     """word -> packed membership map: key (start0 * KEY_BASE + len)
     present iff the vocabulary contains the piece starting there (with
     the ## continuation form at start0 > 0)."""
+    if max_piece_len >= KEY_BASE:
+        raise ValueError(
+            f"max_piece_len must be < {KEY_BASE} (key packing "
+            f"(start * {KEY_BASE} + len) is collision-free only below it), "
+            f"got {max_piece_len}"
+        )
     cand = words.select(
         "word",
         F.explode(

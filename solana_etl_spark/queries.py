@@ -9033,7 +9033,7 @@ def _url_canon_cte() -> str:
                CASE WHEN len(params) > 0
                     THEN '?' || array_to_string(params, '&')
                     ELSE '' END AS url_canonical,
-               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+               regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1) AS domain
         FROM (
             SELECT *,
                    regexp_replace(
@@ -9111,6 +9111,8 @@ def dedup_url_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _domain_cap_oracle() -> str:
+    from solana_etl_spark.operators.web import DOMAIN_CAP
+
     return f"""
     WITH canon AS ({_url_canon_cte()})
     SELECT page_id, domain FROM (
@@ -9120,7 +9122,7 @@ def _domain_cap_oracle() -> str:
                    ORDER BY md5(domain || ':' || CAST(page_id AS VARCHAR))
                ) AS rn
         FROM canon
-    ) WHERE rn <= 3
+    ) WHERE rn <= {DOMAIN_CAP}
     """
 
 
@@ -9138,19 +9140,33 @@ def s9_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_domain_cap(_read_web(spark))
 
 
-_C4_LINE_KEPT_SQL = (
-    "regexp_matches(x, '[.!?\"]\\s*$') "
-    "AND len(regexp_extract_all(x, '\\S+')) >= 5 "
-    "AND NOT contains(lower(x), 'javascript')"
-)
-_C4_PAGE_DROP_SQL = (
-    "contains(lower(text), 'viagra') OR contains(lower(text), 'casino') "
-    "OR contains(lower(text), 'jackpot') "
-    "OR contains(lower(text), 'lorem ipsum') OR contains(text, '{')"
-)
+def _c4_line_kept_sql() -> str:
+    from solana_etl_spark.operators.c4 import MIN_LINE_WORDS
+
+    return (
+        "regexp_matches(x, '[.!?\"]\\s*$') "
+        f"AND len(regexp_extract_all(x, '\\S+')) >= {MIN_LINE_WORDS} "
+        "AND NOT contains(lower(x), 'javascript')"
+    )
+
+
+def _c4_page_drop_sql() -> str:
+    from solana_etl_spark.operators.c4 import BAD_WORDS
+
+    bad = " OR ".join(f"contains(lower(text), '{w}')" for w in BAD_WORDS)
+    return (
+        f"{bad} OR contains(lower(text), 'lorem ipsum') "
+        "OR contains(text, '{')"
+    )
+
+
+_C4_LINE_KEPT_SQL = _c4_line_kept_sql()
+_C4_PAGE_DROP_SQL = _c4_page_drop_sql()
 
 
 def _c4_line_filter_oracle() -> str:
+    from solana_etl_spark.operators.c4 import MIN_PAGE_LINES
+
     return f"""
     SELECT page_id,
            CAST(len(ls) AS BIGINT) AS n_lines,
@@ -9165,7 +9181,7 @@ def _c4_line_filter_oracle() -> str:
         FROM read_parquet('{_web_pages_path()}')
         WHERE NOT ({_C4_PAGE_DROP_SQL})
     )
-    WHERE len(kept) >= 3
+    WHERE len(kept) >= {MIN_PAGE_LINES}
     """
 
 
@@ -9185,6 +9201,9 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _c4_span_cte(src: str) -> str:
     """CTEs (occ, drops) for three-sentence-span dedup over ``src``
     (page_id, text) — mirror of operators/c4.py c4_span_dedup."""
+    from solana_etl_spark.operators.c4 import SPAN_SENTS
+
+    w = SPAN_SENTS
     return f"""
     lsrc AS (
         SELECT page_id,
@@ -9193,11 +9212,11 @@ def _c4_span_cte(src: str) -> str:
     ),
     occ AS (
         SELECT page_id, i - 1 AS pos,
-               md5(array_to_string(ls[i:i+2], chr(10))) AS h
+               md5(array_to_string(ls[i:i+{w - 1}], chr(10))) AS h
         FROM (
             SELECT page_id, ls,
-                   unnest(generate_series(1, len(ls) - 2)) AS i
-            FROM lsrc WHERE len(ls) >= 3
+                   unnest(generate_series(1, len(ls) - {w - 1})) AS i
+            FROM lsrc WHERE len(ls) >= {w}
         )
     ),
     k AS (
@@ -9214,7 +9233,7 @@ def _c4_span_cte(src: str) -> str:
         FROM (
             SELECT o.page_id, o.pos + j AS idx
             FROM occ o
-            JOIN k USING (h), generate_series(0, 2) AS g(j)
+            JOIN k USING (h), generate_series(0, {w - 1}) AS g(j)
             WHERE NOT (o.page_id = k.kp AND o.pos = k.kpos)
         ) GROUP BY page_id
     )
@@ -9251,6 +9270,8 @@ def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_web_clean_oracle() -> str:
+    from solana_etl_spark.operators.c4 import MIN_PAGE_LINES
+
     keep_best = f"""
     canon AS ({_url_canon_cte()}),
     best AS (
@@ -9273,7 +9294,7 @@ def _pipeline_web_clean_oracle() -> str:
             FROM best
             WHERE NOT ({_C4_PAGE_DROP_SQL})
         )
-        WHERE len(kept) >= 3
+        WHERE len(kept) >= {MIN_PAGE_LINES}
     )
     """
     return f"""

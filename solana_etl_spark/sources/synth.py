@@ -571,7 +571,7 @@ def ensure_images_table(
 # and URL/domain operator families
 # ---------------------------------------------------------------------------
 
-WEB_VERSION = 2
+WEB_VERSION = 3
 N_PAGES = 600
 _N_SITES = 24
 WEB_BAD_WORDS = ("viagra", "casino", "jackpot")
@@ -654,23 +654,35 @@ def _synth_web_pages(n_pages: int):
             lines.append("window.dataLayer = { push: true } and more text.")
         text = "\n".join(lines)
         url = f"https://site{site}.com/articles/{page_id}?id={page_id}"
+        # content_memory records the content lines ACTUALLY present in
+        # this page's text, so syndication donors always plant real
+        # duplicated spans (thin pages contribute only their 2 used
+        # lines; re-served pages contribute the predecessor's content)
+        actual_content = content[:2] if page_id % 17 == 5 else content
         if page_id % 13 == 6 and pages:
-            # URL-variant re-serve: previous page's TEXT, same canonical
-            # URL as the previous page modulo tracking noise
+            # URL-variant re-serve: previous page's TEXT at a variant of
+            # the SAME canonical URL — the scheme (and default port)
+            # must mirror whichever branch the predecessor took, or the
+            # canonical forms differ and the planted dedup pair is dead
             prev_id = page_id - 1
             prev_site = prev_id % _N_SITES
             text = pages[-1][2]
+            scheme, port = (
+                ("HTTP", 80) if prev_id % 9 == 4 else ("HTTPS", 443)
+            )
             url = (
-                f"HTTPS://WWW.Site{prev_site}.COM:443/articles/{prev_id}/"
+                f"{scheme}://WWW.Site{prev_site}.COM:{port}"
+                f"/articles/{prev_id}/"
                 f"?utm_source=feed&id={prev_id}&utm_campaign=x&fbclid=abc"
                 f"#section-{page_id}"
             )
+            actual_content = content_memory[-1]
         elif page_id % 9 == 4:
             url = (
                 f"http://www.site{site}.com:80/articles/{page_id}"
                 f"?id={page_id}&ref=homepage"
             )
-        content_memory.append(content)
+        content_memory.append(actual_content)
         pages.append((page_id, url, text))
     return pages
 

@@ -53,13 +53,15 @@ def _ref_train(word_freqs, n_merges):
                 pair_counts[(a, b)] += f
         if not pair_counts:
             break
-        best = max(
+        # min over (-score, a, b): highest score, ties to the lexically
+        # SMALLEST pair — tuple string comparison matches the operator's
+        # orderBy(desc(score), asc(a), asc(b)) exactly (an inverted-ord
+        # key got prefix-related ties wrong: [-97] < [-97, -98])
+        best = min(
             pair_counts,
             key=lambda p: (
-                pair_counts[p] / (sym_counts[p[0]] * sym_counts[p[1]]),
-                # max() keeps the FIRST max; invert lexical for ties
-                [-ord(c) for c in p[0]],
-                [-ord(c) for c in p[1]],
+                -(pair_counts[p] / (sym_counts[p[0]] * sym_counts[p[1]])),
+                p,
             ),
         )
         a, b = best
