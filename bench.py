@@ -322,6 +322,20 @@ def main() -> None:
             def _pages(d: str):
                 return spark.read.parquet(f"{d}/pages.parquet")
 
+            def _force(df):
+                # count()-only plans let Catalyst ELIMINATE the span
+                # machinery (left join on a unique agg key preserves row
+                # count, text columns prune away) — measured 0.257 s
+                # flat at both sizes, i.e. a parquet row count. The
+                # trivially-true filters reference the computed columns
+                # so the real work stays in the counted plan.
+                from pyspark.sql import functions as SF
+
+                return df.filter(
+                    (SF.col("n_dropped_lines") >= 0)
+                    & (SF.length(df.columns[-1]) >= 0)
+                )
+
             def _web_clean(d: str):
                 pages = _pages(d)
                 keepers = url_dedup_keep_best(pages).select("page_id")
@@ -329,11 +343,13 @@ def main() -> None:
                 clean = c4_line_filter(best).withColumnRenamed(
                     "text_clean", "text"
                 )
-                return c4_span_dedup(clean)
+                return _force(c4_span_dedup(clean))
 
             web_fns = {
                 "web_url_dedup": lambda d: url_dedup_keep_best(_pages(d)),
-                "web_c4_span_dedup": lambda d: c4_span_dedup(_pages(d)),
+                "web_c4_span_dedup": lambda d: _force(
+                    c4_span_dedup(_pages(d))
+                ),
                 "pipeline_web_clean": _web_clean,
             }
             small_w = ensure_web_table(6000)

@@ -9367,12 +9367,14 @@ _WORDPIECE_VOCAB: list[str] = [
 ]
 
 
-def _wordpiece_encode_oracle() -> str:
+def _wp_seg_ctes() -> str:
+    """Shared recursive CTEs (wpv .. segs): the greedy longest-match walk
+    over every distinct corpus word — used by the encode and pack
+    oracles (mirror of operators/wordpiece.py wordpiece_segment)."""
     from solana_etl_spark.operators.wordpiece import MAX_PIECE_LEN, UNK
 
     vocab_vals = ", ".join(f"('{p}')" for p in _WORDPIECE_VOCAB)
     return f"""
-    WITH RECURSIVE
     wpv(piece) AS (VALUES {vocab_vals}),
     wpw AS MATERIALIZED (
         SELECT DISTINCT unnest(list_filter(
@@ -9415,7 +9417,15 @@ def _wordpiece_encode_oracle() -> str:
         SELECT word,
                CASE WHEN failed THEN ['{UNK}'] ELSE toks END AS pieces
         FROM walk WHERE pos = length(word)
-    ),
+    )
+    """
+
+
+def _wordpiece_encode_oracle() -> str:
+    from solana_etl_spark.operators.wordpiece import UNK
+
+    return f"""
+    WITH RECURSIVE {_wp_seg_ctes()},
     wpstream AS (
         SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
         FROM (SELECT doc_id,
@@ -9476,4 +9486,76 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(null_text, F.lit(""))
         .otherwise(F.array_join(F.slice(toks, 1, 8), " "))
         .alias("tok_prefix"),
+    )
+
+
+def _wp_pack_oracle() -> str:
+    b = _BPE_PACK_BUDGET
+    return f"""
+    WITH RECURSIVE {_wp_seg_ctes()},
+    wpkw AS (
+        SELECT doc_id, lang, unnest(ws) AS word
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    wpkd AS (
+        SELECT w.doc_id, ANY_VALUE(w.lang) AS lang,
+               CAST(SUM(len(s.pieces)) AS BIGINT) AS n_tokens
+        FROM wpkw w JOIN segs s USING (word) GROUP BY w.doc_id
+    ),
+    wpcum AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS e
+        FROM wpkd
+    ),
+    wpex AS (
+        SELECT lang, doc_id, n_tokens, e - n_tokens AS s, e,
+               unnest(generate_series(CAST((e - n_tokens) // {b} AS BIGINT),
+                                      CAST((e - 1) // {b} AS BIGINT)))
+                   AS seq_id
+        FROM wpcum WHERE n_tokens > 0
+    )
+    SELECT lang, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           seq_id,
+           CAST(greatest(s, seq_id * {b}) - seq_id * {b} AS BIGINT)
+               AS seq_offset,
+           CAST(least(e, seq_id * {b} + {b}) - greatest(s, seq_id * {b})
+                AS BIGINT) AS tokens_in_seq
+    FROM wpex
+    """
+
+
+@_register("pipeline_wordpiece_pack", _wp_pack_oracle(), local_only=True)
+def pipeline_wordpiece_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer->packing composite on the WordPiece family: encode the
+    corpus with the shipped WordPiece vocabulary (greedy longest-match,
+    whole-word [UNK] counts as one token), then pack the REAL token
+    counts into fixed 2048-token training sequences per language — the
+    pipeline_bpe_pack / pipeline_unigram_pack counterpart proving the
+    THIRD tokenizer chains into the same downstream accounting. One
+    pack-window shuffle on top of the encode's linear ones. local_only:
+    driver cap."""
+    from solana_etl_spark.operators.packing import pack_sequences
+    from solana_etl_spark.operators.wordpiece import apply_wordpiece
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_wordpiece(docs, _WORDPIECE_VOCAB)
+    packed = pack_sequences(
+        enc,
+        budget=_BPE_PACK_BUDGET,
+        group_cols=("lang",),
+        order_col="doc_id",
+        n_tokens=F.size("wp_tokens"),
+    )
+    return packed.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+        "tokens_in_seq",
     )
