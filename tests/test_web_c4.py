@@ -212,3 +212,55 @@ def test_plan_shapes_map_only_stages(spark):
     ):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_canonicalization_idempotent_on_corpus(spark):
+    """canonical(canonical(u)) == canonical(u) over every planted URL —
+    the canonical form is a fixed point (re-crawling canonical URLs
+    cannot re-dedup differently)."""
+    from solana_etl_spark.sources.synth import ensure_web_table
+
+    d = ensure_web_table()
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    once = pages.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    )
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_domain_cap_contract_on_corpus(spark):
+    """per_domain_cap output is a subset of the input with at most cap
+    ids per domain, covering every non-empty domain."""
+    from solana_etl_spark.operators.web import canonicalize
+    from solana_etl_spark.sources.synth import ensure_web_table
+
+    d = ensure_web_table()
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    capped = per_domain_cap(pages, cap=3)
+    per_dom = capped.groupBy("domain").count()
+    assert per_dom.filter(F.col("count") > 3).count() == 0
+    all_doms = canonicalize(pages).select("domain").distinct()
+    assert per_dom.count() == all_doms.count()
+    assert (
+        capped.join(pages.select("page_id"), "page_id", "left_anti").count()
+        == 0
+    )
+
+
+def test_span_dedup_line_conservation_on_corpus(spark):
+    """Every page's surviving lines + dropped lines == original lines,
+    and the surviving text is exactly the original minus dropped lines
+    (checked via line counts over the whole synthetic corpus)."""
+    from solana_etl_spark.sources.synth import ensure_web_table
+
+    d = ensure_web_table()
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    out = c4_span_dedup(pages)
+    surviving = F.when(F.col("text_dedup") == "", F.lit(0)).otherwise(
+        F.size(F.split("text_dedup", "\n"))
+    )
+    bad = out.filter(
+        surviving + F.col("n_dropped_lines") != F.col("n_lines")
+    )
+    assert bad.count() == 0
