@@ -208,3 +208,90 @@ class CorpusPipeline:
         from solana_etl_spark.operators.drift import drift_report
 
         return drift_report(reference, self.df, col)
+
+
+class WebPipeline:
+    """Chainable web-crawl curation over a ``pages(page_id, url, text)``
+    DataFrame — the URL/C4 operator family (operators/web.py,
+    operators/c4.py) composed as the recipe a crawl actually runs:
+
+        WebPipeline(pages)
+            .dedup_urls()
+            .c4_clean()
+            .dedup_spans()
+            .to_documents()        # -> CorpusPipeline(...)
+
+    Like :class:`CorpusPipeline`, every step narrows the SAME lazy
+    DataFrame; ``to_documents()`` re-shapes the survivors into the
+    ``documents(doc_id, text, lang, source, n_chars)`` schema (source =
+    registrable domain) so the cleaned crawl feeds straight into the
+    corpus pipeline's dedup/decontaminate/pack stages."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def _with(self, df: DataFrame) -> "WebPipeline":
+        return WebPipeline(df)
+
+    def dedup_urls(self) -> "WebPipeline":
+        """Keep the best copy per canonical URL (longest text, ties to
+        the smallest id) — one struct-argmax hash aggregate + semi-join
+        back (operators/web.py url_dedup_keep_best)."""
+        from solana_etl_spark.operators.web import url_dedup_keep_best
+
+        keepers = url_dedup_keep_best(self.df).select("page_id")
+        return self._with(self.df.join(keepers, "page_id", "left_semi"))
+
+    def cap_domains(self, cap: int | None = None) -> "WebPipeline":
+        """Keep at most ``cap`` pages per registrable domain, chosen by
+        deterministic md5 order (operators/web.py per_domain_cap — the
+        two-level rank, mega-domain-safe)."""
+        from solana_etl_spark.operators.web import DOMAIN_CAP, per_domain_cap
+
+        kept = per_domain_cap(
+            self.df, cap=DOMAIN_CAP if cap is None else cap
+        ).select("page_id")
+        return self._with(self.df.join(kept, "page_id", "left_semi"))
+
+    def c4_clean(self) -> "WebPipeline":
+        """Apply the C4 line + page rules; ``text`` becomes the kept
+        lines (operators/c4.py c4_line_filter — a map-only stage)."""
+        from solana_etl_spark.operators.c4 import c4_line_filter
+
+        keep = [c for c in self.df.columns if c != "text"]
+        cleaned = c4_line_filter(self.df).select(
+            "page_id", F.col("text_clean").alias("text")
+        )
+        return self._with(
+            self.df.select(*keep).join(cleaned, "page_id")
+        )
+
+    def dedup_spans(self) -> "WebPipeline":
+        """Corpus-wide three-sentence-span dedup; ``text`` becomes the
+        surviving lines (operators/c4.py c4_span_dedup), pages reduced
+        to nothing are dropped."""
+        from solana_etl_spark.operators.c4 import c4_span_dedup
+
+        keep = [c for c in self.df.columns if c != "text"]
+        deduped = c4_span_dedup(self.df).select(
+            "page_id", F.col("text_dedup").alias("text")
+        )
+        return self._with(
+            self.df.select(*keep)
+            .join(deduped, "page_id")
+            .filter(F.col("text") != "")
+        )
+
+    def to_documents(self) -> DataFrame:
+        """Survivors re-shaped to the documents schema: doc_id = page_id,
+        source = registrable domain, lang left NULL for a downstream
+        lang-id stage (operators/text.py lang_id)."""
+        from solana_etl_spark.operators.web import domain_of
+
+        return self.df.select(
+            F.col("page_id").alias("doc_id"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+            domain_of(F.col("url")).alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )

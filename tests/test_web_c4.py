@@ -264,3 +264,30 @@ def test_span_dedup_line_conservation_on_corpus(spark):
         surviving + F.col("n_dropped_lines") != F.col("n_lines")
     )
     assert bad.count() == 0
+
+
+def test_web_pipeline_chains_into_corpus_pipeline(spark):
+    """The facade composition story: crawl -> WebPipeline (URL dedup,
+    C4 rules, span dedup) -> documents schema -> CorpusPipeline stages
+    run unchanged on the result."""
+    from solana_etl_spark.corpus import CorpusPipeline, WebPipeline
+    from solana_etl_spark.sources.synth import ensure_web_table
+
+    d = ensure_web_table()
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    docs = (
+        WebPipeline(pages)
+        .dedup_urls()
+        .c4_clean()
+        .dedup_spans()
+        .to_documents()
+    )
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    n = docs.count()
+    assert 0 < n < 600
+    # domains flow through as sources; no empty texts survive
+    assert docs.filter(F.col("source") == "").count() == 0
+    assert docs.filter(F.length("text") == 0).count() == 0
+    # the corpus pipeline's stages accept the shape unchanged
+    out = CorpusPipeline(docs).dedup_exact().dedup_near().df
+    assert 0 < out.count() <= n
