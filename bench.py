@@ -345,8 +345,23 @@ def main() -> None:
                 )
                 return _force(c4_span_dedup(clean))
 
+            def _force_url(df):
+                # same pruning pitfall as _force: count() over the groupBy
+                # preserves row count, so Catalyst would prune the
+                # struct-argmax (_best) and len(text) away and the decade
+                # would time a bare distinct-count. page_id derives from
+                # the argmax struct and n_variants from the count agg —
+                # referencing both keeps the real work in the counted plan.
+                from pyspark.sql import functions as SF
+
+                return df.filter(
+                    (SF.col("page_id") >= 0) & (SF.col("n_variants") >= 1)
+                )
+
             web_fns = {
-                "web_url_dedup": lambda d: url_dedup_keep_best(_pages(d)),
+                "web_url_dedup": lambda d: _force_url(
+                    url_dedup_keep_best(_pages(d))
+                ),
                 "web_c4_span_dedup": lambda d: _force(
                     c4_span_dedup(_pages(d))
                 ),

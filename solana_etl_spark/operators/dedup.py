@@ -200,6 +200,42 @@ def lsh_duplicate_ids(
     )
 
 
+def lsh_star_edges(
+    documents: DataFrame, k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
+) -> DataFrame:
+    """(doc_a, doc_b) STAR edges of the LSH collision graph: per
+    (band, sig) bucket, one edge from the bucket's min doc_id to every
+    other member — the same ``bucket_min`` window
+    :func:`lsh_duplicate_ids` computes.
+
+    Bucket co-membership is an equivalence GENERATOR, so for connected
+    components the per-bucket star spans exactly what the all-pairs
+    expansion spans: every bucket member reaches every other through the
+    bucket min, and unions across buckets/bands compose identically.
+    The difference is volume — O(N·bands) edges instead of
+    Σ_buckets C(|bucket|, 2): on a boilerplate-heavy corpus one hot
+    bucket makes the pair set explode quadratically (measured 313 k →
+    31.5 M pairs over one synthetic decade) while the star stays linear.
+    This is the edge list the cluster family (:func:`keepers_by_quality`,
+    ``dedup_clusters``, cluster-safe splits) feeds to
+    :func:`connected_components`; :func:`minhash_lsh_pairs` remains the
+    CANDIDATE-pair emitter for operators that verify each pair
+    individually (exact-Jaccard scoring needs real pairs, not spanning
+    edges).
+
+    One shuffle (the window over band rows) + a distinct on 16-byte edge
+    rows; no pair expansion anywhere in the plan.
+    """
+    bands = lsh_bands(documents, k, band_rows)
+    bucket_min = F.min("doc_id").over(Window.partitionBy("band", "sig"))
+    return (
+        bands.withColumn("_min", bucket_min)
+        .filter(F.col("doc_id") > F.col("_min"))
+        .select(F.col("_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def keepers_by_quality(documents: DataFrame) -> DataFrame:
     """(doc_id, cluster_id, keeper_doc_id, is_keeper): near-duplicate
     clusters from the minhash-LSH pair graph with the keeper chosen by
@@ -209,12 +245,13 @@ def keepers_by_quality(documents: DataFrame) -> DataFrame:
     not the first-seen one; min-id keeper selection silently prefers
     whatever was crawled earliest. Singletons are their own keeper.
 
-    Spark shape: pairs → pointer-jumping components (as
+    Spark shape: per-bucket STAR edges (:func:`lsh_star_edges` — linear,
+    never the quadratic pair expansion) → pointer-jumping components (as
     :func:`connected_components`), then ONE (cluster_id) max-struct
     aggregate picks keepers — no per-cluster sort."""
     from solana_etl_spark.operators.text import tokens
 
-    pairs = minhash_lsh_pairs(documents)
+    pairs = lsh_star_edges(documents)
     clusters = connected_components(pairs).select(
         F.col("doc_id").alias("_cd"), "cluster_id"
     )
@@ -623,7 +660,15 @@ def _ngram_intersections(
     names :func:`lsh_jaccard_pairs` as the scale path when the estimate
     exceeds ``max_candidates``. Pass-through at fixture scale (sf0.1
     streams ~10 M candidates; the default cap is 100 M), so driver
-    oracles are unaffected."""
+    oracles are unaffected.
+
+    Laziness caveat: the guard's estimate is an EAGER Spark job at
+    plan-construction time (``.first()``), so unlike most operators here
+    this one runs work before any action on the returned DataFrame and
+    scans the corpus twice overall (estimate + real run). Acceptable for
+    an audit-scale operator; callers composing it into larger lazy plans
+    should pass ``force=True`` (skipping the guard and the extra scan)
+    once the corpus is known to be in-bounds."""
     grams = ensure_compute_parallelism(documents).select(
         "doc_id",
         "lang",

@@ -167,6 +167,18 @@ def semantic_dedup(
     Scale shape: candidates are bucket-keyed (sub-quadratic), the cluster
     step is O(log diameter) rounds, and the final join is on vec_id only —
     no step touches all-pairs or collects to the driver.
+
+    Why CC consumes verified PAIRS here (unlike the text-dedup cluster
+    family, which feeds CC from ``dedup.lsh_star_edges``): the text
+    clusters' edge relation IS bucket co-membership — an equivalence
+    generator — so a per-bucket star spans identical components with
+    linear edges. Here the edge relation is ``cosine ≥ threshold``,
+    verified per pair; a bucket star would union every bucket co-member
+    regardless of cosine (coarser, WRONG clusters — e.g. two far vectors
+    that merely share a sign bucket). The verified pair set is the
+    semantic definition, and its volume is already bounded by the bucket
+    join (Σ_buckets n_b²) — at 100 TB you size LSH_SIGN_BITS so buckets
+    stay small, which bounds pairs and CC edges together.
     """
     from solana_etl_spark.operators.dedup import connected_components
 

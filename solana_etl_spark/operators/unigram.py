@@ -89,12 +89,28 @@ def _piece_structs(word: Column, max_piece_len: int) -> Column:
     )
 
 
+def _check_key_base(max_piece_len: int) -> None:
+    """Every edge/DP map in this module packs (start0, len) keys as
+    ``start0 * KEY_BASE + len``; ``len <= max_piece_len < KEY_BASE`` is
+    what keeps the packing collision-free. Fail loudly at call time
+    (same contract as wordpiece._match_maps) instead of surfacing as a
+    duplicate-map-key runtime error — or, under the LEGACY
+    mapKeyDedupPolicy, silently wrong segmentations."""
+    if max_piece_len >= KEY_BASE:
+        raise ValueError(
+            f"max_piece_len must be < {KEY_BASE} (key packing "
+            f"(start * {KEY_BASE} + len) is collision-free only below it), "
+            f"got {max_piece_len}"
+        )
+
+
 def piece_candidates(
     words: DataFrame, max_piece_len: int = MAX_PIECE_LEN
 ) -> DataFrame:
     """(s, j, piece, freq) for every substring occurrence of every
     distinct word — the seed-harvest relation. Runs on the word-freq
     table, so its size is (words × len × max_piece_len), Zipf-bounded."""
+    _check_key_base(max_piece_len)
     return words.select(
         "word",
         "freq",
@@ -146,6 +162,7 @@ def viterbi_segment(
     ``aggregate`` passes (forward costs, backtrace), exact DECIMAL sums,
     no Python, no further shuffle. Never quadratic in anything: the DP
     is O(len × max_piece_len) per distinct word."""
+    _check_key_base(max_piece_len)
     cand = piece_candidates(words, max_piece_len)
     edges = (
         cand.join(F.broadcast(vocab_df), "piece", "left")

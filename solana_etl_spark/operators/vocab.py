@@ -116,29 +116,29 @@ def train_bpe_merges(
     words = word_freq_table(docs, text_col).withColumn(
         "symbols", _initial_symbols(F.col("word"), append_eow)
     )
-    words = words.persist()
-    try:
-        merges: list[tuple[str, str]] = []
-        for _ in range(n_merges):
-            top = (
-                _pair_counts(words)
-                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-                .first()
-            )
-            if top is None:
-                break
-            merges.append((top["a"], top["b"]))
-            prev = words
-            words = words.withColumn(
-                "symbols", merge_pair_expr(F.col("symbols"), top["a"], top["b"])
-            ).persist()
-            # materialize the round before dropping its parent so each
-            # round's lineage stays O(1), not O(round)
-            words.count()
-            prev.unpersist()
-        return merges
-    finally:
-        words.unpersist()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((top["a"], top["b"]))
+        # localCheckpoint, NOT persist+count: a persist chain keeps every
+        # prior round's (large, interpreted) merge-fold plan as an
+        # un-executed child, and Catalyst re-canonicalizes that
+        # O(rounds)-deep tree per cache lookup — measured on the WordPiece
+        # twin of this loop (operators/wordpiece.py): 24 rounds blew past
+        # 15 min with persist+count vs seconds per round truncated. At the
+        # default 16 merges the persist chain was still fine (~2 s/round),
+        # but the loop is O(rounds²) either way — truncation makes it
+        # linear. Same learned merges: checkpointing changes lineage only.
+        words = words.withColumn(
+            "symbols", merge_pair_expr(F.col("symbols"), top["a"], top["b"])
+        ).localCheckpoint()
+    return merges
 
 
 def apply_bpe(

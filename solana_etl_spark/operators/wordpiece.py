@@ -54,13 +54,23 @@ def train_wordpiece_vocab(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
+    max_piece_len: int = MAX_PIECE_LEN,
 ) -> list[str]:
     """Learn a WordPiece vocabulary: the corpus alphabet (bare +
     ##-prefixed forms, count-bearing only) plus one merged piece per
     round, in merge order. Score ties break (pair lexical) like BPE.
     The likelihood score is the exact integer ratio compared in doubles
     — deterministic on any partitioning (each ratio is a pure function
-    of exact counts; no accumulation order)."""
+    of exact counts; no accumulation order).
+
+    Merge candidates whose merged CONTENT (##-stripped) would exceed
+    ``max_piece_len`` are skipped: the greedy encoder
+    (:func:`wordpiece_encode`) only matches pieces up to that many word
+    chars, so a longer merged piece would be silently unreachable —
+    trained but never matched, shifting encode segmentations toward
+    shorter pieces. Training and encoding therefore share one bound by
+    construction. (No fixture merge ever reached the bound, so learned
+    vocabularies at the defaults are unchanged.)"""
     base = word_freq_table(docs, text_col).withColumn(
         "symbols", _initial_wp_symbols(F.col("word"))
     )
@@ -79,6 +89,9 @@ def train_wordpiece_vocab(
         merges: list[str] = []
         for _ in range(n_merges):
             n = F.size("symbols")
+            content_len = F.length(
+                F.regexp_replace(F.col("p.a"), f"^{CONT}", "")
+            ) + F.length(F.regexp_replace(F.col("p.b"), f"^{CONT}", ""))
             pairs = (
                 words.filter(n >= 2)
                 .select(
@@ -90,6 +103,8 @@ def train_wordpiece_vocab(
                     ).alias("p"),
                     "freq",
                 )
+                # encoder-matchable pieces only (see docstring)
+                .filter(content_len <= max_piece_len)
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("cnt"))
             )

@@ -1345,12 +1345,16 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _clusters_oracle(dedup.MINHASH_K, dedup.LSH_BAND_ROWS),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup capstone: LSH candidate pairs → transitive duplicate clusters
+    """Dedup capstone: LSH collision graph → transitive duplicate clusters
     (iterative min-label propagation; oracle is a recursive-CTE closure).
     A~B, B~C ⇒ one cluster keyed by its min doc_id even when A,C never
-    collide directly — what a drop-duplicates pass actually needs."""
+    collide directly — what a drop-duplicates pass actually needs.
+    CC is fed per-bucket STAR edges (dedup.lsh_star_edges: doc →
+    bucket-min, O(N·bands) rows), not the quadratic all-pairs expansion —
+    identical components (bucket co-membership is an equivalence
+    generator), linear edge volume on boilerplate-heavy corpora."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    return dedup.connected_components(dedup.lsh_star_edges(docs))
 
 
 def _keepers_oracle(k: int, band_rows: int) -> str:
@@ -2591,7 +2595,7 @@ def s8_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_etl_spark.operators.sampling import train_val_test_split
 
     docs = _t(spark, sf_dir, "documents")
-    clusters = dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+    clusters = dedup.connected_components(dedup.lsh_star_edges(docs))
     members = (
         docs.select("doc_id")
         .join(clusters, "doc_id", "left")
@@ -7175,9 +7179,22 @@ def _uni_base_sql() -> str:
             FROM documents WHERE text IS NOT NULL
         ) GROUP BY word
     ),
+    uniguard AS MATERIALIZED (
+        -- fail-loudly assertion of the unroll-depth assumption: the Spark
+        -- operator is length-unbounded, but this oracle caps candidate
+        -- starts and the DP at _UNI_W positions. A longer fixture word
+        -- would otherwise SILENTLY vanish from the segmentation (the seg
+        -- inner join drops its tokens) and surface as a confusing
+        -- value-hash mismatch instead of this error.
+        SELECT CASE WHEN COALESCE(MAX(len(word)), 0) > {_UNI_W}
+                    THEN error('unigram oracle: a word exceeds the DP unroll depth _UNI_W={_UNI_W}; raise _UNI_W to cover the fixture')
+                    ELSE 1 END AS ok
+        FROM uniw
+    ),
     unic AS MATERIALIZED (
         SELECT w.word, w.freq, s.s, j.j, substr(w.word, s.s, j.j) AS piece
         FROM uniw w
+        JOIN uniguard g ON g.ok = 1
         JOIN (SELECT unnest(generate_series(1, {_UNI_W})) AS s) s
              ON s.s <= len(w.word)
         JOIN (SELECT unnest(generate_series(1, {MAX_PIECE_LEN})) AS j) j

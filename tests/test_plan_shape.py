@@ -252,3 +252,36 @@ def test_kmeans_training_is_bounded_by_default(spark):
     # a cap below the corpus size genuinely shrinks the training set
     small = kmeans_centroids(emb, train_cap=100).collect()
     assert len(small) > 0 and {r.cid for r in small} == set(range(len(small)))
+
+
+def test_cluster_path_star_edges_no_pair_expansion(spark):
+    """The cluster family's CC input must be the per-bucket STAR edge list
+    (linear in band rows), never the quadratic all-pairs bucket expansion:
+    no posting-list collect_list, no posexplode pair expansion anywhere in
+    the edge plan. And the star graph must span EXACTLY the components the
+    pair graph spans (bucket co-membership is an equivalence generator)."""
+    from solana_etl_spark.operators.dedup import (
+        connected_components,
+        keepers_by_quality,
+        lsh_star_edges,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge_plan = _formatted(lsh_star_edges(docs))
+    assert "collect_list" not in edge_plan
+    assert "posexplode" not in edge_plan
+    keeper_plan = _formatted(keepers_by_quality(docs))
+    assert "collect_list" not in keeper_plan
+    assert "posexplode" not in keeper_plan
+
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(lsh_star_edges(docs)).collect()
+    }
+    pairs = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(minhash_lsh_pairs(docs)).collect()
+    }
+    assert len(star) > 0
+    assert star == pairs

@@ -193,3 +193,26 @@ def test_roundtrip_property(spark, text):
     r = encode_unigram(docs, vocab).first()
     norm = [w for w in text.lower().split() if w]
     assert "".join(r["unigram_tokens"]) == "".join(norm)
+
+
+def test_key_base_guard_rejects_oversized_piece_len(spark):
+    """(start, len) edge-map keys pack as start * KEY_BASE + len, so
+    max_piece_len >= KEY_BASE would collide keys — the module must refuse
+    loudly (same contract as wordpiece._match_maps) instead of surfacing
+    a duplicate-map-key error or silently wrong segmentations."""
+    from solana_etl_spark.operators.unigram import (
+        KEY_BASE,
+        _vocab_df,
+        piece_candidates,
+        viterbi_segment,
+    )
+
+    wdf = spark.createDataFrame([("hello", 1)], "word string, freq long")
+    with pytest.raises(ValueError, match="max_piece_len"):
+        piece_candidates(wdf, max_piece_len=KEY_BASE)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        viterbi_segment(
+            wdf,
+            _vocab_df(spark, [("h", Decimal("1.0"))]),
+            max_piece_len=KEY_BASE + 3,
+        )

@@ -144,3 +144,23 @@ def test_segment_is_greedy_not_min_pieces(spark):
     # 'a' + '##bc' segments the word
     assert seg.first()["pieces"] == [UNK]
     assert _ref_segment("abc", set(vocab)) == [UNK]
+
+
+def test_training_skips_encoder_unreachable_merges(spark):
+    """Merged pieces longer (in ##-stripped content chars) than
+    max_piece_len would be unreachable by the greedy encoder — training
+    must skip those candidates so the shipped vocabulary and the encode
+    bound agree. With a tight bound the trainer still merges, but never
+    past the bound; at the default bound fixture training is unchanged."""
+    rows = [(1, "hugging huggable hug bug rugged"), (2, "hug hug hugging jazz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bounded = train_wordpiece_vocab(docs, n_merges=8, max_piece_len=3)
+    merged_pieces = [p for p in bounded if len(p) > 1 and not p.startswith(CONT)] + [
+        p[len(CONT):] for p in bounded if p.startswith(CONT) and len(p) > len(CONT) + 1
+    ]
+    assert merged_pieces, "tight bound must still allow short merges"
+    assert all(len(p) <= 3 for p in merged_pieces)
+    # the default bound admits every fixture merge: unchanged vocabulary
+    assert train_wordpiece_vocab(docs, n_merges=8) == _ref_train(
+        dict(Counter(w for _, t in rows for w in t.split())), n_merges=8
+    )
