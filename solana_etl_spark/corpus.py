@@ -284,14 +284,15 @@ class WebPipeline:
 
     def to_documents(self) -> DataFrame:
         """Survivors re-shaped to the documents schema: doc_id = page_id,
-        source = registrable domain, lang left NULL for a downstream
-        lang-id stage (operators/text.py lang_id)."""
-        from solana_etl_spark.operators.web import domain_of
+        source = registrable domain (PSL broadcast lookup —
+        operators/web.py with_registrable_domain), lang left NULL for a
+        downstream lang-id stage (operators/text.py lang_id)."""
+        from solana_etl_spark.operators.web import with_registrable_domain
 
-        return self.df.select(
+        return with_registrable_domain(self.df, "url", "_dom").select(
             F.col("page_id").alias("doc_id"),
             "text",
             F.lit(None).cast("string").alias("lang"),
-            domain_of(F.col("url")).alias("source"),
+            F.col("_dom").alias("source"),
             F.length("text").cast("long").alias("n_chars"),
         )

@@ -24,10 +24,15 @@ Canonical form (documented contract, applied in this order):
 7. trailing ``/`` runs stripped from the path (so ``/a/`` ≡ ``/a`` and
    the bare root ``/`` ≡ no path)
 
-The "registrable domain" used for grouping is the last two dot-labels
-of the canonical host — a documented simplification standing in for the
-public-suffix list (which is itself just a broadcast dimension table in
-a production deployment).
+The "registrable domain" used for grouping follows the public-suffix
+list algorithm (publicsuffix.org): the public suffix is the
+longest-matching rule (exception rules win outright, the implicit
+default rule ``*`` matches one label), and the registrable domain is
+the public suffix plus one more label. :data:`PSL_RULES` vendors a
+documented SUBSET of the public list in the list's own rule grammar
+(exact / ``*.`` wildcard / ``!`` exception), shipped to executors as a
+broadcast dimension table — a production deployment swaps in the
+complete publicsuffix.org snapshot, same table shape, same plan.
 """
 
 from __future__ import annotations
@@ -37,9 +42,77 @@ from pyspark.sql import functions as F
 
 URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
-DOMAIN_RE = r"([^.]+\.[^.]+)$"
 DOMAIN_CAP = 3
 DOMAIN_CAP_SHARDS = 16
+
+# Vendored subset of the public suffix list (publicsuffix.org, public
+# knowledge), in the list's own grammar: bare rules match exactly,
+# "*." rules make every child of the parent a public suffix, "!" rules
+# carve exceptions out of a wildcard. The subset covers the gTLDs and
+# ccTLD second-level families the synthetic corpus and tests exercise,
+# plus the classic *.ck/!www.ck wildcard-exception pair and a few
+# private-section entries (blogspot/github) — enough to exercise every
+# branch of the algorithm. Production swaps in the full snapshot.
+PSL_RULES: tuple[str, ...] = (
+    # gTLDs
+    "com", "net", "org", "edu", "gov", "mil", "int", "info", "biz",
+    "name", "pro", "io", "ai", "app", "dev", "xyz", "online", "site",
+    "tech", "store", "blog", "cloud",
+    # ccTLDs (first level)
+    "uk", "jp", "au", "br", "cn", "in", "nz", "za", "mx", "ar", "tr",
+    "kr", "sg", "hk", "tw", "fr", "de", "it", "nl", "es", "se", "ch",
+    "at", "be", "dk", "no", "fi", "pl", "ru", "ua", "cz", "pt", "gr",
+    "ie", "ca", "us", "co",
+    # ccTLD second-level registries
+    "co.uk", "org.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk", "ac.uk",
+    "gov.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    # wildcard + exception (the Cook Islands pair from the public list)
+    "*.ck", "!www.ck",
+    # private section (subset)
+    "blogspot.com", "blogspot.co.uk", "github.io", "gitlab.io",
+)
+
+
+def psl_rows() -> list[tuple[str, int, int | None, int | None, int | None]]:
+    """:data:`PSL_RULES` normalized to join-table rows
+    ``(rkey, klab, ps_exact, ps_wild, ps_exc)``: ``rkey`` is the
+    matchable suffix (wildcard/exception markers stripped), ``klab`` its
+    label count, and each ``ps_*`` the public-suffix label count a match
+    of that kind implies (exact → klab, wildcard → klab+1 provided the
+    host HAS a child label, exception → klab−1). One row per key; a key
+    carrying several rule kinds folds into one row."""
+    rows: dict[str, dict] = {}
+    for rule in PSL_RULES:
+        if rule.startswith("!"):
+            key, kind = rule[1:], "exc"
+        elif rule.startswith("*."):
+            key, kind = rule[2:], "wild"
+        else:
+            key, kind = rule, "exact"
+        klab = key.count(".") + 1
+        r = rows.setdefault(
+            key, {"klab": klab, "exact": None, "wild": None, "exc": None}
+        )
+        r[kind] = {"exact": klab, "wild": klab + 1, "exc": klab - 1}[kind]
+    return [
+        (k, v["klab"], v["exact"], v["wild"], v["exc"])
+        for k, v in sorted(rows.items())
+    ]
 
 
 def _scheme(url: Column) -> Column:
@@ -84,20 +157,101 @@ def canonical_url(url: Column) -> Column:
     )
 
 
-def domain_of(url: Column) -> Column:
-    """Registrable domain (last two labels of the canonical host). Any
-    surviving port is stripped first — the canonical host keeps
-    NON-default ports, but ex.com:8443 and ex.com:21 are the same
-    registrable domain and must share one cap group."""
-    host = F.regexp_replace(_host(url), r":[0-9]+$", "")
-    return F.regexp_extract(host, DOMAIN_RE, 1)
+def bare_host(url: Column) -> Column:
+    """The canonical host with any surviving port stripped — the domain
+    computation's input (the canonical host keeps NON-default ports, but
+    ex.com:8443 and ex.com:21 are the same registrable domain and must
+    share one cap group)."""
+    return F.regexp_replace(_host(url), r":[0-9]+$", "")
+
+
+def psl_rules_df(spark, klab: int | None = None) -> DataFrame:
+    """The vendored PSL as a (tiny) dimension table —
+    (rkey, klab, ps_exact, ps_wild, ps_exc); optionally just the rules
+    with ``klab`` labels. This is what ships to executors via
+    ``F.broadcast`` in :func:`with_registrable_domain`."""
+    rows = psl_rows()
+    if klab is not None:
+        rows = [r for r in rows if r[1] == klab]
+    return spark.createDataFrame(
+        rows,
+        schema="rkey string, klab int, ps_exact int, ps_wild int, ps_exc int",
+    )
+
+
+def with_registrable_domain(
+    pages: DataFrame, url_col: str = "url", out_col: str = "domain"
+) -> DataFrame:
+    """pages + ``out_col`` = the PSL registrable domain of each row's URL
+    (``''`` when the host has no registrable domain — it IS a public
+    suffix, or the URL is outside the grammar).
+
+    Algorithm (publicsuffix.org): among rules matching a suffix of the
+    host, an exception rule wins outright; otherwise the longest match;
+    otherwise the implicit ``*`` default (one label). The public suffix
+    has ``ps`` labels per :func:`psl_rows`; the registrable domain is the
+    last ``ps + 1`` host labels.
+
+    Spark shape: one LEFT BROADCAST hash join per distinct rule depth
+    (3 here — the full public list has 5), each probing the host's
+    last-``d``-labels suffix against the depth-``d`` rule slice, then a
+    pure projection resolves precedence. Zero shuffles: broadcast
+    exchanges ship the (constant-size) rule table, never data — the scan
+    side streams through map-side joins, so the stage stays map-only at
+    any corpus size."""
+    spark = pages.sparkSession
+    depths = sorted({r[1] for r in psl_rows()})
+    host = bare_host(F.col(url_col))
+    out = pages.withColumn("_harr", F.split(host, r"\.")).withColumn(
+        "_hn", F.size("_harr")
+    )
+    n = F.col("_hn")
+    for d in depths:
+        sfx = F.when(n >= d, F.array_join(F.slice("_harr", -d, d), "."))
+        rdf = (
+            psl_rules_df(spark, klab=d)
+            .select(
+                F.col("rkey").alias(f"_k{d}"),
+                F.col("ps_exact").alias(f"_pse{d}"),
+                F.col("ps_wild").alias(f"_psw{d}"),
+                F.col("ps_exc").alias(f"_psx{d}"),
+            )
+        )
+        out = out.withColumn(f"_s{d}", sfx).join(
+            F.broadcast(rdf), F.col(f"_s{d}") == F.col(f"_k{d}"), "left"
+        )
+    exc = F.coalesce(
+        *[F.col(f"_psx{d}") for d in reversed(depths)], F.lit(None)
+    )
+    norm_terms: list[Column] = [F.lit(1)]
+    for d in depths:
+        norm_terms.append(F.coalesce(F.col(f"_pse{d}"), F.lit(0)))
+        # a wildcard's child label must exist for the rule to match
+        norm_terms.append(
+            F.when(
+                F.col(f"_psw{d}").isNotNull() & (n > d), F.col(f"_psw{d}")
+            ).otherwise(F.lit(0))
+        )
+    ps = F.coalesce(exc, F.greatest(*norm_terms))
+    k = ps + F.lit(1)
+    dom = F.when(
+        n > ps, F.array_join(F.slice("_harr", -k, k), ".")
+    ).otherwise(F.lit(""))
+    scratch = ["_harr", "_hn"] + [
+        c
+        for d in depths
+        for c in (f"_s{d}", f"_k{d}", f"_pse{d}", f"_psw{d}", f"_psx{d}")
+    ]
+    return out.withColumn(out_col, dom).drop(*scratch)
 
 
 def canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
-    """pages + (url_canonical, domain) — pure projection, zero shuffle."""
+    """pages + (url_canonical, domain). The canonical URL is a pure
+    projection; the registrable domain adds the PSL broadcast lookups
+    (:func:`with_registrable_domain`) — still zero data shuffles."""
     u = F.col(url_col)
-    return pages.withColumn("url_canonical", canonical_url(u)).withColumn(
-        "domain", domain_of(u)
+    return with_registrable_domain(
+        pages.withColumn("url_canonical", canonical_url(u)), url_col
     )
 
 
@@ -111,9 +265,12 @@ def url_dedup_keep_best(
     noise / host case / default ports / fragments collapses to its best
     copy — longest text wins, ties to the smallest id (the deterministic
     struct-argmax, one hash aggregate on the canonical-url key; no
-    window, no sort). Returns (url_canonical, page_id, n_variants)."""
+    window, no sort). Returns (url_canonical, page_id, n_variants).
+    Projects the canonical URL directly (not :func:`canonicalize`) — the
+    dedup key doesn't need the domain, so the PSL lookups stay out of
+    this plan entirely."""
     return (
-        canonicalize(pages, url_col)
+        pages.withColumn("url_canonical", canonical_url(F.col(url_col)))
         .select(
             "url_canonical",
             F.struct(
@@ -158,7 +315,7 @@ def per_domain_cap(
     order = F.md5(
         F.concat(F.col("domain"), F.lit(":"), F.col(id_col).cast("string"))
     )
-    tagged = canonicalize(pages, url_col).select(
+    tagged = with_registrable_domain(pages, url_col).select(
         id_col, "domain", order.alias("_ord")
     )
     shard = F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_shards))

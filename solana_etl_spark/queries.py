@@ -9039,40 +9039,88 @@ def _read_web(spark: SparkSession) -> DataFrame:
 _URL_SQL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
 
 
+def _psl_values_sql() -> str:
+    """operators/web.py's vendored PSL as a DuckDB VALUES relation —
+    interpolated from psl_rows() so a rule edit cannot desynchronize the
+    mirror."""
+    from solana_etl_spark.operators.web import psl_rows
+
+    def _lit(v: int | None) -> str:
+        return "NULL" if v is None else str(v)
+
+    return ", ".join(
+        f"('{k}', {klab}, {_lit(e)}, {_lit(w)}, {_lit(x)})"
+        for k, klab, e, w, x in psl_rows()
+    )
+
+
 def _url_canon_cte() -> str:
     """CTE body producing (page_id, url, text, url_canonical, domain) —
-    the DuckDB mirror of operators/web.py's canonical_url/domain_of
-    (identical RE2-safe regexes, identical rule order)."""
+    the DuckDB mirror of operators/web.py's canonical_url +
+    with_registrable_domain (identical RE2-safe regexes, identical rule
+    order, same PSL rule table via :func:`_psl_values_sql`): ``ps`` is
+    the public-suffix label count (exception rules win, else longest
+    match, else the implicit one-label default) and the registrable
+    domain is the last ps+1 host labels ('' when the host IS a public
+    suffix)."""
     re_ = _URL_SQL_RE
+    psl = _psl_values_sql()
+    rules = f"(VALUES {psl}) r(rkey, klab, ps_exact, ps_wild, ps_exc)"
     return f"""
-        SELECT page_id, url, text,
-               scheme || '://' || host || cpath ||
-               CASE WHEN len(params) > 0
-                    THEN '?' || array_to_string(params, '&')
-                    ELSE '' END AS url_canonical,
-               regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1) AS domain
+        SELECT page_id, url, text, url_canonical,
+               CASE WHEN hn > ps
+                    THEN array_to_string(harr[hn - ps:], '.')
+                    ELSE '' END AS domain
         FROM (
-            SELECT *,
-                   regexp_replace(
-                       CASE WHEN scheme = 'http'
-                            THEN regexp_replace(hp, ':80$', '')
-                            WHEN scheme = 'https'
-                            THEN regexp_replace(hp, ':443$', '')
-                            ELSE hp END,
-                       '^www\\.', '') AS host,
-                   regexp_replace(p0, '/+$', '') AS cpath,
-                   list_sort(list_filter(
-                       string_split(regexp_replace(q0, '^\\?', ''), '&'),
-                       x -> x <> '' AND NOT regexp_matches(
-                           x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')
-                   )) AS params
+            SELECT *, COALESCE(
+                (SELECT MAX(r.ps_exc) FROM {rules}
+                  WHERE r.ps_exc IS NOT NULL AND r.klab <= hn
+                    AND array_to_string(harr[hn - r.klab + 1:], '.') = r.rkey),
+                GREATEST(1, COALESCE((
+                    SELECT MAX(GREATEST(COALESCE(r.ps_exact, 0),
+                           CASE WHEN r.ps_wild IS NOT NULL AND hn > r.klab
+                                THEN r.ps_wild ELSE 0 END))
+                    FROM {rules}
+                    WHERE r.klab <= hn
+                      AND array_to_string(harr[hn - r.klab + 1:], '.') = r.rkey
+                ), 0))
+            ) AS ps
             FROM (
-                SELECT page_id, url, text,
-                       lower(regexp_extract(url, '{re_}', 1)) AS scheme,
-                       lower(regexp_extract(url, '{re_}', 2)) AS hp,
-                       regexp_extract(url, '{re_}', 3) AS p0,
-                       regexp_extract(url, '{re_}', 4) AS q0
-                FROM read_parquet('{_web_pages_path()}')
+                SELECT *,
+                       string_split(hbare, '.') AS harr,
+                       len(string_split(hbare, '.')) AS hn
+                FROM (
+                    SELECT page_id, url, text,
+                           scheme || '://' || host || cpath ||
+                           CASE WHEN len(params) > 0
+                                THEN '?' || array_to_string(params, '&')
+                                ELSE '' END AS url_canonical,
+                           regexp_replace(host, ':[0-9]+$', '') AS hbare
+                    FROM (
+                        SELECT *,
+                               regexp_replace(
+                                   CASE WHEN scheme = 'http'
+                                        THEN regexp_replace(hp, ':80$', '')
+                                        WHEN scheme = 'https'
+                                        THEN regexp_replace(hp, ':443$', '')
+                                        ELSE hp END,
+                                   '^www\\.', '') AS host,
+                               regexp_replace(p0, '/+$', '') AS cpath,
+                               list_sort(list_filter(
+                                   string_split(regexp_replace(q0, '^\\?', ''), '&'),
+                                   x -> x <> '' AND NOT regexp_matches(
+                                       x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')
+                               )) AS params
+                        FROM (
+                            SELECT page_id, url, text,
+                                   lower(regexp_extract(url, '{re_}', 1)) AS scheme,
+                                   lower(regexp_extract(url, '{re_}', 2)) AS hp,
+                                   regexp_extract(url, '{re_}', 3) AS p0,
+                                   regexp_extract(url, '{re_}', 4) AS q0
+                            FROM read_parquet('{_web_pages_path()}')
+                        )
+                    )
+                )
             )
         )
     """

@@ -571,10 +571,30 @@ def ensure_images_table(
 # and URL/domain operator families
 # ---------------------------------------------------------------------------
 
-WEB_VERSION = 3
+WEB_VERSION = 4
 N_PAGES = 600
 _N_SITES = 24
 WEB_BAD_WORDS = ("viagra", "casino", "jackpot")
+
+# sites 18-23 live under ccTLD / private-section suffixes so the PSL
+# registrable-domain path (operators/web.py with_registrable_domain) is
+# exercised by the corpus itself: a.co.uk and b.co.uk must land in
+# DIFFERENT cap groups (the last-two-labels heuristic collapsed them),
+# shop.example.co.jp groups under example.co.jp, and
+# demo.blogspot.co.uk is its own registrable domain (private-section
+# rule). The rest keep plain .com hosts.
+_CC_HOSTS = {
+    18: "a.co.uk",
+    19: "b.co.uk",
+    20: "example.co.uk",
+    21: "shop.example.co.jp",
+    22: "news.com.br",
+    23: "demo.blogspot.co.uk",
+}
+
+
+def _site_host(site: int) -> str:
+    return _CC_HOSTS.get(site, f"site{site}.com")
 
 # content sentences draw from the same Zipf vocabulary as the documents
 # table (see _DOC_VOCAB note: a tiny vocab makes every page pair a
@@ -653,7 +673,7 @@ def _synth_web_pages(n_pages: int):
         if page_id % 31 == 17:
             lines.append("window.dataLayer = { push: true } and more text.")
         text = "\n".join(lines)
-        url = f"https://site{site}.com/articles/{page_id}?id={page_id}"
+        url = f"https://{_site_host(site)}/articles/{page_id}?id={page_id}"
         # content_memory records the content lines ACTUALLY present in
         # this page's text, so syndication donors always plant real
         # duplicated spans (thin pages contribute only their 2 used
@@ -670,8 +690,14 @@ def _synth_web_pages(n_pages: int):
             scheme, port = (
                 ("HTTP", 80) if prev_id % 9 == 4 else ("HTTPS", 443)
             )
+            prev_host = _site_host(prev_site)
+            # noise the case in halves so both case-folding paths appear
+            noisy_host = (
+                prev_host[: len(prev_host) // 2].upper()
+                + prev_host[len(prev_host) // 2 :]
+            )
             url = (
-                f"{scheme}://WWW.Site{prev_site}.COM:{port}"
+                f"{scheme}://WWW.{noisy_host}:{port}"
                 f"/articles/{prev_id}/"
                 f"?utm_source=feed&id={prev_id}&utm_campaign=x&fbclid=abc"
                 f"#section-{page_id}"
@@ -679,7 +705,7 @@ def _synth_web_pages(n_pages: int):
             actual_content = content_memory[-1]
         elif page_id % 9 == 4:
             url = (
-                f"http://www.site{site}.com:80/articles/{page_id}"
+                f"http://www.{_site_host(site)}:80/articles/{page_id}"
                 f"?id={page_id}&ref=homepage"
             )
         content_memory.append(actual_content)
