@@ -35,6 +35,8 @@ al. 2022) with sentences instead of token windows.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +44,12 @@ MIN_LINE_WORDS = 5
 MIN_PAGE_LINES = 3
 SPAN_SENTS = 3
 TERMINAL_RE = r'[.!?"]\s*$'
+# Fixture default: a 3-entry stand-in for the public ~400-entry
+# "bad words" blocklist the real C4 recipe filters against. The
+# operators below accept the full list either as a sequence (fused
+# into the scan as a predicate chain — right up to a few dozen
+# entries) or as a blocklist DataFrame (broadcast-joined — the shape
+# a production deployment feeds the vendored public list through).
 BAD_WORDS = ("viagra", "casino", "jackpot")
 
 
@@ -57,27 +65,81 @@ def _line_kept(line: Column) -> Column:
     )
 
 
-def page_drop_predicate(text_col: str = "text") -> Column:
+def page_drop_predicate(
+    text_col: str = "text", bad_words: Sequence[str] = BAD_WORDS
+) -> Column:
     """True for pages the page-level rules remove (bad word / lorem
-    ipsum / ``{``) — a bare predicate, composable with any plan."""
+    ipsum / ``{``) — a bare predicate, composable with any plan. The
+    blocklist fuses into the scan as a ``contains`` chain; for lists
+    past a few dozen entries feed a blocklist DataFrame to
+    :func:`bad_word_page_ids` / :func:`c4_line_filter` instead."""
     lowered = F.lower(F.col(text_col))
     bad = F.lit(False)
-    for w in BAD_WORDS:
+    for w in bad_words:
         bad = bad | lowered.contains(w)
     return bad | lowered.contains("lorem ipsum") | F.col(text_col).contains("{")
 
 
+def bad_word_page_ids(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """ids of pages containing ANY blocklist entry (case-insensitive
+    substring — the same semantics as the predicate chain), with the
+    blocklist as a first-class dimension table (one ``word`` column).
+
+    Spark shape: a LEFT-SEMI broadcast nested-loop join — the right
+    choice here because the match is substring containment, not
+    equality, so there is no join key to hash on; the blocklist
+    broadcast is constant-size (the public list is ~400 entries) and the
+    page side streams through map-side, one pass, no shuffle. Semi-join
+    semantics stop probing a page at its FIRST matching word (duplicate
+    blocklist rows are harmless, so no distinct — a distinct would be
+    the plan's only exchange)."""
+    return pages.join(
+        _blocklist_words(blocklist),
+        F.lower(F.col(text_col)).contains(F.col("_w")),
+        "left_semi",
+    ).select(id_col)
+
+
+def _blocklist_words(blocklist: DataFrame):
+    return F.broadcast(
+        blocklist.select(F.lower(F.col("word")).alias("_w"))
+    )
+
+
 def c4_line_filter(
-    pages: DataFrame, text_col: str = "text", id_col: str = "page_id"
+    pages: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+    bad_words: Sequence[str] | DataFrame = BAD_WORDS,
 ) -> DataFrame:
     """Apply the line + page rules. Returns surviving pages as
     (id, n_lines, n_kept, text_clean) where ``text_clean`` is the kept
-    lines re-joined — one projection + one filter, zero shuffle."""
+    lines re-joined — one projection + one filter, zero shuffle at the
+    default blocklist. ``bad_words`` may be a sequence (predicate chain
+    fused into the scan) or a blocklist DataFrame with a ``word`` column
+    (broadcast semi-join via :func:`bad_word_page_ids` — the production
+    shape for the public ~400-entry list)."""
     lines = _lines(text_col)
     kept = F.filter(lines, _line_kept)
+    if isinstance(bad_words, DataFrame):
+        # ANTI form of bad_word_page_ids, fused: one broadcast NLJ drops
+        # matching pages in the same pass — no id re-join, no shuffle
+        survivors = pages.join(
+            _blocklist_words(bad_words),
+            F.lower(F.col(text_col)).contains(F.col("_w")),
+            "left_anti",
+        ).filter(~page_drop_predicate(text_col, bad_words=()))
+    else:
+        survivors = pages.filter(
+            ~page_drop_predicate(text_col, bad_words=bad_words)
+        )
     return (
-        pages.filter(~page_drop_predicate(text_col))
-        .select(
+        survivors.select(
             id_col,
             F.size(lines).cast("long").alias("n_lines"),
             F.size(kept).cast("long").alias("n_kept"),

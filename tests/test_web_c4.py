@@ -364,3 +364,39 @@ def test_web_pipeline_chains_into_corpus_pipeline(spark):
     # the corpus pipeline's stages accept the shape unchanged
     out = CorpusPipeline(docs).dedup_exact().dedup_near().df
     assert 0 < out.count() <= n
+
+
+def test_c4_blocklist_dataframe_broadcast_path(spark):
+    """A 100+-entry blocklist fed as a DataFrame must (a) produce the
+    same survivors as the predicate chain over the same list, (b) plan
+    as a broadcast semi-join (constant-size blocklist ships to the
+    executors; the page side streams map-side, no shuffle), and (c) at
+    the 3-entry fixture default the output is byte-identical to the
+    predicate path the oracle mirrors."""
+    from solana_etl_spark.operators.c4 import BAD_WORDS
+    from solana_etl_spark.sources.synth import ensure_web_table
+
+    d = ensure_web_table()
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    big_list = list(BAD_WORDS) + [f"zqx{i:03d}" for i in range(120)]
+    bdf = spark.createDataFrame([(w,) for w in big_list], "word string")
+
+    via_df = c4_line_filter(pages, bad_words=bdf)
+    via_pred = c4_line_filter(pages, bad_words=tuple(big_list))
+    assert via_df.exceptAll(via_pred).count() == 0
+    assert via_pred.exceptAll(via_df).count() == 0
+
+    plan = via_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+    # fixture default: identical to the oracle-mirrored predicate path
+    default_df = c4_line_filter(
+        pages,
+        bad_words=spark.createDataFrame(
+            [(w,) for w in BAD_WORDS], "word string"
+        ),
+    )
+    baseline = c4_line_filter(pages)
+    assert default_df.exceptAll(baseline).count() == 0
+    assert baseline.exceptAll(default_df).count() == 0
