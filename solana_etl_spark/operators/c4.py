@@ -185,13 +185,21 @@ def c4_span_dedup(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
         F.count(F.lit(1)).alias("_n"),
     )
+    dup_occ = occ.join(keepers.filter(F.col("_n") > 1), "h").filter(
+        (F.col(id_col) != F.col(f"_first.{id_col}"))
+        | (F.col("pos") != F.col("_first.pos"))
+    )
+    return _without_covered_lines(pages, dup_occ, text_col, id_col)
+
+
+def _without_covered_lines(
+    pages: DataFrame, dup_occ: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, n_lines, n_dropped_lines, text_dedup): drop from each page
+    every line covered by an (id, pos) occurrence in ``dup_occ`` — the
+    shared rebuild tail of in-corpus and vs-index span dedup."""
     dup_lines = (
-        occ.join(keepers.filter(F.col("_n") > 1), "h")
-        .filter(
-            (F.col(id_col) != F.col(f"_first.{id_col}"))
-            | (F.col("pos") != F.col("_first.pos"))
-        )
-        .select(
+        dup_occ.select(
             id_col,
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + (SPAN_SENTS - 1))
@@ -223,4 +231,32 @@ def c4_span_dedup(
                 "\n",
             ).alias("text_dedup"),
         )
+    )
+
+
+def span_hashes(
+    pages: DataFrame, text_col: str = "text", id_col: str = "page_id"
+) -> DataFrame:
+    """Distinct md5 hashes (column ``h``) of every SPAN_SENTS-line window
+    in the corpus — the rows a streaming deployment persists as its
+    cross-batch span index (streaming/web_stream.py): a span seen in any
+    earlier batch makes every later occurrence a non-first duplicate."""
+    return _span_occurrences(pages, text_col, id_col).select("h").distinct()
+
+
+def strip_spans_in_index(
+    pages: DataFrame,
+    span_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Cross-batch arm of span dedup: remove every line covered by a
+    window whose hash appears in ``span_index`` (column ``h`` — spans
+    seen in EARLIER batches, so every current occurrence is a non-first
+    duplicate). Same output shape as :func:`c4_span_dedup`; an empty
+    index passes pages through unchanged. One hash-keyed join — linear,
+    never pairwise."""
+    occ = _span_occurrences(pages, text_col, id_col)
+    return _without_covered_lines(
+        pages, occ.join(span_index.select("h"), "h"), text_col, id_col
     )

@@ -9334,10 +9334,13 @@ def dedup_c4_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_span_dedup(_read_web(spark))
 
 
-def _pipeline_web_clean_oracle() -> str:
+def _web_clean_ctes() -> str:
+    """CTEs (canon, best, clean): canonical-URL keep-best + C4 line/page
+    rules — the shared prefix of the batch web-clean capstone and the
+    stream-equals-batch gate."""
     from solana_etl_spark.operators.c4 import MIN_PAGE_LINES
 
-    keep_best = f"""
+    return f"""
     canon AS ({_url_canon_cte()}),
     best AS (
         SELECT page_id, domain, text FROM (
@@ -9362,8 +9365,11 @@ def _pipeline_web_clean_oracle() -> str:
         WHERE len(kept) >= {MIN_PAGE_LINES}
     )
     """
+
+
+def _pipeline_web_clean_oracle() -> str:
     return f"""
-    WITH {keep_best},
+    WITH {_web_clean_ctes()},
     {_c4_span_cte("clean")}
     SELECT l.page_id, c.domain,
            CAST(len(l.ls) AS BIGINT) AS n_kept,
@@ -9408,6 +9414,62 @@ def pipeline_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped_lines",
             F.col("text_dedup").alias("text_final"),
         )
+    )
+
+
+def _stream_web_oracle() -> str:
+    """Batch web-clean chain output (page_id, text_final): the stream's
+    first full-corpus micro-batch must reproduce it exactly and the
+    second identical pass is fully suppressed by the persisted canonical
+    index, so the union of per-batch survivors IS the batch result."""
+    return f"""
+    WITH {_web_clean_ctes()},
+    {_c4_span_cte("clean")}
+    SELECT l.page_id,
+           coalesce(array_to_string(
+               [l.ls[i] for i in generate_series(1, len(l.ls))
+                if NOT coalesce(list_contains(d.idxs, i - 1), false)],
+               chr(10)), '') AS text_final
+    FROM lsrc l LEFT JOIN drops d USING (page_id)
+    """
+
+
+@_register("stream_web_pipeline", _stream_web_oracle(), local_only=True)
+def stream_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebPipeline crawl chain as a REAL Structured-Streaming run under
+    the gate (streaming/web_stream.py): the pages table streams through
+    twice (two files → two foreachBatch micro-batches), so the FIRST
+    pass must produce exactly the batch chain's output (URL keep-best →
+    C4 line/page rules → span dedup) and the SECOND pass must be fully
+    suppressed by the persisted canonical-URL index — re-ingesting the
+    whole crawl adds zero rows. Fifth member of the stream-equals-batch
+    gate family. local_only: streaming state dirs are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.web_stream import (
+        start_streaming_web_pipeline,
+    )
+
+    pages = _read_web(spark)
+    work = tempfile.mkdtemp(prefix="gate_stream_web_")
+    for p in ("a", "b"):
+        pages.coalesce(1).write.mode("overwrite").parquet(f"{work}/src/{p}")
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*/*.parquet")
+    )
+    q = start_streaming_web_pipeline(
+        spark,
+        stream,
+        survivors_dir=f"{work}/out",
+        index_dir=f"{work}/idx",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    return _materialize_and_clean(
+        spark.read.parquet(f"{work}/out").select("page_id", "text_final"),
+        work,
     )
 
 
