@@ -251,8 +251,12 @@ def main() -> None:
 
             from solana_etl_spark.sources.synth import ensure_sf_tables
 
-            small_t = ensure_sf_tables(5000, 2000)
-            big_t = ensure_sf_tables(50000, 20000)
+            # constant-duplicate-rate profile: tempered 20k-word vocab,
+            # so accidental shingle sharing never densifies duplicate
+            # clusters with size and pair-emitter rows grow ~linearly —
+            # the exponent measures the PLAN, not the fixture (r5 task 2)
+            small_t = ensure_sf_tables(5000, 2000, profile="scaling")
+            big_t = ensure_sf_tables(50000, 20000, profile="scaling")
             all_qs = _q.all_queries()
             for name in HEAVY_UP:
                 fn = all_qs[name]
@@ -276,7 +280,7 @@ def main() -> None:
                 "pipeline_pretrain_e2e",
                 "s8_cluster_safe_split",
             ]
-            huge_t = ensure_sf_tables(500000, 200000)
+            huge_t = ensure_sf_tables(500000, 200000, profile="scaling")
             for name in LINEAR_UP:
                 base = scaling_up.get(name)
                 if base is None:
@@ -433,9 +437,13 @@ def main() -> None:
                 "scaling_web": scaling_web,
                 "scaling_mm": scaling_mm,
                 "scaling_up_note": (
-                    "synthetic scaling decades (same Zipf-vocab generator"
-                    " at every size; rows_* recorded so output-bound pair"
-                    " queries read rows-normalized). dedup_ngram_jaccard is"
+                    "synthetic scaling decades (constant-duplicate-rate"
+                    " 'scaling' profile since r6: tempered 20k-word vocab,"
+                    " explicit linear dup structure, so pair rows grow"
+                    " ~linearly and exponents measure the plan, not"
+                    " cluster densification; rows_* recorded so"
+                    " output-bound pair queries read rows-normalized)."
+                    " dedup_ngram_jaccard is"
                     " excluded by design since r5: it is the exact-recall"
                     " AUDIT operator — Sigma C(df,2)-bound by contract (r4"
                     " exponent 1.47, candidate- not output-bound; PPJoin"

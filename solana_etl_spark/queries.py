@@ -83,18 +83,57 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# The EXTERNAL driver gate certifies at most 50 rows per round, so the
+# driver-facing registry is this curated 50: one strong representative
+# per operator family, rotated each round toward the newest unguarded
+# surface (r6: +dedup_lsh_jaccard, dedup_url_keep_best,
+# pipeline_web_clean, pipeline_pretrain_e2e, text_unigram_encode,
+# pipeline_wordpiece_pack, mm_phash_dedup, stream_corpus_pipeline,
+# stream_web_pipeline; retired near-duplicate coverage —
+# dedup_simhash_pairs/sim_lsh_buckets/text_lang_id/a16_cube/w3_lag_lead/
+# m12_date_funcs/q17/s2_stratified/mm_frame_sample — all of which stay
+# under the 180+-row local gate, scripts/check_oracle.py).
+DRIVER_ROWS: tuple[str, ...] = (
+    "q1_pricing_summary", "q3_topk_revenue", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "f1_filter_project", "f4_exists_semijoin",
+    "f6_anti_join", "a9_conditional_rollup", "m1_balance_modes",
+    "j2_full_outer_coalesce", "j6_asof_join", "j7_range_join",
+    "m8_bucket_rollup", "w1_topk_per_group", "w2_running_total",
+    "set_ops", "a12_rollup", "t3_explode_json", "x1_semantic_extract",
+    "a13_percentiles", "m11_string_funcs", "dedup_exact",
+    "dedup_minhash_lsh_pairs", "dedup_clusters", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_url_keep_best",
+    "pipeline_clean_corpus", "pipeline_web_clean", "pipeline_pretrain_e2e",
+    "sim_cosine_topk", "sim_neardup_pairs", "sim_ann_bucketed",
+    "text_token_stats", "text_quality", "text_fingerprint",
+    "text_winnow_fingerprint", "text_unigram_encode",
+    "pipeline_wordpiece_pack", "a15_pivot", "s1_hash_sample",
+    "a14_kmv_distinct", "mm_binary_metadata", "mm_decode_features",
+    "mm_phash_dedup", "st_sessionize", "solana_e2e",
+    "stream_corpus_pipeline", "stream_web_pipeline",
+)
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_REGISTRY)
+    allq = {**_REGISTRY, **_LOCAL_REGISTRY}
+    return {n: allq[n] for n in DRIVER_ROWS}
 
 
 def oracle_sql() -> dict[str, str]:
-    # the solana_e2e oracle reads the generated corpus directly; make sure it
-    # exists even if the caller runs oracles before Spark queries (idempotent,
-    # ~0.1s on first call)
-    from solana_etl_spark.sources.synth import ensure_e2e_corpus
+    # several oracles read generated corpora directly; make sure they
+    # exist even if the caller runs oracles before Spark queries
+    # (idempotent, sub-second once cached)
+    from solana_etl_spark.sources.synth import (
+        ensure_e2e_corpus,
+        ensure_images_table,
+        ensure_web_table,
+    )
 
     ensure_e2e_corpus()
-    return dict(_ORACLES)
+    ensure_images_table()
+    ensure_web_table()
+    allo = {**_ORACLES, **_LOCAL_ORACLES}
+    return {n: allo[n] for n in DRIVER_ROWS if n in allo}
 
 
 def all_queries() -> dict[str, QueryFn]:

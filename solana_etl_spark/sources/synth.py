@@ -355,35 +355,75 @@ _DOC_VOCAB = [
     "spark", "stream", "table", "the", "value", "vector", "window",
 ] + [f"w{i:03d}" for i in range(969)]
 _DOC_WEIGHTS = [1.0 / (r + 1) for r in range(len(_DOC_VOCAB))]
+
+# CONSTANT-DUPLICATE-RATE profile ("scaling"): the 1000-word 1/(r+1)
+# Zipf vocab above still densifies duplicate CLUSTERS as the corpus
+# grows — its head words appear in nearly every doc, so ACCIDENTAL
+# shingle sharing between unrelated docs makes LSH candidate pairs grow
+# ~quadratically with rows (measured 313 k → 31.5 M over the sf1→sf10
+# decade), polluting every pair-emitter's time exponent with workload
+# growth the plan didn't cause. The scaling profile tempers the head
+# (weight 1/(r+50)) over a 20× larger vocabulary: the top word carries
+# ~0.3 % of draws instead of ~13 %, so random docs share almost no
+# 2-word shingles and the only near-dup pairs are the CONSTRUCTED ones
+# (one exact copy per 100 docs, one perturbed variant per 25) — pair
+# volume linear in rows by construction, at every size.
+_SCALING_VOCAB = _DOC_VOCAB + [f"v{i:05d}" for i in range(19000)]
+_SCALING_WEIGHTS = [1.0 / (r + 50) for r in range(len(_SCALING_VOCAB))]
+
+_PROFILES = {
+    "fixture": (_DOC_VOCAB, _DOC_WEIGHTS),
+    "scaling": (_SCALING_VOCAB, _SCALING_WEIGHTS),
+}
+
+
+def _cum_weights(weights: list[float]) -> list[float]:
+    from itertools import accumulate
+
+    return list(accumulate(weights))
+
+
+_PROFILE_CUM = {
+    name: (vocab, _cum_weights(w)) for name, (vocab, w) in _PROFILES.items()
+}
 _DOC_LANGS = ["en"] * 8 + ["zh", "zh", "es", "es", "fr", "fr", "de", "de"]
 _N_SOURCES = 20
 _EMB_DIM = 64
 _EMB_LABELS = 10
 
 
-def _doc_text(rng: random.Random) -> str:
+def _doc_text(rng: random.Random, profile: str = "fixture") -> str:
+    vocab, cum = _PROFILE_CUM[profile]
     n = rng.randint(10, 100)
-    return " ".join(rng.choices(_DOC_VOCAB, weights=_DOC_WEIGHTS, k=n))
+    return " ".join(rng.choices(vocab, cum_weights=cum, k=n))
 
 
-def _perturb_text(rng: random.Random, text: str) -> str:
+def _perturb_text(
+    rng: random.Random, text: str, profile: str = "fixture"
+) -> str:
     """Near-dup variant: swap 1-2 word positions for fresh vocab draws."""
+    vocab = _PROFILE_CUM[profile][0]
     words = text.split(" ")
     for _ in range(rng.randint(1, 2)):
-        words[rng.randrange(len(words))] = rng.choice(_DOC_VOCAB)
+        words[rng.randrange(len(words))] = rng.choice(vocab)
     return " ".join(words)
 
 
-def _synth_documents(n_docs: int):
+def _synth_documents(n_docs: int, profile: str = "fixture"):
+    seed_tag = (
+        f"doc-{TABLES_VERSION}-"
+        if profile == "fixture"
+        else f"doc-{TABLES_VERSION}{profile[0]}-"
+    )
     rows = []
     for doc_id in range(n_docs):
-        rng = random.Random(f"doc-{TABLES_VERSION}-{doc_id}")
+        rng = random.Random(f"{seed_tag}{doc_id}")
         if doc_id % 100 == 99 and rows:
             text = rows[-1][1]  # exact duplicate of the previous doc
         elif doc_id % 25 == 24 and rows:
-            text = _perturb_text(rng, rows[-1][1])  # near-dup variant
+            text = _perturb_text(rng, rows[-1][1], profile)  # near-dup
         else:
-            text = _doc_text(rng)
+            text = _doc_text(rng, profile)
         rows.append(
             (
                 doc_id,
@@ -425,22 +465,33 @@ def _tables_root() -> str:
 
 
 def ensure_sf_tables(
-    n_docs: int, n_vecs: int, root: str | None = None
+    n_docs: int,
+    n_vecs: int,
+    root: str | None = None,
+    profile: str = "fixture",
 ) -> str:
     """Generate documents.parquet + embeddings.parquet with ``n_docs`` /
     ``n_vecs`` rows (driver-fixture schemas) if absent; atomic + idempotent
-    like :func:`ensure_e2e_corpus`. Returns the directory."""
+    like :func:`ensure_e2e_corpus`. Returns the directory.
+    ``profile="scaling"`` draws document text from the tempered 20 k-word
+    vocabulary (constant duplicate rate — see :data:`_SCALING_VOCAB`),
+    the corpus the bench scaling decades measure; embeddings are
+    profile-independent (near-dup pairs there are cosine-verified, so
+    accidental bucket collisions never pollute pair counts)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if profile not in _PROFILES:
+        raise ValueError(f"unknown profile {profile!r}")
+    tag = "" if profile == "fixture" else profile[0]
     root = root or _tables_root()
-    out = os.path.join(root, f"v{TABLES_VERSION}_d{n_docs}_e{n_vecs}")
+    out = os.path.join(root, f"v{TABLES_VERSION}{tag}_d{n_docs}_e{n_vecs}")
     if os.path.isdir(out):
         return out
     tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
 
-    docs = _synth_documents(n_docs)
+    docs = _synth_documents(n_docs, profile)
     pq.write_table(
         pa.table(
             {

@@ -78,3 +78,17 @@ def test_type_class_collapse():
     assert _type_class("DECIMAL(38,9)") == "decimal"
     assert _type_class("decimal(20,0)") == "decimal"
     assert _type_class("TIMESTAMP WITH TIME ZONE") == "temporal"
+
+
+def test_driver_registry_is_exactly_50_with_oracles():
+    """The external gate certifies at most 50 rows; the driver-facing
+    registry must be exactly that 50, every row oracled, and a strict
+    subset of the full local registry."""
+    from solana_etl_spark import queries as q
+
+    qs = q.queries()
+    orc = q.oracle_sql()
+    assert len(qs) == 50
+    assert set(qs) == set(q.DRIVER_ROWS)
+    assert set(qs) <= set(q.all_queries())
+    assert [n for n in qs if n not in orc] == []
