@@ -236,6 +236,7 @@ def main() -> None:
         # is exactly the misuse the guard exists to stop. Its scale path,
         # dedup_lsh_jaccard, stays measured below.
         "dedup_lsh_jaccard",
+        "dedup_star_edges",
         "dedup_clusters",
         "sim_neardup_pairs",
         "pipeline_clean_corpus",
@@ -276,6 +277,7 @@ def main() -> None:
                 "dedup_exact",
                 "dedup_minhash_lsh_pairs",
                 "dedup_lsh_jaccard",
+                "dedup_star_edges",
                 "dedup_clusters",
                 "pipeline_pretrain_e2e",
                 "s8_cluster_safe_split",
@@ -303,6 +305,23 @@ def main() -> None:
                         3,
                     ),
                 }
+            # stage-level attribution for the pre-training capstone:
+            # cumulative prefix times at the huge size, so a creeping
+            # whole-pipeline exponent names its stage (r5 task 7)
+            try:
+                from solana_etl_spark.queries import _pretrain_parts
+
+                split = {}
+                for stage, df in _pretrain_parts(spark, huge_t).items():
+                    t0 = time.time()
+                    rows = df.count()
+                    split[stage] = {
+                        "t_cumulative": round(time.time() - t0, 3),
+                        "rows": rows,
+                    }
+                scaling_up2["pipeline_pretrain_e2e_stage_split"] = split
+            except Exception:
+                pass
         except Exception:
             pass
 
@@ -472,7 +491,11 @@ def main() -> None:
                 ),
                 "scaling_up2_max_exponent": (
                     max(
-                        (s["exponent"] for s in scaling_up2.values()),
+                        (
+                            s["exponent"]
+                            for s in scaling_up2.values()
+                            if "exponent" in s
+                        ),
                         default=None,
                     )
                 ),

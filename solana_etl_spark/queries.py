@@ -1396,6 +1396,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(dedup.lsh_star_edges(docs))
 
 
+def _star_edges_oracle(k: int, band_rows: int) -> str:
+    return f"""
+    WITH {_lsh_pairs_cte(k, band_rows, materialized=True)},
+    bmin AS (
+        SELECT band, sig, MIN(doc_id) AS m FROM bands GROUP BY band, sig
+    )
+    SELECT DISTINCT bmin.m AS doc_a, b.doc_id AS doc_b
+    FROM bands b JOIN bmin ON b.band = bmin.band AND b.sig = bmin.sig
+    WHERE b.doc_id > bmin.m
+    """
+
+
+@_register(
+    "dedup_star_edges",
+    _star_edges_oracle(dedup.MINHASH_K, dedup.LSH_BAND_ROWS),
+    local_only=True,
+)
+def dedup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket STAR edges of the LSH collision graph (operators/
+    dedup.py lsh_star_edges): doc → bucket-min per (band, sig), the
+    LINEAR edge list the cluster family feeds to connected components —
+    O(N·bands) rows where the all-pairs expansion is Σ C(bucket, 2).
+    Oracled directly so the bench scaling decades can record edge
+    volume next to pair volume. local_only: internal relation of the
+    driver-certified dedup_clusters row."""
+    return dedup.lsh_star_edges(_t(spark, sf_dir, "documents"))
+
+
 def _keepers_oracle(k: int, band_rows: int) -> str:
     return f"""
     WITH RECURSIVE {_lsh_pairs_cte(k, band_rows, materialized=True)},
@@ -7081,6 +7109,17 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are the per-stage set aggregates plus ONE pack window keyed
     by the group column. Cross-engine: the DuckDB oracle reproduces the
     entire seven-stage composition bit-exactly. local_only: driver cap."""
+    return _pretrain_parts(spark, sf_dir)["packed"]
+
+
+def _pretrain_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The pre-training pipeline's cumulative stage prefixes —
+    ``survivors`` (quality → exact keepers → LSH drops → decontamination,
+    pure id-set algebra), ``encoded`` (+ epoch up-sampling + codegen BPE
+    encode), ``packed`` (+ the per-language pack window; the full
+    pipeline_pretrain_e2e result). bench.py counts each prefix at the
+    huge scaling size to attribute decade-over-decade growth to a stage
+    instead of a whole-pipeline exponent."""
     from solana_etl_spark.operators.decontam import contamination
     from solana_etl_spark.operators.dedup import (
         exact_dedup,
@@ -7122,15 +7161,23 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="_ord",
         n_tokens=F.size("bpe_tokens"),
     )
-    return packed.select(
-        "lang",
-        (F.col("_ord") / 16).cast("int").alias("doc_id"),
-        (F.col("_ord") % 16).cast("long").alias("epoch"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "seq_id",
-        "seq_offset",
-        "tokens_in_seq",
-    )
+    return {
+        "survivors": survivors.select("doc_id"),
+        # force the encode: under a bare count() Catalyst prunes the
+        # unused bpe_tokens column and the whole replace chain with it
+        "encoded": enc.filter(F.size("bpe_tokens") >= 0).select(
+            "doc_id", "epoch"
+        ),
+        "packed": packed.select(
+            "lang",
+            (F.col("_ord") / 16).cast("int").alias("doc_id"),
+            (F.col("_ord") % 16).cast("long").alias("epoch"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "seq_id",
+            "seq_offset",
+            "tokens_in_seq",
+        ),
+    }
 
 
 @_register("pipeline_bpe_pack", _bpe_pack_oracle(), local_only=True)
