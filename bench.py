@@ -426,6 +426,30 @@ def main() -> None:
                 scaling_mm["mm_phash_pairs"] = entry
         except Exception:
             pass
+        # audio decade (2k -> 20k clips): WAV decode (vendored RIFF
+        # parser in Arrow batches) -> energy-gradient fingerprint ->
+        # the same banded Hamming-LSH pair join
+        try:
+            from pyspark.sql import functions as F
+
+            from solana_etl_spark.operators.audio import (
+                audio_fingerprint_pairs,
+            )
+            from solana_etl_spark.sources.synth import ensure_audio_table
+
+            def _aud(d: str):
+                media = spark.read.parquet(f"{d}/audio.parquet").select(
+                    F.col("clip_id").alias("media_id"), "payload"
+                )
+                return audio_fingerprint_pairs(media)
+
+            small_a = ensure_audio_table(2000)
+            big_a = ensure_audio_table(20000)
+            entry = _decade(_aud, small_a, big_a)
+            if entry is not None:
+                scaling_mm["mm_audio_fp_pairs"] = entry
+        except Exception:
+            pass
 
     for k, v in timings.items():
         floors.setdefault(k, v)

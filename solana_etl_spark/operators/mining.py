@@ -156,3 +156,100 @@ def hard_negative_triplets(
             F.round(F.col("_pos.s") - F.col("sim"), 6).alias("margin"),
         )
     )
+
+
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining (the ratio-margin criterion of
+    Artetxe & Schwenk 2019, the CCMatrix/WikiMatrix parallel-corpus
+    recipe): for every source vector, its best cross-set match and the
+    margin score
+
+        margin(x, y) = cos(x, y) / ((avg_topk_y' cos(x, y')
+                                     + avg_topk_x' cos(x', y)) / 2)
+
+    — a raw-cosine threshold over-selects hubs (vectors similar to
+    everything); dividing by the two neighborhoods' average similarity
+    keeps only pairs that stand OUT of their neighborhoods.
+
+    Candidates are restricted to sign-LSH bucket collisions (the
+    embedding_neardup_pairs partitioning) so the scored stream is
+    per-bucket, never |src| × |tgt| — approximate by construction
+    (cross-bucket pairs are out of contract; the recall/cost dial is the
+    bucket bit width), deterministic, and the top-k neighborhoods in the
+    margin are the top-k WITHIN the candidate set, mirrored exactly by
+    the oracle.
+
+    Exactness across engines: each cosine is rounded once to micro-units
+    (an int64 ``ci = round(cos · 10⁶)``); neighborhood averages and the
+    margin are then EXACT integer arithmetic —
+    ``margin = 2·ci·kx·ky / (sax·ky + say·kx)`` with one final double
+    division — so top-k SUM order can never drift a value-hash bit.
+
+    Output: (src_id, tgt_id, cosine_sim, margin) — the best target per
+    source among its candidates (ties to the smaller tgt_id), kept when
+    margin ≥ threshold. Sources with no bucket collision emit nothing.
+
+    Plan: one bucket-keyed equi-join + two window families (src-keyed,
+    tgt-keyed) — three bounded shuffles, corpus scanned once per side.
+    """
+    from solana_etl_spark.operators.similarity import lsh_sign_buckets
+
+    def _space(df: DataFrame, side: str) -> DataFrame:
+        return (
+            normalized(df)
+            .select("vec_id", "_nemb")
+            .join(lsh_sign_buckets(df).select("vec_id", "bucket"), "vec_id")
+            .select(
+                F.col("vec_id").alias(f"{side}_id"),
+                F.col("_nemb").alias(f"{side}_vec"),
+                "bucket",
+            )
+        )
+
+    cand = _space(src, "src").join(_space(tgt, "tgt"), "bucket")
+    scored = cand.select(
+        "src_id",
+        "tgt_id",
+        F.round(_dot(F.col("src_vec"), F.col("tgt_vec")) * 1e6, 0)
+        .cast("long")
+        .alias("ci"),
+    )
+
+    ws_rank = Window.partitionBy("src_id").orderBy(
+        F.desc("ci"), F.asc("tgt_id")
+    )
+    wt_rank = Window.partitionBy("tgt_id").orderBy(
+        F.desc("ci"), F.asc("src_id")
+    )
+    ws_all = Window.partitionBy("src_id")
+    wt_all = Window.partitionBy("tgt_id")
+    in_topk_s = F.col("rs") <= k
+    in_topk_t = F.col("rt") <= k
+    ranked = (
+        scored.withColumn("rs", F.row_number().over(ws_rank))
+        .withColumn("rt", F.row_number().over(wt_rank))
+        .withColumn("sax", F.sum(F.when(in_topk_s, F.col("ci"))).over(ws_all))
+        .withColumn("kx", F.sum(F.when(in_topk_s, F.lit(1))).over(ws_all))
+        .withColumn("say", F.sum(F.when(in_topk_t, F.col("ci"))).over(wt_all))
+        .withColumn("ky", F.sum(F.when(in_topk_t, F.lit(1))).over(wt_all))
+    )
+    den = F.col("sax") * F.col("ky") + F.col("say") * F.col("kx")
+    margin = F.round(
+        (F.lit(2.0) * F.col("ci") * F.col("kx") * F.col("ky")) / den, 6
+    )
+    return (
+        ranked.filter(F.col("rs") == 1)
+        .filter(den > 0)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("ci") / 1e6, 6).alias("cosine_sim"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= threshold)
+    )

@@ -108,3 +108,116 @@ def frequent_items(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") >= threshold)
     )
+
+
+# --- Bloom-filter membership (shared-nothing build, broadcast probe) -------
+#
+# The 100 TB story: an exact membership index (the anti-join side of
+# incremental dedup) is a full shuffle of every key; a Bloom filter is a
+# fixed-size bitmap that BROADCASTS. Build once over the corpus (one
+# scan + one m/63-row aggregate), then any later batch probes it with a
+# map-side broadcast join — no shuffle of the big side at all. False
+# positives (tunable via m_bits/n_hashes) route a small surplus to the
+# exact path; false negatives are impossible, so the filter is safe as a
+# pre-filter: "definitely new" rows skip the expensive exact index.
+#
+# Every position is cross-engine-deterministic arithmetic over the
+# shared md5-based token hash (functions/hashing.py), so the filter
+# contents — and therefore the exact false-positive set — are mirrored
+# bit-for-bit by the DuckDB oracle: approximate-by-definition, not
+# approximate-by-race.
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_N_HASHES = 4
+_BLOOM_WORD_BITS = 63  # 63 sets bits only below the int64 sign bit
+
+
+def _bloom_positions(key_col: str, m_bits: int, n_hashes: int):
+    """The n_hashes bit positions of a key: double-hashing over the
+    portable 32-bit md5 hash — position_i = (h1 + i*h2 + i*i) % m_bits
+    [Kirsch & Mitzenmacher 2006: two base hashes generate k independent-
+    enough probes]. h2 is forced odd so probes cycle the whole table.
+    The h2 multiplier stays < 2^21 (the MINHASH_PERMS bound) so a*h+b
+    < 2^53 — exact int64 in BOTH engines, no overflow divergence."""
+    from solana_etl_spark.functions.hashing import PERM32_P, hash32
+
+    h = hash32(F.col(key_col))
+    h1 = h % F.lit(m_bits)
+    h2 = (
+        (h * F.lit(1048573) + F.lit(40503)) % F.lit(PERM32_P)
+    ).bitwiseOR(F.lit(1).cast("long"))
+    return [
+        ((h1 + F.lit(i) * h2 + F.lit(i * i)) % F.lit(m_bits)).alias(f"p{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> DataFrame:
+    """Build the filter: (word_idx, word) int64 bitmap rows — at most
+    ceil(m_bits/63) of them, independent of corpus size. One scan, one
+    explode to n_hashes position rows/key, one BIT_OR aggregate."""
+    pos = keys.select(*_bloom_positions(key_col, m_bits, n_hashes))
+    stacked = pos.select(
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(n_hashes)])).alias(
+            "p"
+        )
+    )
+    return (
+        stacked.select(
+            (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> DataFrame:
+    """Probe: (key, maybe_member). maybe_member is TRUE iff every one of
+    the key's n_hashes bits is set — guaranteed TRUE for every built key
+    (no false negatives), FALSE proves absence. The bitmap side is
+    BROADCAST (≤ m_bits/63 rows); the probe side never shuffles except
+    the per-key bool_and, keyed by the probe key itself.
+
+    m_bits / n_hashes MUST match the build call — positions are
+    arithmetic over them."""
+    pos = keys.select(
+        F.col(key_col), *_bloom_positions(key_col, m_bits, n_hashes)
+    )
+    stacked = pos.select(
+        key_col,
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(n_hashes)])).alias(
+            "p"
+        ),
+    ).select(
+        key_col,
+        (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("bit"),
+    )
+    probed = stacked.join(F.broadcast(bloom), "word_idx", "left").select(
+        key_col,
+        (
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("bit")) != 0)
+        ).alias("hit"),
+    )
+    return probed.groupBy(key_col).agg(
+        F.bool_and("hit").alias("maybe_member")
+    )

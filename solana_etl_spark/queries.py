@@ -98,17 +98,18 @@ DRIVER_ROWS: tuple[str, ...] = (
     "q6_forecast_revenue", "f1_filter_project", "f4_exists_semijoin",
     "f6_anti_join", "a9_conditional_rollup", "m1_balance_modes",
     "j2_full_outer_coalesce", "j6_asof_join", "j7_range_join",
-    "m8_bucket_rollup", "w1_topk_per_group", "w2_running_total",
-    "set_ops", "a12_rollup", "t3_explode_json", "x1_semantic_extract",
+    "m8_bucket_rollup", "w1_topk_per_group", "set_ops", "a12_rollup",
+    "t3_explode_json", "x1_semantic_extract",
+    "mine_bitext_margin", "dedup_bloom_probe",
     "a13_percentiles", "m11_string_funcs", "dedup_exact",
     "dedup_minhash_lsh_pairs", "dedup_clusters", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_url_keep_best",
     "pipeline_clean_corpus", "pipeline_web_clean", "pipeline_pretrain_e2e",
     "sim_cosine_topk", "sim_neardup_pairs", "sim_ann_bucketed",
-    "text_token_stats", "text_quality", "text_fingerprint",
+    "text_token_stats", "text_quality",
     "text_winnow_fingerprint", "text_unigram_encode",
     "pipeline_wordpiece_pack", "a15_pivot", "s1_hash_sample",
-    "a14_kmv_distinct", "mm_binary_metadata", "mm_decode_features",
+    "a14_kmv_distinct", "mm_decode_features", "mm_audio_fp_dedup",
     "mm_phash_dedup", "st_sessionize", "solana_e2e",
     "stream_corpus_pipeline", "stream_web_pipeline",
 )
@@ -1121,6 +1122,75 @@ _NGRAMS_SQL = (
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _bloom_oracle() -> str:
+    """Mirror of operators/sketch.py bloom_build/bloom_probe: the same
+    double-hashed positions (Kirsch-Mitzenmacher over the portable md5
+    hash32), the same 63-bit words, the same BIT_OR/bool_and — the exact
+    false-positive set is part of the contract."""
+    from solana_etl_spark.functions.hashing import PERM32_P
+    from solana_etl_spark.operators.sketch import (
+        BLOOM_M_BITS,
+        BLOOM_N_HASHES,
+    )
+
+    h = hash32_sql("key")
+    base = (
+        f"SELECT key, {h} % {BLOOM_M_BITS} AS h1, "
+        f"(({h} * 1048573 + 40503) % {PERM32_P}) | 1 AS h2"
+    )
+    return f"""
+    WITH bk AS (
+        SELECT DISTINCT {_NORM_SQL} AS key FROM documents
+        WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    pk AS (
+        SELECT DISTINCT {_NORM_SQL} AS key FROM documents
+        WHERE text IS NOT NULL
+    ),
+    ii AS (SELECT unnest(generate_series(0, {BLOOM_N_HASHES - 1})) AS i),
+    bpos AS (
+        SELECT (h1 + i * h2 + i * i) % {BLOOM_M_BITS} AS p
+        FROM ({base} FROM bk) CROSS JOIN ii
+    ),
+    bloom AS (
+        SELECT p // 63 AS word_idx,
+               CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                    AS BIGINT) AS word
+        FROM bpos GROUP BY 1
+    ),
+    ppos AS (
+        SELECT key, (h1 + i * h2 + i * i) % {BLOOM_M_BITS} AS p
+        FROM ({base} FROM pk) CROSS JOIN ii
+    )
+    SELECT key,
+           bool_and(b.word IS NOT NULL
+                    AND (b.word & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT)))
+                        <> 0) AS maybe_member
+    FROM ppos LEFT JOIN bloom b ON b.word_idx = p // 63
+    GROUP BY key
+    """
+
+
+@_register("dedup_bloom_probe", _bloom_oracle(), local_only=True)
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (operators/sketch.py
+    bloom_build/bloom_probe): the filter is built over the even-doc_id
+    half of the corpus's normalized texts and probed with EVERY distinct
+    normalized text — guaranteed-hit members, definite-miss novel rows,
+    and the hash-determined false positives, all mirrored bit-for-bit by
+    the oracle. The 100 TB posture: the bitmap (≤ m_bits/63 rows)
+    BROADCASTS where an exact membership index would shuffle the whole
+    probe side; FALSE proves novelty, so only maybe-members continue to
+    the exact anti-join. local_only: driver cap."""
+    from solana_etl_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    key = dedup.normalized_text().alias("key")
+    build = docs.filter(F.col("doc_id") % 2 == 0).select(key).distinct()
+    probe = docs.select(key).distinct()
+    return bloom_probe(probe, bloom_build(build))
 
 
 def _minhash_oracle(k: int) -> str:
@@ -3539,6 +3609,136 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_pairs(media)
 
 
+def _audio_dir() -> str:
+    from solana_etl_spark.sources.synth import (
+        AUDIO_VERSION,
+        N_CLIPS,
+        _tables_root,
+    )
+
+    return f"{_tables_root()}/wav_v{AUDIO_VERSION}_{N_CLIPS}"
+
+
+def _audio_decode_oracle() -> str:
+    """Ground-truth clip features from the PCM SAMPLE ARRAY (the Spark
+    side decodes the WAV payload through the vendored RIFF parser — the
+    payload/samples pairing cross-checks the chunk walk): exact integer
+    duration/peak/energy and strict sign-product zero crossings."""
+    return f"""
+    WITH s AS (
+        SELECT clip_id, sample_rate, n_samples,
+               generate_subscripts(samples, 1) AS i, unnest(samples) AS x
+        FROM read_parquet('{_audio_dir()}/audio.parquet')
+    ),
+    lagged AS (
+        SELECT clip_id, sample_rate, n_samples, x,
+               LAG(x) OVER (PARTITION BY clip_id ORDER BY i) AS px
+        FROM s
+    )
+    SELECT clip_id AS media_id,
+           CAST(ANY_VALUE(sample_rate) AS INT) AS sample_rate,
+           CAST(ANY_VALUE(n_samples) AS BIGINT) AS n_samples,
+           CAST((CAST(ANY_VALUE(n_samples) AS BIGINT) * 1000000)
+                // ANY_VALUE(sample_rate) AS BIGINT) AS duration_us,
+           CAST(MAX(ABS(x)) AS BIGINT) AS peak_abs,
+           CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sum_sq,
+           CAST(COALESCE(SUM(CASE WHEN CAST(px AS BIGINT) * x < 0
+                                  THEN 1 END), 0) AS BIGINT)
+               AS zero_crossings
+    FROM lagged GROUP BY clip_id
+    """
+
+
+@_register("mm_audio_decode", _audio_decode_oracle(), local_only=True)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode over the synthetic WAV corpus
+    (sources/synth.py ensure_audio_table — real RIFF payloads including
+    extra-chunk re-serves + ground-truth PCM arrays): one Arrow-batched
+    mapInPandas pass (operators/audio.py audio_decode_report, vendored
+    functions/wav.py parser) reducing each payload to exact integer clip
+    features. The oracle recomputes every feature from the SAMPLE
+    ARRAYS, so a chunk-walk or PCM-extraction divergence anywhere in the
+    WAV path fails the value hash. local_only: driver cap."""
+    from solana_etl_spark.operators.audio import audio_decode_report
+    from solana_etl_spark.sources.synth import ensure_audio_table
+
+    d = ensure_audio_table()
+    media = spark.read.parquet(f"{d}/audio.parquet").select(
+        F.col("clip_id").alias("media_id"), "payload"
+    )
+    return audio_decode_report(media)
+
+
+def _audio_fp_oracle() -> str:
+    """Ground-truth fingerprint pairs from the PCM arrays: integer frame
+    binning (i*FRAMES // n), exact cross-multiplied mean-energy
+    comparisons (empty frames COALESCE to 0-energy/0-count, matching the
+    kernel's bincount), then the brute-force all-pairs hamming the
+    banded-LSH plan provably equals (pigeonhole, max_hamming 3 < 4
+    bands)."""
+    from solana_etl_spark.operators.audio import AFP_FRAMES
+
+    return f"""
+    WITH s AS (
+        SELECT clip_id, n_samples,
+               generate_subscripts(samples, 1) - 1 AS i, unnest(samples) AS x
+        FROM read_parquet('{_audio_dir()}/audio.parquet')
+    ),
+    fr AS (
+        SELECT clip_id, (CAST(i AS BIGINT) * {AFP_FRAMES}) // n_samples AS f,
+               CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS e,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s GROUP BY clip_id, f
+    ),
+    grid AS (
+        SELECT c.clip_id, g.f
+        FROM (SELECT DISTINCT clip_id FROM s) c
+        CROSS JOIN (SELECT unnest(generate_series(0, {AFP_FRAMES - 1})) AS f) g
+    ),
+    framed AS (
+        SELECT grid.clip_id, grid.f,
+               COALESCE(fr.e, 0) AS e, COALESCE(fr.n, 0) AS n
+        FROM grid LEFT JOIN fr
+          ON fr.clip_id = grid.clip_id AND fr.f = grid.f
+    ),
+    bits AS (
+        SELECT l.clip_id, l.f AS idx,
+               CASE WHEN r.e * l.n > l.e * r.n THEN 1 ELSE 0 END AS bit
+        FROM framed l JOIN framed r
+          ON r.clip_id = l.clip_id AND r.f = l.f + 1
+    ),
+    h AS (
+        SELECT clip_id,
+               CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << idx))
+                    AS BIGINT) AS afp
+        FROM bits GROUP BY clip_id
+    )
+    SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+           bit_count(xor(a.afp, b.afp)) AS hamming
+    FROM h a JOIN h b ON a.clip_id < b.clip_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """
+
+
+@_register("mm_audio_fp_dedup", _audio_fp_oracle(), local_only=True)
+def mm_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-fingerprint audio dedup over REAL decoded PCM: each WAV
+    payload decodes through the vendored RIFF parser, reduces to a 60-bit
+    energy-gradient fingerprint (integer-exact, amplitude-scale
+    invariant — the corpus's amplitude-doubled and extra-chunk re-served
+    copies collide by construction), and near-dup pairs come from the
+    SAME banded Hamming-LSH the image dHash path uses. The oracle
+    recomputes everything from the sample arrays. local_only: driver
+    cap."""
+    from solana_etl_spark.operators.audio import audio_fingerprint_pairs
+    from solana_etl_spark.sources.synth import ensure_audio_table
+
+    d = ensure_audio_table()
+    media = spark.read.parquet(f"{d}/audio.parquet").select(
+        F.col("clip_id").alias("media_id"), "payload"
+    )
+    return audio_fingerprint_pairs(media)
+
 
 def _e2e_oracle() -> str:
     from solana_etl_spark.sources.synth import _default_root, CORPUS_VERSION, N_BLOCKS
@@ -4578,6 +4778,92 @@ def ann_hard_negatives_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_hard_negatives(
         _t(spark, sf_dir, "embeddings")
     ).withColumn("neg_rank", F.col("neg_rank").cast("long"))
+
+
+BITEXT_K = 4
+BITEXT_THRESHOLD = 1.0
+_BITEXT_SRC_LABELS = "label < 5"  # fixture split: labels 0-4 = "source
+_BITEXT_TGT_LABELS = "label >= 5"  # language", 5-9 = "target language"
+
+
+@_register(
+    "mine_bitext_margin",
+    # mirrors operators/mining.py mine_bitext: sign-LSH bucket candidates,
+    # micro-unit integer cosines, exact integer margin arithmetic with one
+    # final double division
+    f"""
+    WITH {_NEMB_CTE},
+    bkt AS (
+        SELECT vec_id,
+               CAST({_lsh_bucket_sql_expr(similarity.LSH_SIGN_BITS)} AS BIGINT)
+                   AS bucket
+        FROM embeddings
+    ),
+    src AS (
+        SELECT n.vec_id, n.v, b.bucket
+        FROM nemb n JOIN bkt b USING (vec_id)
+        WHERE n.{_BITEXT_SRC_LABELS}
+    ),
+    tgt AS (
+        SELECT n.vec_id, n.v, b.bucket
+        FROM nemb n JOIN bkt b USING (vec_id)
+        WHERE n.{_BITEXT_TGT_LABELS}
+    ),
+    scored AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               CAST(ROUND({_NDOT_SQL} * 1000000, 0) AS BIGINT) AS ci
+        FROM src a JOIN tgt b ON a.bucket = b.bucket
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY src_id ORDER BY ci DESC, tgt_id ASC) AS rs,
+               row_number() OVER (
+                   PARTITION BY tgt_id ORDER BY ci DESC, src_id ASC) AS rt
+        FROM scored
+    ),
+    sums AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN rs <= {BITEXT_K} THEN ci END)
+                    OVER (PARTITION BY src_id) AS BIGINT) AS sax,
+               CAST(SUM(CASE WHEN rs <= {BITEXT_K} THEN 1 END)
+                    OVER (PARTITION BY src_id) AS BIGINT) AS kx,
+               CAST(SUM(CASE WHEN rt <= {BITEXT_K} THEN ci END)
+                    OVER (PARTITION BY tgt_id) AS BIGINT) AS say,
+               CAST(SUM(CASE WHEN rt <= {BITEXT_K} THEN 1 END)
+                    OVER (PARTITION BY tgt_id) AS BIGINT) AS ky
+        FROM ranked
+    )
+    SELECT src_id, tgt_id,
+           ROUND(ci / 1000000.0, 6) AS cosine_sim,
+           ROUND(2.0 * ci * kx * ky / (sax * ky + say * kx), 6) AS margin
+    FROM sums
+    WHERE rs = 1 AND (sax * ky + say * kx) > 0
+      AND ROUND(2.0 * ci * kx * ky / (sax * ky + say * kx), 6)
+              >= {BITEXT_THRESHOLD}
+    """,
+    local_only=True,
+)
+def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/mining.py mine_bitext — the
+    CCMatrix/WikiMatrix ratio-margin criterion of Artetxe & Schwenk
+    2019): the fixture's label space splits into a "source language"
+    (labels 0-4) and "target language" (5-9); each source vector finds
+    its best cross-set match among sign-LSH bucket collisions, scored by
+    cosine over the average similarity of BOTH ends' top-k candidate
+    neighborhoods. Micro-unit integer cosines make every neighborhood
+    sum order-independent; the margin is exact integer arithmetic with
+    one final double division, so the oracle matches bit-for-bit.
+    local_only: driver cap."""
+    from solana_etl_spark.operators.mining import mine_bitext
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mine_bitext(
+        emb.filter(_BITEXT_SRC_LABELS),
+        emb.filter(_BITEXT_TGT_LABELS),
+        k=BITEXT_K,
+        threshold=BITEXT_THRESHOLD,
+    )
 
 
 _CHUNK, _STRIDE = 256, 192

@@ -796,3 +796,116 @@ def ensure_web_table(n_pages: int = N_PAGES, root: str | None = None) -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Synthetic audio fixtures (real WAV payloads + ground-truth PCM arrays)
+# ---------------------------------------------------------------------------
+
+AUDIO_VERSION = 1
+N_CLIPS = 400
+_AUDIO_RATE = 8000
+
+
+def _synth_clip(clip_id: int, prev: list | None) -> tuple[list, tuple]:
+    """Deterministic mono PCM clip (int16 range) + its extra-chunk spec.
+    Planted shapes, mirroring ``_synth_image`` for the fingerprint family:
+
+    * every 9th clip: EXACT PCM copy of the previous one re-encoded with
+      an extra ``LIST`` metadata chunk — byte-different payloads,
+      identical audio (the decoder's chunk walk is what makes them
+      collide; a 44-byte-header assumption would mis-read the copy)
+    * every 6th: the previous clip amplitude-doubled — sample-different,
+      fingerprint-IDENTICAL by the energy-gradient hash's scale
+      invariance (cross-multiplied mean comparisons)
+    * every 20th: a few ±small sample perturbations (near-dup, small
+      hamming)
+    * every 50th: shorter than AFP_FRAMES samples (empty energy frames —
+      the COALESCE path of the oracle)
+
+    The base signal is an amplitude-envelope sinusoid: energy varies
+    smoothly across frames so gradient bits are well-separated and a
+    ±3-sample perturbation rarely flips a frame comparison.
+    """
+    import math
+
+    rng = random.Random(f"wav-{AUDIO_VERSION}-{clip_id}")
+    if clip_id % 9 == 8 and prev is not None:
+        return list(prev), ((b"LIST", b"INFOISFT" + b"synthetic re-serve\x00"),)
+    if clip_id % 6 == 5 and prev is not None:
+        return [max(-32768, min(32767, s * 2)) for s in prev], ()
+    if clip_id % 20 == 19 and prev is not None:
+        out = list(prev)
+        for _ in range(rng.randint(1, 4)):
+            i = rng.randrange(len(out))
+            out[i] = max(-32768, min(32767, out[i] + rng.randint(-3, 3)))
+        return out, ()
+    if clip_id % 50 == 49:
+        n = rng.randint(7, 40)  # < AFP_FRAMES: empty frames exist
+    else:
+        n = rng.randint(600, 4000)
+    freq = rng.uniform(80.0, 900.0)
+    # piecewise-linear amplitude envelope over ~8 knots, peak <= 12000 so
+    # the amplitude-doubled copies stay inside int16
+    knots = [rng.uniform(500.0, 12000.0) for _ in range(8)]
+    out = []
+    for i in range(n):
+        t = i * 7 / max(n - 1, 1)
+        k = min(int(t), 6)
+        amp = knots[k] + (knots[k + 1] - knots[k]) * (t - k)
+        out.append(
+            int(round(amp * math.sin(2.0 * math.pi * freq * i / _AUDIO_RATE)))
+        )
+    return out, ()
+
+
+def ensure_audio_table(n_clips: int = N_CLIPS, root: str | None = None) -> str:
+    """Generate audio.parquet — (clip_id, payload REAL WAV bytes, samples
+    ground-truth PCM array, sample_rate, n_samples) — if absent; atomic +
+    idempotent like :func:`ensure_images_table`. The payload/samples
+    pairing is what lets the fingerprint gate rows cross-check the REAL
+    decode path: Spark decodes the RIFF payload (functions/wav.py), the
+    DuckDB oracle recomputes from the sample array."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from solana_etl_spark.functions.wav import encode_pcm16
+
+    root = root or _tables_root()
+    out = os.path.join(root, f"wav_v{AUDIO_VERSION}_{n_clips}")
+    if os.path.isdir(out):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+
+    rows = []
+    prev: list | None = None
+    for clip_id in range(n_clips):
+        samples, extra = _synth_clip(clip_id, prev)
+        prev = samples
+        rows.append(
+            (clip_id, encode_pcm16(_AUDIO_RATE, samples, extra), samples)
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+                "samples": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+                "sample_rate": pa.array(
+                    [_AUDIO_RATE] * len(rows), pa.int32()
+                ),
+                "n_samples": pa.array([len(r[2]) for r in rows], pa.int32()),
+            }
+        ),
+        os.path.join(tmp, "audio.parquet"),
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
