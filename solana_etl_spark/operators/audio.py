@@ -107,13 +107,20 @@ def _afp_from_samples(samples) -> int:
     if n == 0:
         return 0
     frames = np.arange(n, dtype=np.int64) * AFP_FRAMES // n
-    e = np.bincount(frames, weights=x * x, minlength=AFP_FRAMES).astype(
-        np.int64
-    )
+    # int64 accumulator via add.at, NOT bincount(weights=...): bincount
+    # accumulates weights in float64, which silently loses integer
+    # exactness once a frame's Σx² passes 2^53 (~8M samples/frame)
+    e = np.zeros(AFP_FRAMES, dtype=np.int64)
+    np.add.at(e, frames, x * x)
     cnt = np.bincount(frames, minlength=AFP_FRAMES).astype(np.int64)
-    bits = (e[1:] * cnt[:-1]) > (e[:-1] * cnt[1:])
-    idx = np.arange(AFP_FRAMES - 1, dtype=np.uint64)
-    return int((bits.astype(np.uint64) << idx).sum())
+    # cross-products in PYTHON ints: e ≈ cnt·2^30, so e·cnt overflows
+    # int64 around 6M-sample clips — far inside wav.py's sample ceiling
+    el, cl = e.tolist(), cnt.tolist()
+    return sum(
+        (1 << f)
+        for f in range(AFP_FRAMES - 1)
+        if el[f + 1] * cl[f] > el[f] * cl[f + 1]
+    )
 
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:

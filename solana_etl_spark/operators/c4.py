@@ -75,8 +75,11 @@ def page_drop_predicate(
     :func:`bad_word_page_ids` / :func:`c4_line_filter` instead."""
     lowered = F.lower(F.col(text_col))
     bad = F.lit(False)
+    # entries fold to lowercase like the blocklist-DataFrame path
+    # (_blocklist_words) — the two parameterizations must agree on any
+    # mixed-case list
     for w in bad_words:
-        bad = bad | lowered.contains(w)
+        bad = bad | lowered.contains(w.lower())
     return bad | lowered.contains("lorem ipsum") | F.col(text_col).contains("{")
 
 
@@ -242,6 +245,43 @@ def span_hashes(
     cross-batch span index (streaming/web_stream.py): a span seen in any
     earlier batch makes every later occurrence a non-first duplicate."""
     return _span_occurrences(pages, text_col, id_col).select("h").distinct()
+
+
+def c4_span_dedup_with_index(
+    pages: DataFrame,
+    span_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """In-batch span dedup AND cross-batch index strip in ONE pass over
+    the ORIGINAL text: occurrences are computed once, the dropped set is
+    (in-batch non-first occurrences) ∪ (occurrences whose hash is in
+    ``span_index``), and the text is rebuilt once.
+
+    This is NOT the same as ``strip_spans_in_index(c4_span_dedup(p))``:
+    chaining them recomputes windows on the REBUILT post-in-batch text,
+    where line removal can manufacture windows that never existed in the
+    original page (wrongly stripped if indexed) and destroy windows that
+    did (missed strips) — the batch chain computes every window on the
+    original text, so the streaming arm must too
+    (streaming/web_stream.py's stream==batch contract)."""
+    occ = _span_occurrences(pages, text_col, id_col)
+    keepers = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    in_batch = (
+        occ.join(keepers.filter(F.col("_n") > 1), "h")
+        .filter(
+            (F.col(id_col) != F.col(f"_first.{id_col}"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .select(id_col, "pos")
+    )
+    indexed = occ.join(span_index.select("h"), "h").select(id_col, "pos")
+    return _without_covered_lines(
+        pages, in_batch.unionByName(indexed), text_col, id_col
+    )
 
 
 def strip_spans_in_index(

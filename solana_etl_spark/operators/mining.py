@@ -197,18 +197,17 @@ def mine_bitext(
     Plan: one bucket-keyed equi-join + two window families (src-keyed,
     tgt-keyed) — three bounded shuffles, corpus scanned once per side.
     """
-    from solana_etl_spark.operators.similarity import lsh_sign_buckets
+    from solana_etl_spark.operators.similarity import _sign_bucket
 
     def _space(df: DataFrame, side: str) -> DataFrame:
-        return (
-            normalized(df)
-            .select("vec_id", "_nemb")
-            .join(lsh_sign_buckets(df).select("vec_id", "bucket"), "vec_id")
-            .select(
-                F.col("vec_id").alias(f"{side}_id"),
-                F.col("_nemb").alias(f"{side}_vec"),
-                "bucket",
-            )
+        # the bucket is a per-row expression FUSED into the projection
+        # (one scan, no vec_id self-join) — _sign_bucket's documented
+        # contract; also keeps this operator label-agnostic (needs only
+        # vec_id + embedding)
+        return normalized(df).select(
+            F.col("vec_id").alias(f"{side}_id"),
+            F.col("_nemb").alias(f"{side}_vec"),
+            _sign_bucket().alias("bucket"),
         )
 
     cand = _space(src, "src").join(_space(tgt, "tgt"), "bucket")

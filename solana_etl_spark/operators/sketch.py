@@ -152,6 +152,32 @@ def _bloom_positions(key_col: str, m_bits: int, n_hashes: int):
     ]
 
 
+def _position_words(
+    keys: DataFrame, key_col: str, m_bits: int, n_hashes: int, keep_key: bool
+) -> DataFrame:
+    """(word_idx, bit[, key]) for every (key, hash_i) probe — the ONE
+    position/word/bit encoding both build and probe use (a drifted copy
+    would silently turn guaranteed members into false negatives)."""
+    cols = [F.col(key_col)] if keep_key else []
+    pos = keys.select(
+        *cols, *_bloom_positions(key_col, m_bits, n_hashes)
+    )
+    stacked = pos.select(
+        *cols,
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(n_hashes)])).alias(
+            "p"
+        ),
+    )
+    return stacked.select(
+        *cols,
+        (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+        ).alias("bit"),
+    )
+
+
 def bloom_build(
     keys: DataFrame,
     key_col: str = "key",
@@ -161,20 +187,8 @@ def bloom_build(
     """Build the filter: (word_idx, word) int64 bitmap rows — at most
     ceil(m_bits/63) of them, independent of corpus size. One scan, one
     explode to n_hashes position rows/key, one BIT_OR aggregate."""
-    pos = keys.select(*_bloom_positions(key_col, m_bits, n_hashes))
-    stacked = pos.select(
-        F.explode(F.array(*[F.col(f"p{i}") for i in range(n_hashes)])).alias(
-            "p"
-        )
-    )
     return (
-        stacked.select(
-            (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(p % {_BLOOM_WORD_BITS} AS INT))"
-            ).alias("bit"),
-        )
+        _position_words(keys, key_col, m_bits, n_hashes, keep_key=False)
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
     )
@@ -195,22 +209,7 @@ def bloom_probe(
 
     m_bits / n_hashes MUST match the build call — positions are
     arithmetic over them."""
-    pos = keys.select(
-        F.col(key_col), *_bloom_positions(key_col, m_bits, n_hashes)
-    )
-    stacked = pos.select(
-        key_col,
-        F.explode(F.array(*[F.col(f"p{i}") for i in range(n_hashes)])).alias(
-            "p"
-        ),
-    ).select(
-        key_col,
-        (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
-        F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(p % {_BLOOM_WORD_BITS} AS INT))"
-            ).alias("bit"),
-    )
+    stacked = _position_words(keys, key_col, m_bits, n_hashes, keep_key=True)
     probed = stacked.join(F.broadcast(bloom), "word_idx", "left").select(
         key_col,
         (

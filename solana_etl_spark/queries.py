@@ -144,6 +144,7 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracle_sql() -> dict[str, str]:
     from solana_etl_spark.sources.synth import (
+        ensure_audio_table,
         ensure_e2e_corpus,
         ensure_images_table,
         ensure_web_table,
@@ -152,6 +153,7 @@ def all_oracle_sql() -> dict[str, str]:
     ensure_e2e_corpus()
     ensure_images_table()  # mm_phash_dedup's oracle reads it directly
     ensure_web_table()  # web_/c4_ oracles read it directly
+    ensure_audio_table()  # mm_audio_* oracles read it directly
     return {**_ORACLES, **_LOCAL_ORACLES}
 
 
@@ -1212,13 +1214,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-def _lsh_pairs_cte(k: int, band_rows: int, materialized: bool = False) -> str:
-    """sigs/bands/pairs CTE bodies shared by the pairs and clusters oracles.
-
-    ``materialized`` forces DuckDB to evaluate pairs once — essential under a
-    recursive CTE, which otherwise re-runs the whole minhash chain every
-    recursion step (measured 49s → <1s on the clusters oracle at sf0.01).
-    """
+def _lsh_bands_cte(k: int, band_rows: int) -> str:
+    """sigs/bands CTE bodies — the shared prefix of every minhash-LSH
+    oracle. Star-edge/bucket-min oracles use this ALONE (no quadratic
+    pair expansion — the very thing the star-edge operator avoids)."""
     n_bands = k // band_rows
     sig_cols = ",\n               ".join(
         f"{minhash_sql(_SHINGLES_SQL, i)} AS h{i}" for i in range(k)
@@ -1237,7 +1236,17 @@ def _lsh_pairs_cte(k: int, band_rows: int, materialized: bool = False) -> str:
                {sig_cols}
         FROM documents
     ),
-    bands AS ({band_rows_sql}),
+    bands AS ({band_rows_sql})"""
+
+
+def _lsh_pairs_cte(k: int, band_rows: int, materialized: bool = False) -> str:
+    """sigs/bands/pairs CTE bodies shared by the pairs and clusters oracles.
+
+    ``materialized`` forces DuckDB to evaluate pairs once — essential under a
+    recursive CTE, which otherwise re-runs the whole minhash chain every
+    recursion step (measured 49s → <1s on the clusters oracle at sf0.01).
+    """
+    return f"""{_lsh_bands_cte(k, band_rows)},
     pairs AS {"MATERIALIZED " if materialized else ""}(
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -1467,8 +1476,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _star_edges_oracle(k: int, band_rows: int) -> str:
+    # bands-only prefix: the star-edge oracle must not carry the
+    # quadratic pairs CTE the operator exists to avoid
     return f"""
-    WITH {_lsh_pairs_cte(k, band_rows, materialized=True)},
+    WITH {_lsh_bands_cte(k, band_rows)},
     bmin AS (
         SELECT band, sig, MIN(doc_id) AS m FROM bands GROUP BY band, sig
     )

@@ -16,11 +16,15 @@ Stage-by-stage streaming semantics:
   append-only stream provides.
 * C4 line/page rules — bare per-row predicates, batch-independent:
   applied directly to the micro-batch.
-* span dedup — in-batch corpus-wide span dedup first (again for
-  chunking independence), then ``strip_spans_in_index`` removes lines
-  covered by spans recorded from earlier batches; the index records
-  each batch's post-line-filter span hashes (operators/c4.span_hashes),
-  i.e. first-ARRIVED occurrences win — identical to the batch chain's
+* span dedup — ONE occurrence pass over the batch's original
+  line-filtered text (``c4_span_dedup_with_index``): the dropped set is
+  in-batch non-first occurrences ∪ occurrences whose hash is in the
+  persisted index, rebuilt once. (Computing windows on the REBUILT
+  post-in-batch text would let line removal manufacture/destroy windows
+  relative to the original page — the batch chain computes every window
+  on the original text.) The index records each batch's
+  post-line-filter span hashes (operators/c4.span_hashes), i.e.
+  first-ARRIVED occurrences win — identical to the batch chain's
   (page, pos)-min keeper under id-ordered ingest.
 
 Index updates are written from the URL-dedup stage (canonicals of ALL
@@ -49,9 +53,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from solana_etl_spark.operators.c4 import (
     c4_line_filter,
-    c4_span_dedup,
+    c4_span_dedup_with_index,
     span_hashes,
-    strip_spans_in_index,
 )
 from solana_etl_spark.operators.web import canonical_url, url_dedup_keep_best
 from solana_etl_spark.streaming.dedup_stream import _read_index
@@ -94,13 +97,17 @@ def web_clean_batch(
     cleaned = c4_line_filter(best).select(
         "page_id", F.col("text_clean").alias("text")
     )
-    in_batch = c4_span_dedup(cleaned).select(
-        "page_id", F.col("text_dedup").alias("text")
-    )
     span_idx = _read_index(
         spark, os.path.join(index_dir, "spans"), "h string", exclude_batch
     )
-    survivors = strip_spans_in_index(in_batch, span_idx).select(
+    # ONE occurrence pass over the ORIGINAL cleaned text: in-batch
+    # non-first occurrences ∪ index hits, one rebuild. Chaining
+    # c4_span_dedup then strip-vs-index would recompute windows on the
+    # REBUILT text, where in-batch line removal manufactures windows the
+    # original page never had (wrongly stripped if indexed) and destroys
+    # ones it did (missed strips) — the batch chain computes every
+    # window on the original text.
+    survivors = c4_span_dedup_with_index(cleaned, span_idx).select(
         "page_id", F.col("text_dedup").alias("text_final")
     )
     return survivors, cleaned

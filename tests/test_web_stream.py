@@ -138,3 +138,53 @@ def test_web_clean_batch_retry_converges(spark, tmp_path):
     # whereas a LATER batch (exclude_batch=1) is suppressed by the index
     later, _ = web_clean_batch(spark, batch, idx, exclude_batch=1)
     assert later.count() == 0
+
+
+def test_cross_batch_strip_uses_original_windows(spark, tmp_path):
+    """The manufactured-window corner: batch 1 indexes span (P,T,U);
+    batch 2's page Y = [P,Q,R,S,T,U,V] loses (Q,R,S) to IN-BATCH dedup.
+    Windows recomputed on the REBUILT text would contain (P,T,U) — in
+    the index — and wrongly strip P,T,U; Y's ORIGINAL text never had
+    that window, so the batch chain keeps those lines. Guards the
+    one-occurrence-pass form of web_clean_batch."""
+    P, Q, R, S, T, U, V = (_sent(t, 0) for t in "pqrstuv")
+    b1 = [
+        # batch-1 pages: span (P,T,U), syndicated twice so batch 1 both
+        # records it in the index AND dedups it in-batch like the batch
+        # chain would
+        (1, "http://a.com/1", "\n".join([P, T, U, _sent("f1", 1)])),
+        (2, "http://a.com/2", "\n".join([P, T, U, _sent("f2", 1)])),
+    ]
+    # batch 2: page 3 holds the (Q,R,S) keeper; Y = [P,Q,R,S,T,U,V]
+    # loses Q,R,S to IN-BATCH dedup within this same micro-batch. The
+    # rebuilt-text formulation then saw window (P,T,U) — in the batch-1
+    # index — and wrongly stripped P,T,U; Y's ORIGINAL windows never
+    # include it.
+    y_lines = [P, Q, R, S, T, U, V]
+    b2 = [
+        (3, "http://b.com/3", "\n".join([Q, R, S, _sent("f3", 1)])),
+        (10, "http://b.com/y", "\n".join(y_lines)),
+    ]
+
+    stream_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(stream_dir, exist_ok=True)
+    _pages(spark, b1).coalesce(1).write.parquet(f"{stream_dir}/p1.parquet")
+    _run(spark, stream_dir, out)
+    _pages(spark, b2).coalesce(1).write.parquet(f"{stream_dir}/p2.parquet")
+    _run(spark, stream_dir, out)
+
+    got = {
+        r["page_id"]: r["text_final"]
+        for r in spark.read.parquet(f"{out}/survivors/batch=*").collect()
+    }
+    # Y keeps P,T,U,V — only the cross-batch duplicate (Q,R,S) lines go.
+    # (The rebuilt-text formulation stripped P,T,U here.)
+    assert got[10] == "\n".join([P, T, U, V])
+
+    # and the full corpus still equals the batch chain
+    expect = {
+        r["page_id"]: r["text_final"]
+        for r in _batch_chain(spark, b1 + b2).collect()
+    }
+    assert got == expect
