@@ -368,7 +368,25 @@ _DOC_WEIGHTS = [1.0 / (r + 1) for r in range(len(_DOC_VOCAB))]
 # 2-word shingles and the only near-dup pairs are the CONSTRUCTED ones
 # (one exact copy per 100 docs, one perturbed variant per 25) — pair
 # volume linear in rows by construction, at every size.
-_SCALING_VOCAB = _DOC_VOCAB + [f"v{i:05d}" for i in range(19000)]
+#
+# Extension words are ALPHABETIC (base-26 pseudo-words), not the
+# digit-bodied w###/v##### forms: with the tempered weights those
+# dominated every doc and pushed digit_ratio past the 0.3 quality gate,
+# so the cleaning/pretrain pipelines returned 0 survivors at every size
+# — a vacuous decade timing filters that drop the whole corpus.
+_SCALING_GEN = 2  # bump to invalidate cached scaling-profile tables
+
+
+def _alpha_word(i: int) -> str:
+    s = ""
+    while True:
+        i, r = divmod(i, 26)
+        s += chr(97 + r)
+        if not i:
+            return "x" + s
+
+
+_SCALING_VOCAB = _DOC_VOCAB[:-969] + [_alpha_word(i) for i in range(19969)]
 _SCALING_WEIGHTS = [1.0 / (r + 50) for r in range(len(_SCALING_VOCAB))]
 
 _PROFILES = {
@@ -413,7 +431,7 @@ def _synth_documents(n_docs: int, profile: str = "fixture"):
     seed_tag = (
         f"doc-{TABLES_VERSION}-"
         if profile == "fixture"
-        else f"doc-{TABLES_VERSION}{profile[0]}-"
+        else f"doc-{TABLES_VERSION}{profile[0]}{_SCALING_GEN}-"
     )
     rows = []
     for doc_id in range(n_docs):
@@ -483,7 +501,7 @@ def ensure_sf_tables(
 
     if profile not in _PROFILES:
         raise ValueError(f"unknown profile {profile!r}")
-    tag = "" if profile == "fixture" else profile[0]
+    tag = "" if profile == "fixture" else f"{profile[0]}{_SCALING_GEN}"
     root = root or _tables_root()
     out = os.path.join(root, f"v{TABLES_VERSION}{tag}_d{n_docs}_e{n_vecs}")
     if os.path.isdir(out):
