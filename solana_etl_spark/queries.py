@@ -3680,17 +3680,14 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_decode_report(media)
 
 
-def _audio_fp_oracle() -> str:
-    """Ground-truth fingerprint pairs from the PCM arrays: integer frame
-    binning (i*FRAMES // n), exact cross-multiplied mean-energy
-    comparisons (empty frames COALESCE to 0-energy/0-count, matching the
-    kernel's bincount), then the brute-force all-pairs hamming the
-    banded-LSH plan provably equals (pigeonhole, max_hamming 3 < 4
-    bands)."""
+def _audio_fp_cte() -> str:
+    """The shared ground-truth fingerprint chain (→ CTE ``h``: clip_id,
+    afp) from the PCM arrays: integer frame binning (i*FRAMES // n),
+    exact cross-multiplied mean-energy comparisons, empty frames
+    COALESCEd to 0-energy/0-count matching the kernel's accumulator."""
     from solana_etl_spark.operators.audio import AFP_FRAMES
 
-    return f"""
-    WITH s AS (
+    return f"""s AS (
         SELECT clip_id, n_samples,
                generate_subscripts(samples, 1) - 1 AS i, unnest(samples) AS x
         FROM read_parquet('{_audio_dir()}/audio.parquet')
@@ -3723,7 +3720,15 @@ def _audio_fp_oracle() -> str:
                CAST(SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << idx))
                     AS BIGINT) AS afp
         FROM bits GROUP BY clip_id
-    )
+    )"""
+
+
+def _audio_fp_oracle() -> str:
+    """Fingerprint pairs over the shared chain: the brute-force
+    all-pairs hamming the banded-LSH plan provably equals (pigeonhole,
+    max_hamming 3 < 4 bands)."""
+    return f"""
+    WITH {_audio_fp_cte()}
     SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
            bit_count(xor(a.afp, b.afp)) AS hamming
     FROM h a JOIN h b ON a.clip_id < b.clip_id
@@ -3749,6 +3754,68 @@ def mm_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clip_id").alias("media_id"), "payload"
     )
     return audio_fingerprint_pairs(media)
+
+
+def _stream_media_oracle() -> str:
+    """Batch form of dominance dedup: keep clip b iff no clip a ≤ b sits
+    within hamming 3 (a < b strictly — a clip never dominates itself in
+    one pass; the ≤ in the stream rule exists so a RE-INGESTED corpus is
+    suppressed by its own index rows). Two identical stream passes must
+    therefore equal this single-pass relation."""
+    return f"""
+    WITH {_audio_fp_cte()}
+    SELECT b.clip_id AS media_id, b.afp
+    FROM h b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM h a
+        WHERE a.clip_id < b.clip_id
+          AND bit_count(xor(a.afp, b.afp)) <= 3
+    )
+    """
+
+
+@_register("stream_media_dedup", _stream_media_oracle(), local_only=True)
+def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MEDIA ingest with perceptual-fingerprint dedup against
+    the persisted index, as a REAL Structured-Streaming run
+    (streaming/media_stream.py): the synthetic WAV corpus streams
+    through twice (two files → two foreachBatch micro-batches, real
+    Arrow-batched RIFF decode per batch); the first pass must equal the
+    batch dominance-dedup relation (no equal-or-smaller-id clip within
+    hamming 3) and the second pass must be fully suppressed by the
+    fingerprint index — re-ingesting the corpus adds zero rows. The
+    multimodal member of the stream-equals-batch gate family (7th row).
+    local_only: streaming state dirs are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.sources.synth import ensure_audio_table
+    from solana_etl_spark.streaming.media_stream import (
+        start_streaming_media_dedup,
+    )
+
+    d = ensure_audio_table()
+    media = spark.read.parquet(f"{d}/audio.parquet").select(
+        F.col("clip_id").alias("media_id"), "payload"
+    )
+    work = tempfile.mkdtemp(prefix="gate_stream_media_")
+    for p in ("a", "b"):
+        media.coalesce(1).write.mode("overwrite").parquet(f"{work}/src/{p}")
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*/*.parquet")
+    )
+    q = start_streaming_media_dedup(
+        spark,
+        stream,
+        survivors_dir=f"{work}/out",
+        index_dir=f"{work}/idx",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    return _materialize_and_clean(
+        spark.read.parquet(f"{work}/out").select("media_id", "afp"), work
+    )
 
 
 def _e2e_oracle() -> str:
