@@ -230,6 +230,23 @@ class WebPipeline:
     def __init__(self, df: DataFrame):
         self.df = df
 
+    @classmethod
+    def from_html(cls, pages: DataFrame) -> "WebPipeline":
+        """Enter the pipeline from RAW CRAWL rows (page_id, url, html):
+        the scan-fused HTML→text extractor (operators/web.py
+        html_to_text) replaces the html column with extracted text, and
+        the rest of the chain is unchanged — raw HTML never survives
+        past the first projection."""
+        from solana_etl_spark.operators.web import html_to_text
+
+        return cls(
+            pages.select(
+                "page_id",
+                "url",
+                html_to_text(F.col("html")).alias("text"),
+            )
+        )
+
     def _with(self, df: DataFrame) -> "WebPipeline":
         return WebPipeline(df)
 

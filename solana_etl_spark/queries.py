@@ -9473,10 +9473,14 @@ def _web_pages_path() -> str:
     from solana_etl_spark.sources.synth import (
         N_PAGES,
         WEB_VERSION,
+        _WEB_GEN,
         _tables_root,
     )
 
-    return f"{_tables_root()}/web_v{WEB_VERSION}_{N_PAGES}/pages.parquet"
+    return (
+        f"{_tables_root()}/web_v{WEB_VERSION}g{_WEB_GEN}_{N_PAGES}"
+        "/pages.parquet"
+    )
 
 
 def _read_web(spark: SparkSession) -> DataFrame:
@@ -9484,6 +9488,34 @@ def _read_web(spark: SparkSession) -> DataFrame:
 
     ensure_web_table()
     return spark.read.parquet(_web_pages_path())
+
+
+@_register(
+    "web_html_extract",
+    # the GROUND-TRUTH oracle: the generator builds html by wrapping the
+    # text column in markup plus script/style/title noise
+    # (sources/synth.py _page_html), so correct extraction must
+    # reproduce the text column exactly — a divergence anywhere in the
+    # strip chain (tag rules, entity order, line trimming) fails the
+    # value hash rather than being mirrored into the oracle
+    f"""
+    SELECT page_id, text
+    FROM read_parquet('{_web_pages_path()}')
+    """,
+    local_only=True,
+)
+def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (operators/web.py html_to_text): the crawl
+    stage upstream of the whole URL/C4/span family — drop
+    script/style/title subtrees, break on <br> and block elements, strip
+    tags, decode entities, trim lines. A pure scan-fused
+    regexp_replace chain (RE2-safe, zero shuffle — raw HTML is the
+    bulkiest thing a 100 TB crawl holds, so this stage must not be a
+    UDF). The oracle is the planted ground truth. local_only: driver
+    cap."""
+    from solana_etl_spark.operators.web import extract_html_pages
+
+    return extract_html_pages(_read_web(spark).select("page_id", "html"))
 
 
 _URL_SQL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
@@ -9836,20 +9868,26 @@ def _pipeline_web_clean_oracle() -> str:
 
 @_register("pipeline_web_clean", _pipeline_web_clean_oracle(), local_only=True)
 def pipeline_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Web-curation capstone: canonicalize → canonical-URL keep-best →
-    C4 line/page rules → corpus-wide three-sentence-span dedup, one lazy
-    plan. Stage costs at scale: projection (0 shuffles) + keep-best
-    (1 hash agg) + line rules (0) + span dedup (hash-keyed linear) —
-    the whole chain is map-heavy with three narrow shuffles, no windows
-    over unbounded partitions. local_only: reads the generated pages
-    table."""
+    """Web-curation capstone, FROM RAW HTML: scan-fused HTML→text
+    extraction → canonicalize → canonical-URL keep-best → C4 line/page
+    rules → corpus-wide three-sentence-span dedup, one lazy plan. The
+    oracle consumes the generator's ground-truth text column, so the
+    extraction stage is value-hash-checked inside the same row
+    (extraction must reproduce the planted text EXACTLY or every
+    downstream stage drifts). Stage costs at scale: two projections
+    (0 shuffles — raw HTML dies at the first one) + keep-best (1 hash
+    agg) + line rules (0) + span dedup (hash-keyed linear). local_only:
+    reads the generated pages table."""
     from solana_etl_spark.operators.c4 import c4_line_filter, c4_span_dedup
     from solana_etl_spark.operators.web import (
         canonicalize,
+        html_to_text,
         url_dedup_keep_best,
     )
 
-    pages = _read_web(spark)
+    pages = _read_web(spark).select(
+        "page_id", "url", html_to_text(F.col("html")).alias("text")
+    )
     keepers = url_dedup_keep_best(pages).select("page_id")
     best = canonicalize(pages).join(keepers, "page_id", "left_semi")
     clean = c4_line_filter(best).withColumnRenamed("text_clean", "text")

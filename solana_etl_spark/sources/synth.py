@@ -782,14 +782,54 @@ def _synth_web_pages(n_pages: int):
     return pages
 
 
+# dir-tag generation counter: bump when the TABLE SCHEMA changes without
+# touching the text/url seed streams (g2: added the html column) — pinned
+# text-content tests stay valid, only the cached directory regenerates
+_WEB_GEN = 2
+_HTML_BLOCK_TAGS = ["p", "div", "li", "h2", "section"]
+
+
+def _page_html(page_id: int, text: str) -> str:
+    """Deterministic HTML wrapping of a page's text: each line in a
+    random block element (attributes sometimes), with script/style/title
+    noise that a correct extractor must DROP — by construction
+    ``html_to_text(html) == text`` exactly, which is the gate row's
+    planted invariant (content lines carry no markup or entities)."""
+    rng = random.Random(f"html-{WEB_VERSION}-{page_id}")
+    parts = [
+        "<!DOCTYPE html>",
+        "<html><head>",
+        f"<title>synthetic page {page_id}</title>",
+        "<style>body { color: #222; font: 14px/1.4 sans-serif; }</style>",
+        f"<script type=\"text/javascript\">var page = {page_id};</script>",
+        "</head>",
+        "<body>",
+    ]
+    for i, line in enumerate(text.split("\n")):
+        tag = rng.choice(_HTML_BLOCK_TAGS)
+        attr = rng.choice(["", f' class="c{i}"', f' id="l{i}"'])
+        parts.append(f"<{tag}{attr}>{line}</{tag}>")
+        if rng.random() < 0.15:
+            parts.append(
+                f"<script>analytics.track({{'p': {i}, 'doc': {page_id}}});"
+                "</script>"
+            )
+    parts.append("<br/>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
 def ensure_web_table(n_pages: int = N_PAGES, root: str | None = None) -> str:
-    """Generate pages.parquet (page_id, url, text) if absent; atomic +
-    idempotent like :func:`ensure_sf_tables`. Returns the directory."""
+    """Generate pages.parquet (page_id, url, text, html) if absent;
+    atomic + idempotent like :func:`ensure_sf_tables`. Returns the
+    directory. ``html`` is the markup-wrapped form of ``text`` (see
+    :func:`_page_html`) — the raw-crawl input of the HTML-extraction
+    stage; text/url seed streams are unchanged from g1."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     root = root or _tables_root()
-    out = os.path.join(root, f"web_v{WEB_VERSION}_{n_pages}")
+    out = os.path.join(root, f"web_v{WEB_VERSION}g{_WEB_GEN}_{n_pages}")
     if os.path.isdir(out):
         return out
     tmp = f"{out}.tmp.{os.getpid()}"
@@ -801,6 +841,9 @@ def ensure_web_table(n_pages: int = N_PAGES, root: str | None = None) -> str:
                 "page_id": pa.array([r[0] for r in rows], pa.int64()),
                 "url": pa.array([r[1] for r in rows], pa.string()),
                 "text": pa.array([r[2] for r in rows], pa.string()),
+                "html": pa.array(
+                    [_page_html(r[0], r[2]) for r in rows], pa.string()
+                ),
             }
         ),
         os.path.join(tmp, "pages.parquet"),

@@ -4,6 +4,8 @@ two-level domain caps, line/page rules, and span dedup semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -400,3 +402,58 @@ def test_c4_blocklist_dataframe_broadcast_path(spark):
     baseline = c4_line_filter(pages)
     assert default_df.exceptAll(baseline).count() == 0
     assert baseline.exceptAll(default_df).count() == 0
+
+
+class TestHtmlExtract:
+    def test_corpus_invariant_extract_equals_text(self, spark):
+        """The generator wraps each page's text in markup + noise; the
+        extractor must reproduce the text column byte-for-byte."""
+        from solana_etl_spark.operators.web import extract_html_pages
+        from solana_etl_spark.sources.synth import ensure_web_table
+
+        d = ensure_web_table()
+        pages = spark.read.parquet(f"{d}/pages.parquet")
+        got = extract_html_pages(pages.select("page_id", "html"))
+        truth = pages.select("page_id", "text")
+        diff = got.alias("g").join(truth.alias("t"), "page_id").filter(
+            "g.text <> t.text"
+        )
+        assert diff.count() == 0
+        assert got.count() == pages.count()
+
+    @pytest.mark.parametrize(
+        "html,expect",
+        [
+            # script/style/title dropped, blocks break lines, tags strip
+            (
+                "<html><head><title>t</title><style>a{b}</style></head>"
+                "<body><p>one two</p><div>three</div></body></html>",
+                "one two\nthree",
+            ),
+            # <br> breaks; inline tags strip without breaking
+            ("a <b>bold</b> word<br/>next line", "a bold word\nnext line"),
+            # entities decode once, &amp; last
+            (
+                "<p>x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39;"
+                " &amp;lt;</p>",
+                "x & y <z> \"q\" 's' &lt;",
+            ),
+            # nbsp becomes a space; lines trim; empties drop
+            ("<p>&nbsp;padded&nbsp;</p><p>   </p><p>end.</p>", "padded\nend."),
+            # case-insensitive tags, attributes, multiline scripts
+            (
+                "<SCRIPT>\nvar x = '<p>not content</p>';\n</SCRIPT>"
+                "<P CLASS='x'>kept</P>",
+                "kept",
+            ),
+        ],
+    )
+    def test_extraction_rules(self, spark, html, expect):
+        from solana_etl_spark.operators.web import html_to_text
+
+        row = (
+            spark.createDataFrame([(html,)], "html string")
+            .select(html_to_text(F.col("html")).alias("t"))
+            .first()
+        )
+        assert row["t"] == expect
