@@ -197,6 +197,22 @@ def main() -> None:
     # Row counts are recorded alongside: pair-emitting queries are
     # output-bound, and rows_big/rows_small says how much of the time
     # growth the output itself explains.
+    def _fresh() -> None:
+        """Drop state earlier queries pinned — the SQL cache plus
+        lingering localCheckpoint RDDs (pipelines / iterative CC
+        checkpoint per round and the RDDs stay until GC). Measured: the
+        sf10 decade read 2-4x inflated when timed after 2000+ stages of
+        accumulated heap (star_edges 178 s in-bench vs 43 s in a clean
+        session); exponents must measure the plan, not heap pressure."""
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     def _decade(fn, small_dir: str, big_dir: str) -> dict | None:
         """Warm once on the small table, then time one counted run at
         each size; exponent = log10(t_big/t_small) with output rows
@@ -204,10 +220,12 @@ def main() -> None:
         import math
 
         try:
+            _fresh()
             fn(small_dir).count()  # warm
             t0 = time.time()
             rows_small = fn(small_dir).count()
             t_small = round(time.time() - t0, 3)
+            _fresh()
             t0 = time.time()
             rows_big = fn(big_dir).count()
             t_big = round(time.time() - t0, 3)
@@ -288,6 +306,7 @@ def main() -> None:
                 if base is None:
                     continue
                 try:
+                    _fresh()
                     t0 = time.time()
                     rows_huge = all_qs[name](spark, huge_t).count()
                     t_huge = round(time.time() - t0, 3)
@@ -343,7 +362,18 @@ def main() -> None:
             from solana_etl_spark.sources.synth import ensure_web_table
 
             def _pages(d: str):
-                return spark.read.parquet(f"{d}/pages.parquet")
+                # enter FROM RAW HTML (the g2 tables carry the markup
+                # column): extraction is part of the measured chain,
+                # like the driver-gated pipeline_web_clean capstone
+                from pyspark.sql import functions as SF
+
+                from solana_etl_spark.operators.web import html_to_text
+
+                return spark.read.parquet(f"{d}/pages.parquet").select(
+                    "page_id",
+                    "url",
+                    html_to_text(SF.col("html")).alias("text"),
+                )
 
             def _force(df):
                 # count()-only plans let Catalyst ELIMINATE the span
