@@ -236,7 +236,11 @@ class WebPipeline:
         the scan-fused HTML→text extractor (operators/web.py
         html_to_text) replaces the html column with extracted text, and
         the rest of the chain is unchanged — raw HTML never survives
-        past the first projection."""
+        past the first projection. The extracted projection is
+        localCheckpoint'd (lazy): the crawl chain references pages from
+        TWO plan branches (keep-best aggregate + the semi-join side), and
+        without truncation each branch would re-run the regexp chain
+        over the bulkiest column in the pipeline."""
         from solana_etl_spark.operators.web import html_to_text
 
         return cls(
@@ -244,7 +248,7 @@ class WebPipeline:
                 "page_id",
                 "url",
                 html_to_text(F.col("html")).alias("text"),
-            )
+            ).localCheckpoint(eager=False)
         )
 
     def _with(self, df: DataFrame) -> "WebPipeline":

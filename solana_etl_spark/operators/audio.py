@@ -31,8 +31,15 @@ from pyspark.sql import functions as F
 
 # 61 energy frames -> 60 gradient bits, matching the 60-bit geometry of
 # the image dHash so banded_hamming_pairs (4 bands x 15 bits, exact by
-# pigeonhole for max_hamming < 4) is shared unchanged.
+# pigeonhole for max_hamming < 4) is shared unchanged. These constants
+# are THE single home of the fingerprint geometry: the pair miner, the
+# streaming index banding (streaming/media_stream.py), and the DuckDB
+# oracles all derive from them — a drifted copy would silently break the
+# pigeonhole guarantee between in-batch and cross-batch banding.
 AFP_FRAMES = 61
+AFP_BITS = AFP_FRAMES - 1
+AFP_BANDS = 4
+AFP_MAX_HAMMING = 3  # < AFP_BANDS: banded pairs stay pigeonhole-exact
 
 DECODE_REPORT_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, duration_us long, "
@@ -147,20 +154,35 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fp_batches, schema="media_id long, afp long")
 
 
-def audio_fingerprint_pairs(
-    media: DataFrame, max_hamming: int = 3
+def fingerprint_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = AFP_MAX_HAMMING
 ) -> DataFrame:
-    """Near-duplicate clip pairs (clip_a < clip_b, hamming ≤ max_hamming):
-    fingerprints from real PCM decode, pairs via the shared banded
-    Hamming-LSH (exact by pigeonhole for max_hamming < 4). The decode
-    kernel is the only Python stage; pair mining stays codegen."""
+    """Pair mining over an ALREADY-DECODED (media_id, afp) relation —
+    the entry point for callers that must decode exactly once and reuse
+    the signatures (streaming/media_stream.py)."""
     from solana_etl_spark.operators.dedup import banded_hamming_pairs
 
-    sigs = audio_fingerprints(media)
     return banded_hamming_pairs(
-        sigs, "media_id", "afp", bits=60, bands=4, max_hamming=max_hamming
+        sigs,
+        "media_id",
+        "afp",
+        bits=AFP_BITS,
+        bands=AFP_BANDS,
+        max_hamming=max_hamming,
     ).select(
         F.col("id_a").alias("clip_a"),
         F.col("id_b").alias("clip_b"),
         "hamming",
+    )
+
+
+def audio_fingerprint_pairs(
+    media: DataFrame, max_hamming: int = AFP_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate clip pairs (clip_a < clip_b, hamming ≤ max_hamming):
+    fingerprints from real PCM decode, pairs via the shared banded
+    Hamming-LSH (exact by pigeonhole for max_hamming < AFP_BANDS). The
+    decode kernel is the only Python stage; pair mining stays codegen."""
+    return fingerprint_pairs_from_sigs(
+        audio_fingerprints(media), max_hamming=max_hamming
     )

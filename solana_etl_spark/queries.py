@@ -3726,13 +3726,17 @@ def _audio_fp_cte() -> str:
 def _audio_fp_oracle() -> str:
     """Fingerprint pairs over the shared chain: the brute-force
     all-pairs hamming the banded-LSH plan provably equals (pigeonhole,
-    max_hamming 3 < 4 bands)."""
+    AFP_MAX_HAMMING < AFP_BANDS). Thresholds interpolate from
+    operators/audio.py so a geometry edit cannot desynchronize the
+    mirror."""
+    from solana_etl_spark.operators.audio import AFP_MAX_HAMMING
+
     return f"""
     WITH {_audio_fp_cte()}
     SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
            bit_count(xor(a.afp, b.afp)) AS hamming
     FROM h a JOIN h b ON a.clip_id < b.clip_id
-    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}
     """
 
 
@@ -3762,6 +3766,8 @@ def _stream_media_oracle() -> str:
     one pass; the ≤ in the stream rule exists so a RE-INGESTED corpus is
     suppressed by its own index rows). Two identical stream passes must
     therefore equal this single-pass relation."""
+    from solana_etl_spark.operators.audio import AFP_MAX_HAMMING
+
     return f"""
     WITH {_audio_fp_cte()}
     SELECT b.clip_id AS media_id, b.afp
@@ -3769,7 +3775,7 @@ def _stream_media_oracle() -> str:
     WHERE NOT EXISTS (
         SELECT 1 FROM h a
         WHERE a.clip_id < b.clip_id
-          AND bit_count(xor(a.afp, b.afp)) <= 3
+          AND bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}
     )
     """
 
@@ -9878,16 +9884,16 @@ def pipeline_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0 shuffles — raw HTML dies at the first one) + keep-best (1 hash
     agg) + line rules (0) + span dedup (hash-keyed linear). local_only:
     reads the generated pages table."""
+    from solana_etl_spark.corpus import WebPipeline
     from solana_etl_spark.operators.c4 import c4_line_filter, c4_span_dedup
     from solana_etl_spark.operators.web import (
         canonicalize,
-        html_to_text,
         url_dedup_keep_best,
     )
 
-    pages = _read_web(spark).select(
-        "page_id", "url", html_to_text(F.col("html")).alias("text")
-    )
+    pages = WebPipeline.from_html(
+        _read_web(spark).select("page_id", "url", "html")
+    ).df
     keepers = url_dedup_keep_best(pages).select("page_id")
     best = canonicalize(pages).join(keepers, "page_id", "left_semi")
     clean = c4_line_filter(best).withColumnRenamed("text_clean", "text")

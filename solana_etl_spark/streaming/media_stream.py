@@ -23,6 +23,15 @@ near-dup rule an append-only stream can honor exactly:
   LSH false drops. ``a.media_id ≤ b`` (not <) makes re-ingesting the
   same corpus idempotent: every clip is dominated by its own index row.
 
+Ordering contract: the stream equals the single-pass batch dominance
+relation under ID-ORDERED ingest (no batch may contain an id smaller
+than an earlier batch's ids — the web/dedup stream gates' contract; the
+gate feeds whole-corpus passes). Under unordered arrival the stream is
+append-only, so an early-arriving larger id it already emitted cannot
+be retracted when a smaller near-dup arrives later: survivors become a
+SUPERSET of the batch relation, while every DROP is still justified by
+a real ≤-id near-duplicate (no false drops, ever).
+
 Retry safety mirrors dedup_stream: at-least-once foreachBatch, per-batch
 subdirectory overwrites, index loads exclude the in-flight batch_id.
 
@@ -40,14 +49,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from solana_etl_spark.operators.audio import (
-    audio_fingerprint_pairs,
+    AFP_BANDS,
+    AFP_BITS,
+    AFP_MAX_HAMMING,
     audio_fingerprints,
+    fingerprint_pairs_from_sigs,
 )
 from solana_etl_spark.streaming.dedup_stream import _read_index
 
-AFP_BITS = 60
-AFP_BANDS = 4
-MAX_HAMMING = 3
+# geometry derives from operators/audio.py — the in-batch pair miner and
+# this module's cross-batch index banding MUST agree or the pigeonhole
+# guarantee is void
+MAX_HAMMING = AFP_MAX_HAMMING
 _BAND_WIDTH = AFP_BITS // AFP_BANDS
 
 
@@ -73,14 +86,19 @@ def media_batch_against_index(
     batch_media: DataFrame,
     index_dir: str,
     exclude_batch: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """One micro-batch's surviving (media_id, afp) rows under dominance
     dedup: in-batch pair losers out first (chunking-independent), then
     anything hamming ≤ MAX_HAMMING from an equal-or-smaller-id indexed
-    clip."""
-    sigs = audio_fingerprints(batch_media)
-    in_batch_losers = audio_fingerprint_pairs(
-        batch_media, max_hamming=MAX_HAMMING
+    clip. ``sigs`` lets the caller pass an already-decoded (and
+    checkpointed) signature relation so the Python decode kernel runs
+    EXACTLY ONCE per batch — every downstream branch (in-batch pairs,
+    index probe, survivor anti-joins, index write) reuses it."""
+    if sigs is None:
+        sigs = audio_fingerprints(batch_media).localCheckpoint(eager=False)
+    in_batch_losers = fingerprint_pairs_from_sigs(
+        sigs, max_hamming=MAX_HAMMING
     ).select(F.col("clip_b").alias("media_id")).distinct()
     sigs = sigs.join(in_batch_losers, "media_id", "left_anti")
 
@@ -125,15 +143,19 @@ def start_streaming_media_dedup(
     batch clip (survivor or not): dominance is over all seen clips."""
 
     def process_batch(batch_media: DataFrame, batch_id: int) -> None:
+        # decode ONCE: the checkpointed signatures feed the survivor
+        # computation AND the index write — the payload bytes go through
+        # the Python kernel a single time per batch
+        sigs = audio_fingerprints(batch_media).localCheckpoint(eager=False)
         survivors = media_batch_against_index(
-            spark, batch_media, index_dir, exclude_batch=batch_id
+            spark, batch_media, index_dir, exclude_batch=batch_id, sigs=sigs
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_dir, f"batch={batch_id}")
         )
-        _band_rows(audio_fingerprints(batch_media)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "fps", f"batch={batch_id}"))
+        _band_rows(sigs).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "fps", f"batch={batch_id}")
+        )
 
     return (
         media_stream.writeStream.foreachBatch(process_batch)
