@@ -772,3 +772,91 @@ def maxsim_topk(
             F.round("score", 6).alias("maxsim_score"),
         )
     )
+
+
+SQ8_LEVELS = 255  # 8-bit code range [0, 255]
+SQ8_REFINE_FACTOR = 4  # candidates kept per final result before exact rerank
+
+
+def sq8_dim_stats(embeddings: DataFrame) -> list[tuple[float, float]]:
+    """Per-dimension (min, range) over the corpus — the SQ8 codebook.
+
+    posexplode → groupBy(dim) is one map-side-combined aggregate whose
+    shuffle is |dims| rows per map task; the collect is bounded driver
+    state (|dims| pairs — same posture as the IVF/PQ centroid collects).
+    Constant dimensions get range 1.0 so every vector quantizes to code 0
+    there (contributing nothing to any score) instead of dividing by zero.
+    """
+    rows = (
+        embeddings.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    stats = sorted((r["dim"], r["mn"], r["mx"]) for r in rows)
+    return [(mn, (mx - mn) if mx > mn else 1.0) for _, mn, mx in stats]
+
+
+def _sq8_codes(emb: Column, stats: list[tuple[float, float]]) -> Column:
+    """Quantize a float vector to int codes: round((x − min)·255 / range).
+    Written as ((x − mn) * 255.0) / rng — the exact association the DuckDB
+    oracle uses, so the doubles (hence the rounded codes) are bit-identical.
+    """
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in stats])
+    rngs = F.array(*[F.lit(float(rng)) for _, rng in stats])
+    diffs = F.zip_with(emb, mins, lambda x, m: x.cast("double") - m)
+    return F.zip_with(
+        diffs, rngs, lambda d, r: F.round(d * F.lit(255.0) / r, 0).cast("long")
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame, k: int = TOPK, refine_factor: int = SQ8_REFINE_FACTOR
+) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k with exact rerank — the third rung of
+    the quantization ladder (sign-LSH 1 bit/dim → SQ8 8 bits/dim → PQ
+    sub-byte/dim): per-dimension min/max affine quantization to 8-bit
+    codes, integer-dot-product candidate scoring at 4× less memory
+    traffic than float32, then exact cosine on the top
+    ``k·refine_factor`` candidates only.
+
+    Scale shape: the codebook is 2·|dims| doubles (broadcast literal);
+    scoring is a single scan with an integer fold (JVM codegen, no UDF);
+    both top-k cuts are sort+limit (TakeOrderedAndProject — no global
+    sort materialization). Integer scores make the candidate cut
+    engine-exact, so unlike float-scored ANN the operator is fully
+    value-hash oracle-checkable end to end.
+    """
+    stats = sq8_dim_stats(embeddings)
+    space = normalized(embeddings).withColumn(
+        "_codes", _sq8_codes(F.col("embedding"), stats)
+    )
+    q = space.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("_codes").alias("q_codes"),
+        F.col("_nemb").alias("q_vec"),
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("_codes"), F.col("q_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        space.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", "_nemb", "q_vec", score.alias("score_sq8"))
+        .orderBy(F.desc("score_sq8"), F.asc("vec_id"))
+        .limit(k * refine_factor)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "score_sq8",
+            F.round(_dot(F.col("_nemb"), F.col("q_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 BUCKET = "1 hour"
+ROLL_ROWS = 5  # trailing window width (rows, inclusive of current)
 
 
 def gapfill_ffill(
@@ -114,4 +115,45 @@ def ohlc_resample(
             "n_events",
             F.col("_vol").cast("double").alias("volume"),
         )
+    )
+
+
+def rolling_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_id_col: str = "event_id",
+    n_rows: int = ROLL_ROWS,
+) -> DataFrame:
+    """Trailing ``n_rows``-row moving aggregates per key — sum/mean/min/max
+    plus the actual window population (ramps up at each key's start): the
+    moving-average smoother every monitoring/feature pipeline applies
+    before thresholding.
+
+    ONE window spec = one shuffle on the key + one in-partition sort by
+    (ts, id); every aggregate shares the frame, so Spark evaluates them in
+    a single pass (ROWS frames stream in O(1) memory per aggregate — no
+    per-row buffer growth at 100 TB partition sizes). Sums stay exact
+    DECIMAL inside the frame; the mean is the exact sum converted once to
+    double and divided by the exact count — deterministic IEEE ops that
+    the DuckDB oracle replays bit-for-bit. The (ts, id) sort key is unique
+    by construction so frames are engine-independent.
+    """
+    dec = F.round(F.col(value_col), 4).cast("decimal(18,4)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_id_col)
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    sum_dbl = F.sum(dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(order_id_col).alias("event_id"),
+        sum_dbl.alias("roll_sum"),
+        n.alias("n_window"),
+        F.round(sum_dbl / n, 6).alias("roll_mean"),
+        F.min(dec).over(w).cast("double").alias("roll_min"),
+        F.max(dec).over(w).cast("double").alias("roll_max"),
     )

@@ -10180,3 +10180,299 @@ def pipeline_wordpiece_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_offset",
         "tokens_in_seq",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: grouping sets, ranking family, rolling windows, RFM,
+# median imputation, SQ8-quantized ANN
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a22_grouping_sets",
+    """
+    WITH li AS (
+        SELECT *, CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus, ship_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                + GROUPING(ship_year) AS BIGINT) AS grouping_level
+    FROM li
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+    """,
+    local_only=True,
+)
+def a22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of a12's ROLLUP / a16's
+    CUBE (SURVEY §2.4 'absent in ref' family): three unrelated groupings
+    ((flag, status), (ship year), grand total) in ONE pass. Spark expands
+    the sets map-side before a single exchange — vs three group-bys +
+    union, which would scan the fact table three times. local_only:
+    driver cap."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+        "l_returnflag", "l_linestatus", "ship_year",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
+        (
+            F.grouping("l_returnflag") * 4
+            + F.grouping("l_linestatus") * 2
+            + F.grouping("ship_year")
+        ).cast("long").alias("grouping_level"),
+    )
+
+
+@_register(
+    "w5_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER wt AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER wt AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER wt, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER wt, 6) AS cume,
+           CAST(NTILE(4) OVER wu AS BIGINT) AS quartile
+    FROM orders WHERE o_custkey <= 200
+    WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+           wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    local_only=True,
+)
+def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function surface (SURVEY §2.8 'absent in ref'):
+    rank/dense_rank/percent_rank/cume_dist share ONE tie-aware window
+    (same-date orders rank equally — deterministic under ties by
+    definition); ntile gets a UNIQUE (date, orderkey) order because its
+    assignment is positional, not tie-aware. Both specs partition on the
+    same key, so it stays one shuffle with two in-partition sorts.
+    percent_rank/cume_dist are exact-integer ratios divided once in
+    IEEE doubles — bit-identical cross-engine. local_only: driver cap."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wu = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(wt).cast("long").alias("rnk"),
+        F.dense_rank().over(wt).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(wt), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wt), 6).alias("cume"),
+        F.ntile(4).over(wu).cast("long").alias("quartile"),
+    )
+
+
+@_register(
+    "ts_rolling",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id AS key, event_id,
+           CAST(SUM(v) OVER w AS DOUBLE) AS roll_sum,
+           COUNT(*) OVER w AS n_window,
+           ROUND(CAST(SUM(v) OVER w AS DOUBLE) / (COUNT(*) OVER w), 6)
+               AS roll_mean,
+           CAST(MIN(v) OVER w AS DOUBLE) AS roll_min,
+           CAST(MAX(v) OVER w AS DOUBLE) AS roll_max
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    local_only=True,
+)
+def ts_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving sum/mean/min/max per user (operators/
+    timeseries.py rolling_stats): the moving-average smoother, as one
+    ROWS-frame window pass — complements w4's RANGE (time-distance)
+    frame with the row-count frame. local_only: driver cap."""
+    from solana_etl_spark.operators.timeseries import rolling_stats
+
+    return rolling_stats(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "st_rfm",
+    """
+    WITH p AS (
+        SELECT user_id, ts, CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    u AS (
+        SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+               CAST(SUM(v) AS DOUBLE) AS monetary
+        FROM p GROUP BY user_id
+    ),
+    g AS (SELECT MAX(ts) AS now_ts FROM p),
+    m AS (
+        SELECT u.user_id,
+               CAST(epoch_us(g.now_ts) - epoch_us(u.last_ts) AS BIGINT)
+                   AS recency_us,
+               u.frequency, u.monetary
+        FROM u, g
+    )
+    SELECT user_id, recency_us, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_us, user_id) AS BIGINT) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q,
+           CAST(NTILE(4) OVER (ORDER BY recency_us, user_id) * 100
+                + NTILE(4) OVER (ORDER BY frequency DESC, user_id) * 10
+                + NTILE(4) OVER (ORDER BY monetary DESC, user_id)
+                AS BIGINT) AS rfm_segment
+    FROM m
+    """,
+    local_only=True,
+)
+def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles — the
+    classic customer-analytics rollup, sibling of sessionize/funnel/
+    cohort): one map-side-combined per-user aggregate over purchases,
+    a broadcast 1-row corpus clock, then quartile labels via ntile with
+    user_id tie-breaks (deterministic cross-engine). The ntile windows
+    are unpartitioned BUT operate at user grain — rows = |users|, orders
+    of magnitude below event grain, the same single-reducer posture as
+    the cohort triangle (at 100 TB shard by tenant or swap ntile for
+    exact_quantiles cut-points). Recency stays exact integer
+    microseconds — no float time math."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id", "ts", F.round("value", 4).cast(DEC).alias("v")
+    )
+    u = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("v").cast("double").alias("monetary"),
+    )
+    g = p.agg(F.max("ts").alias("now_ts"))
+    m = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        (F.unix_micros("now_ts") - F.unix_micros("last_ts")).alias("recency_us"),
+        "frequency",
+        "monetary",
+    )
+    r_q = F.ntile(4).over(Window.orderBy("recency_us", "user_id")).cast("long")
+    f_q = F.ntile(4).over(
+        Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    ).cast("long")
+    m_q = F.ntile(4).over(
+        Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    ).cast("long")
+    return m.select(
+        "user_id", "recency_us", "frequency", "monetary",
+        r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
+        (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_segment"),
+    )
+
+
+@_register(
+    "dq_impute_median",
+    """
+    WITH obs AS (
+        SELECT user_id, value FROM events
+        WHERE event_type <> 'error' AND value IS NOT NULL
+    ),
+    grp AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS gm
+        FROM obs GROUP BY user_id
+    ),
+    allobs AS (SELECT quantile_cont(value, 0.5) AS m FROM obs)
+    SELECT e.event_id, e.user_id,
+           e.event_type = 'error' AS is_missing,
+           ROUND(e.value, 6) AS value_raw,
+           ROUND(CASE WHEN e.event_type = 'error'
+                      THEN COALESCE(grp.gm, allobs.m)
+                      ELSE e.value END, 6) AS value_imputed
+    FROM events e LEFT JOIN grp USING (user_id), allobs
+    """,
+    local_only=True,
+)
+def dq_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair (operators/impute.py impute_group_median):
+    'error' events' values are declared missing and filled with the
+    user's median OBSERVED value, global-median fallback for all-error
+    users — the data-quality family's repair step next to the detect
+    steps (constraints/drift/outliers). Exact continuous-interpolation
+    medians (a13-proven cross-engine). local_only: driver cap."""
+    from solana_etl_spark.operators.impute import impute_group_median
+
+    e = _t(spark, sf_dir, "events")
+    return impute_group_median(
+        e,
+        key_col="user_id",
+        value_col="value",
+        is_missing=F.col("event_type") == "error",
+        id_cols=("event_id",),
+    )
+
+
+def _sq8_oracle() -> str:
+    from solana_etl_spark.operators.similarity import (
+        SQ8_REFINE_FACTOR,
+        TOPK,
+    )
+
+    return f"""
+    WITH {_NEMB_CTE},
+    dimvals AS (
+        -- parallel unnests zip: (dimension ordinal, value) per element
+        SELECT unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    d2 AS (
+        SELECT dim, MIN(x) AS mn,
+               CASE WHEN MAX(x) > MIN(x) THEN MAX(x) - MIN(x) ELSE 1.0
+               END AS rng
+        FROM dimvals GROUP BY dim
+    ),
+    dl AS (
+        SELECT list(mn ORDER BY dim) AS mins, list(rng ORDER BY dim) AS rngs
+        FROM d2
+    ),
+    codes AS (
+        SELECT e.vec_id,
+               [CAST(round((e.embedding[i]::DOUBLE - dl.mins[i]) * 255.0
+                           / dl.rngs[i], 0) AS BIGINT)
+                for i in generate_series(1, len(e.embedding))] AS codes
+        FROM embeddings e, dl
+    ),
+    q AS (SELECT vec_id AS q_id, codes AS qc FROM codes
+          ORDER BY vec_id LIMIT 1),
+    scores AS (
+        SELECT c.vec_id,
+               CAST(list_reduce(
+                   [c.codes[i] * q.qc[i]
+                    for i in generate_series(1, len(c.codes))],
+                   (x, y) -> x + y) AS BIGINT) AS score_sq8
+        FROM codes c, q WHERE c.vec_id <> q.q_id
+    ),
+    cand AS (
+        SELECT vec_id, score_sq8 FROM scores
+        ORDER BY score_sq8 DESC, vec_id LIMIT {TOPK * SQ8_REFINE_FACTOR}
+    )
+    SELECT vec_id, c.score_sq8, ROUND({_NDOT_SQL}, 6) AS cosine_sim
+    FROM cand c JOIN nemb a USING (vec_id),
+         (SELECT vec_id AS q_id, v FROM nemb ORDER BY vec_id LIMIT 1) b
+    ORDER BY cosine_sim DESC, vec_id LIMIT {TOPK}
+    """
+
+
+@_register("ann_sq8_topk", _sq8_oracle(), local_only=True)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.py sq8_topk): the
+    8-bit rung of the quantization ladder (sign-LSH → SQ8 → PQ/IVF-PQ) —
+    integer-dot candidate scoring over per-dim affine codes, exact cosine
+    rerank on the top 4k candidates. Integer candidate scores make the
+    WHOLE operator value-hash checkable (float-scored ANN can only gate
+    its rerank). local_only: driver cap."""
+    from solana_etl_spark.operators.similarity import sq8_topk
+
+    return sq8_topk(_t(spark, sf_dir, "embeddings"))

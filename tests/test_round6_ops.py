@@ -1,0 +1,119 @@
+"""Hand-built known-answer tests for the round-6 additions: rolling
+window stats, group-median imputation, and SQ8 scalar-quantized ANN."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_etl_spark.operators.impute import impute_group_median
+from solana_etl_spark.operators.similarity import (
+    sq8_dim_stats,
+    sq8_topk,
+)
+from solana_etl_spark.operators.timeseries import rolling_stats
+
+
+def test_rolling_stats_window_ramps_and_slides(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, t.replace(minute=m), m, float(v))
+        for m, v in [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0), (4, 5.0), (5, 6.0)]
+    ] + [(2, t, 99, 10.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = {
+        r["event_id"]: (r["roll_sum"], r["n_window"], r["roll_mean"],
+                        r["roll_min"], r["roll_max"])
+        for r in rolling_stats(df, n_rows=3).collect()
+    }
+    assert got[0] == (1.0, 1, 1.0, 1.0, 1.0)          # ramp-up: 1 row
+    assert got[1] == (3.0, 2, 1.5, 1.0, 2.0)          # ramp-up: 2 rows
+    assert got[2] == (6.0, 3, 2.0, 1.0, 3.0)          # full frame
+    assert got[5] == (15.0, 3, 5.0, 4.0, 6.0)         # sliding: {4,5,6}
+    assert got[99] == (10.0, 1, 10.0, 10.0, 10.0)     # isolated key
+
+
+def test_rolling_stats_drops_null_values(spark):
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, 0, 2.0), (1, t.replace(minute=1), 1, None),
+         (1, t.replace(minute=2), 2, 4.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    got = {r["event_id"]: r["roll_sum"] for r in rolling_stats(df).collect()}
+    assert 1 not in got              # null-valued row emits nothing
+    assert got[2] == 6.0             # and doesn't occupy a frame slot
+
+
+def test_impute_group_median_group_and_global_fallback(spark):
+    rows = [
+        # user 1: observed 1, 3, 5 -> median 3
+        (0, 1, "ok", 1.0), (1, 1, "ok", 3.0), (2, 1, "ok", 5.0),
+        (3, 1, "error", 999.0),
+        # user 2: all-missing -> global observed median of (1,3,5,10) = 4
+        (4, 2, "error", -1.0),
+        # user 3: observed 10; non-missing NULL stays NULL
+        (5, 3, "ok", 10.0), (6, 3, "ok", None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value"]
+    )
+    out = impute_group_median(
+        df,
+        key_col="user_id",
+        value_col="value",
+        is_missing=F.col("event_type") == "error",
+        id_cols=("event_id",),
+    )
+    got = {r["event_id"]: (r["is_missing"], r["value_imputed"])
+           for r in out.collect()}
+    assert got[0] == (False, 1.0)
+    assert got[3] == (True, 3.0)     # user-1 median, not its raw 999
+    assert got[4] == (True, 4.0)     # global fallback for all-missing user
+    assert got[6] == (False, None)   # non-missing NULL passes through
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding", "label"],
+    )
+
+
+def test_sq8_dim_stats_min_range_and_constant_dim(spark):
+    df = _emb_df(spark, [[0.0, 5.0, 7.0], [4.0, 1.0, 7.0], [2.0, 3.0, 7.0]])
+    stats = sq8_dim_stats(df)
+    assert stats[0] == (0.0, 4.0)
+    assert stats[1] == (1.0, 4.0)
+    assert stats[2] == (7.0, 1.0)    # constant dim -> range 1 (codes all 0)
+
+
+def test_sq8_topk_orders_by_true_cosine(spark):
+    # query = vec 0; vec 1 is a positive scalar multiple (cosine 1.0),
+    # vec 2 is orthogonal, vec 3 is opposite
+    df = _emb_df(
+        spark,
+        [[1.0, 0.0], [2.0, 0.0], [0.0, 3.0], [-1.0, 0.0]],
+    )
+    rows = sq8_topk(df, k=3, refine_factor=2).collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["cosine_sim"] == pytest.approx(1.0)
+    assert rows[1]["cosine_sim"] == pytest.approx(0.0)
+    assert rows[2]["cosine_sim"] == pytest.approx(-1.0)
+    # integer candidate scores: max code product for the collinear vector
+    assert rows[0]["score_sq8"] >= rows[2]["score_sq8"]
+
+
+def test_sq8_codes_are_integer_and_bounded(spark):
+    from solana_etl_spark.operators.similarity import _sq8_codes
+
+    df = _emb_df(spark, [[0.0, 1.0], [10.0, 3.0], [5.0, 2.0]])
+    stats = sq8_dim_stats(df)
+    codes = df.select(
+        F.explode(_sq8_codes(F.col("embedding"), stats)).alias("c")
+    ).collect()
+    vals = [r["c"] for r in codes]
+    assert all(0 <= v <= 255 for v in vals)
+    assert 0 in vals and 255 in vals  # min and max hit the code range ends
