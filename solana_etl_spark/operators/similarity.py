@@ -860,3 +860,97 @@ def sq8_topk(
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+RP_OUT_DIM = 8  # Johnson-Lindenstrauss target dimensionality
+RP_REFINE_FACTOR = 4
+
+
+def rp_signs(in_dim: int, out_dim: int = RP_OUT_DIM) -> list[list[float]]:
+    """Deterministic ±1 random-projection matrix (out_dim × in_dim):
+    sign(i, j) = parity of the cross-engine md5 hash32 of "i|j" (1-based
+    dims) — the same bits the oracle derives in SQL, so the matrix is a
+    pure function of dimensions, identical everywhere, and never needs to
+    be stored or shipped."""
+    import hashlib
+
+    def sign(i: int, j: int) -> float:
+        h = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [
+        [sign(i, j) for i in range(1, in_dim + 1)]
+        for j in range(1, out_dim + 1)
+    ]
+
+
+def rp_project(embeddings: DataFrame, out_dim: int = RP_OUT_DIM) -> DataFrame:
+    """Append ``_rp``: the embedding projected to ``out_dim`` dims by the
+    deterministic ±1 matrix (Johnson-Lindenstrauss: sign projections
+    preserve dot products in expectation with variance 1/out_dim).
+
+    Scale shape: the matrix is an (out_dim × in_dim) literal — broadcast
+    with the plan, no join, no state table; each projection component is
+    a sequential JVM fold over the input array (bit-reproducible, mirrors
+    the oracle's list_reduce), so the whole step fuses into the scan."""
+    in_dim = len(embeddings.select("embedding").first()["embedding"])
+    sign_rows = [
+        F.array(*[F.lit(s) for s in row]) for row in rp_signs(in_dim, out_dim)
+    ]
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), row, lambda x, r: x.cast("double") * r
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for row in sign_rows
+        ]
+    )
+    return ensure_compute_parallelism(embeddings).withColumn("_rp", proj)
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    out_dim: int = RP_OUT_DIM,
+    refine_factor: int = RP_REFINE_FACTOR,
+) -> DataFrame:
+    """Random-projection ANN: candidate scoring in the out_dim-dimensional
+    sketch (a 4-8× cheaper dot product than full precision; the JL bound
+    makes high-cosine neighbors keep high sketch scores), exact cosine
+    rerank on the top k·refine_factor only — the dimensionality-REDUCTION
+    rung of the compression ladder, complementing the quantization rungs
+    (sign-LSH / SQ8 / PQ) which shrink precision, not dimensionality.
+
+    Candidate scores round at 6 decimals with vec_id tie-breaks, so the
+    cut is deterministic and the operator value-hash oracle-checkable."""
+    space = normalized(rp_project(embeddings, out_dim))
+    q = space.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("_rp").alias("q_rp"),
+        F.col("_nemb").alias("q_vec"),
+    )
+    cand = (
+        space.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            "_nemb",
+            "q_vec",
+            F.round(_dot(F.col("_rp"), F.col("q_rp")), 6).alias("rp_score"),
+        )
+        .orderBy(F.desc("rp_score"), F.asc("vec_id"))
+        .limit(k * refine_factor)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "rp_score",
+            F.round(_dot(F.col("_nemb"), F.col("q_vec")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -10476,3 +10476,60 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_etl_spark.operators.similarity import sq8_topk
 
     return sq8_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _rp_oracle() -> str:
+    from solana_etl_spark.operators.similarity import (
+        RP_OUT_DIM,
+        RP_REFINE_FACTOR,
+        TOPK,
+    )
+
+    sign_hash = hash32_sql(
+        "CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+    WITH {_NEMB_CTE},
+    proj AS (
+        -- deterministic ±1 JL matrix derived from the shared md5 hash32
+        -- (same bits operators/similarity.py rp_signs computes in Python)
+        SELECT vec_id,
+               [list_reduce([embedding[i]::DOUBLE *
+                    (CASE WHEN {sign_hash} % 2 = 0
+                          THEN 1.0 ELSE -1.0 END)
+                    for i in generate_series(1, len(embedding))],
+                   (x, y) -> x + y)
+                for j in generate_series(1, {RP_OUT_DIM})] AS p
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, p AS qp FROM proj ORDER BY vec_id LIMIT 1),
+    scores AS (
+        SELECT c.vec_id,
+               ROUND(list_reduce(
+                   [c.p[j] * q.qp[j]
+                    for j in generate_series(1, {RP_OUT_DIM})],
+                   (x, y) -> x + y), 6) AS rp_score
+        FROM proj c, q WHERE c.vec_id <> q.q_id
+    ),
+    cand AS (
+        SELECT vec_id, rp_score FROM scores
+        ORDER BY rp_score DESC, vec_id LIMIT {TOPK * RP_REFINE_FACTOR}
+    )
+    SELECT vec_id, c.rp_score, ROUND({_NDOT_SQL}, 6) AS cosine_sim
+    FROM cand c JOIN nemb a USING (vec_id),
+         (SELECT vec_id AS q_id, v FROM nemb ORDER BY vec_id LIMIT 1) b
+    ORDER BY cosine_sim DESC, vec_id LIMIT {TOPK}
+    """
+
+
+@_register("ann_rp_topk", _rp_oracle(), local_only=True)
+def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) ANN (operators/
+    similarity.py rp_topk): candidates scored in an 8-dim ±1-projection
+    sketch (matrix = a pure function of the cross-engine hash — never
+    stored), exact cosine rerank of the top 4k. The dimensionality-
+    REDUCTION rung of the compression ladder next to the precision rungs
+    (sign-LSH / SQ8 / PQ). local_only: driver cap."""
+    from solana_etl_spark.operators.similarity import rp_topk
+
+    return rp_topk(_t(spark, sf_dir, "embeddings"))

@@ -32,6 +32,38 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC batch sink — the second columnar format the Spark runtime ships
+    natively (predicate pushdown + column pruning + zlib/snappy, like
+    parquet). The reference writes CSV/parquet only (FileOutput.py:173-178);
+    ORC rounds out the warehouse-interchange matrix."""
+    df.write.mode(mode).orc(path)
+
+
+# format name -> (writer, reader) for the batch-sink matrix; every format
+# round-trips the task outputs value-identically (tests/test_format_matrix.py)
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    if fmt == "csv":
+        # header on, explicit null marker so empty string != NULL survives
+        df.write.mode(mode).option("header", True).option(
+            "nullValue", "\\N"
+        ).csv(path)
+    else:
+        df.write.mode(mode).format(fmt).save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", schema=None):
+    r = spark.read
+    if fmt == "csv":
+        # schema REQUIRED for csv (text format erases types); others embed it
+        return r.schema(schema).option("header", True).option(
+            "nullValue", "\\N"
+        ).csv(path)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.format(fmt).load(path)
+
+
 def append_csv(df: DataFrame, path: str) -> None:
     """Append semantics with header-only-on-create (streaming CSV sink,
     ExtractStreaming.py:28-33): Spark writes header per file; on append we

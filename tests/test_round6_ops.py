@@ -117,3 +117,29 @@ def test_sq8_codes_are_integer_and_bounded(spark):
     vals = [r["c"] for r in codes]
     assert all(0 <= v <= 255 for v in vals)
     assert 0 in vals and 255 in vals  # min and max hit the code range ends
+
+
+def test_rp_signs_deterministic_and_balanced(spark):
+    from solana_etl_spark.operators.similarity import rp_signs
+
+    a = rp_signs(32, 8)
+    b = rp_signs(32, 8)
+    assert a == b                     # pure function of dims
+    flat = [s for row in a for s in row]
+    assert set(flat) == {1.0, -1.0}
+    assert 0.3 < flat.count(1.0) / len(flat) < 0.7   # roughly balanced
+
+
+def test_rp_topk_exact_rerank_orders_by_true_cosine(spark):
+    # collinear vector must surface at rank 1 after the exact rerank even
+    # though the sketch only approximates scores
+    df = _emb_df(
+        spark,
+        [[1.0, 0.0, 2.0], [3.0, 0.0, 6.0], [0.0, 1.0, 0.0], [-1.0, 0.0, -2.0]],
+    )
+    from solana_etl_spark.operators.similarity import rp_topk
+
+    rows = rp_topk(df, k=3, out_dim=4, refine_factor=2).collect()
+    assert rows[0]["vec_id"] == 1
+    assert rows[0]["cosine_sim"] == pytest.approx(1.0)
+    assert rows[-1]["cosine_sim"] == pytest.approx(-1.0)
