@@ -220,3 +220,64 @@ def bloom_probe(
     return probed.groupBy(key_col).agg(
         F.bool_and("hit").alias("maybe_member")
     )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> DataFrame:
+    """Join with a Bloom pre-filter on the fact side: build the bitmap
+    from the dim side's keys, collect it to a literal (≤ m_bits/63 int64
+    words ≈ 8 KB — bounded driver state, like codebooks/centroids), and
+    prune fact rows IN THE SCAN before the join exchange.
+
+    This is the explicit, deterministic form of the runtime row-level
+    filtering AQE injects opportunistically: at 100 TB the win is when
+    the dim side is too large to broadcast-join (so the join must
+    shuffle BOTH sides) yet its key set is selective — the Bloom test
+    fuses into the fact scan and drops non-matching rows before they pay
+    the exchange, shrinking the dominant shuffle by the join selectivity.
+    False positives only cost a little extra shuffle (the join re-checks
+    equality exactly); false negatives are impossible, so the result is
+    IDENTICAL to the plain join — which is exactly what the oracle
+    asserts. Keys hash through their canonical string form on both build
+    and probe (one shared cast, no engine-specific binary encodings).
+    """
+    from functools import reduce
+
+    dim_keys = dim.select(F.col(dim_key).cast("string").alias("key"))
+    n_words = (m_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS
+    words = [0] * n_words
+    for r in bloom_build(dim_keys, "key", m_bits, n_hashes).collect():
+        words[r["word_idx"]] = r["word"]
+    words_lit = F.array(*[F.lit(int(w)).cast("long") for w in words])
+
+    probed = fact.withColumn(
+        "_bkey", F.col(fact_key).cast("string")
+    ).withColumn("_bwords", words_lit)
+    probed = probed.select(
+        "*",
+        *[
+            c.alias(f"_bp{i}")
+            for i, c in enumerate(
+                _bloom_positions("_bkey", m_bits, n_hashes)
+            )
+        ],
+    )
+    tests = [
+        F.expr(
+            f"(element_at(_bwords, CAST(_bp{i} / {_BLOOM_WORD_BITS} AS INT)"
+            f" + 1) & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(_bp{i} % {_BLOOM_WORD_BITS} AS INT))) != 0"
+        )
+        for i in range(n_hashes)
+    ]
+    pruned = probed.filter(reduce(lambda a, b: a & b, tests)).drop(
+        "_bkey", "_bwords", *[f"_bp{i}" for i in range(n_hashes)]
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -10533,3 +10533,39 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_etl_spark.operators.similarity import rp_topk
 
     return rp_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "j11_bloom_prefilter_join",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN (SELECT * FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_custkey <= 100) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    local_only=True,
+)
+def j11_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈dim join (operators/sketch.py
+    bloom_prefilter_join): the dim key set becomes an ~8 KB literal
+    bitmap tested INSIDE the fact scan, so non-matching fact rows never
+    reach the join exchange — the explicit form of AQE's runtime
+    row-level filter, for the 100 TB case where the dim is selective but
+    too big to broadcast. False positives are re-checked by the join, so
+    the result — and the oracle, a PLAIN join — is exactly the unfiltered
+    join's. local_only: driver cap."""
+    from solana_etl_spark.operators.sketch import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_custkey") <= 100)
+    )
+    joined = bloom_prefilter_join(li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )

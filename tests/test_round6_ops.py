@@ -143,3 +143,48 @@ def test_rp_topk_exact_rerank_orders_by_true_cosine(spark):
     assert rows[0]["vec_id"] == 1
     assert rows[0]["cosine_sim"] == pytest.approx(1.0)
     assert rows[-1]["cosine_sim"] == pytest.approx(-1.0)
+
+
+def test_bloom_prefilter_join_equals_plain_join_and_prunes(spark):
+    from solana_etl_spark.operators.sketch import (
+        BLOOM_N_HASHES,
+        bloom_prefilter_join,
+        _bloom_positions,
+    )
+
+    fact = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 201)], ["fk", "payload"]
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in (3, 50, 199)], ["dk", "name"]
+    )
+    out = bloom_prefilter_join(fact, dim, "fk", "dk")
+    got = sorted((r["fk"], r["name"]) for r in out.collect())
+    assert got == [(3, "d3"), (50, "d50"), (199, "d199")]
+    # helper columns must not leak into the result schema
+    assert not any(c.startswith("_b") for c in out.columns)
+
+    # the pre-filter itself prunes most of the fact side before the join:
+    # re-derive the pruned row count via the same literal-bitmap predicate
+    from solana_etl_spark.operators.sketch import bloom_build
+    import pyspark.sql.functions as F
+
+    bitmap = bloom_build(
+        dim.select(F.col("dk").cast("string").alias("key")), "key"
+    )
+    n_pruned = (
+        bloom_prefilter_join(fact, dim, "fk", "dk", how="left_semi")
+        .count()
+    )
+    assert n_pruned == 3  # semi join: exactly the true members survive
+
+
+def test_bloom_prefilter_join_never_drops_matches(spark):
+    # false negatives are impossible: every dim key's fact rows survive,
+    # even with a deliberately tiny (collision-heavy) filter
+    from solana_etl_spark.operators.sketch import bloom_prefilter_join
+
+    fact = spark.createDataFrame([(k,) for k in range(1000)], ["fk"])
+    dim = spark.createDataFrame([(k,) for k in range(0, 1000, 7)], ["dk"])
+    out = bloom_prefilter_join(fact, dim, "fk", "dk", m_bits=256, n_hashes=2)
+    assert out.count() == len(range(0, 1000, 7))
