@@ -10569,3 +10569,64 @@ def j11_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
     )
+
+
+def _scene_cut_oracle() -> str:
+    from solana_etl_spark.operators.multimodal import (
+        FRAME_SIZE,
+        SCENE_CUT_THRESHOLD,
+    )
+
+    return f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT media_id, text, n_bytes,
+               unnest(generate_series(
+                   0, CAST(floor((n_bytes - 1) / {FRAME_SIZE}.0) AS BIGINT), 1
+               )) AS frame_idx
+        FROM m
+    ),
+    s AS (
+        -- ASCII fixture: ord(char) == byte value, so the char fold equals
+        -- the kernel's byte sum
+        SELECT media_id, frame_idx,
+               CAST(list_reduce(
+                   [ord(substring(text,
+                        CAST(frame_idx * {FRAME_SIZE} + i AS BIGINT), 1))
+                    for i in generate_series(1,
+                        CAST(least({FRAME_SIZE},
+                             n_bytes - frame_idx * {FRAME_SIZE}) AS BIGINT))],
+                   (x, y) -> x + y) AS BIGINT) AS sig
+        FROM f
+    ),
+    d AS (
+        SELECT media_id, sig,
+               abs(sig - lag(sig) OVER (
+                   PARTITION BY media_id ORDER BY frame_idx)) AS jump
+        FROM s
+    )
+    SELECT media_id, COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN jump >= {SCENE_CUT_THRESHOLD} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+    FROM d GROUP BY media_id
+    """
+
+
+@_register("mm_scene_cuts", _scene_cut_oracle(), local_only=True)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection (operators/multimodal.py scene_cut_stats): the
+    video-analysis shape — per-frame signatures from an Arrow byte kernel
+    (the ONLY Python stage), temporal cut logic as a relational lag
+    window over 24-byte rows. Completes the video modality next to the
+    frame sampler (mm_frame_sample). local_only: driver cap."""
+    from solana_etl_spark.operators.multimodal import (
+        documents_as_media,
+        scene_cut_stats,
+    )
+
+    return scene_cut_stats(documents_as_media(_t(spark, sf_dir, "documents")))

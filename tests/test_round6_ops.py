@@ -188,3 +188,28 @@ def test_bloom_prefilter_join_never_drops_matches(spark):
     dim = spark.createDataFrame([(k,) for k in range(0, 1000, 7)], ["dk"])
     out = bloom_prefilter_join(fact, dim, "fk", "dk", m_bits=256, n_hashes=2)
     assert out.count() == len(range(0, 1000, 7))
+
+
+def test_scene_cut_stats_detects_known_jump(spark):
+    from solana_etl_spark.operators.multimodal import scene_cut_stats
+
+    # frames of 4 bytes: [1,1,1,1]=4, [1,1,1,1]=4, [200,200,200,200]=800
+    # -> one jump of 796 between frames 1 and 2
+    payload = bytes([1] * 8 + [200] * 4)
+    media = spark.createDataFrame(
+        [(7, payload, "video/raw", "t")],
+        ["media_id", "payload", "mime", "meta_source"],
+    )
+    row = scene_cut_stats(media, frame_size=4, threshold=500).collect()[0]
+    assert (row["n_frames"], row["n_cuts"], row["max_jump"]) == (3, 1, 796)
+
+
+def test_scene_cut_stats_single_frame_has_no_cuts(spark):
+    from solana_etl_spark.operators.multimodal import scene_cut_stats
+
+    media = spark.createDataFrame(
+        [(1, bytes([5, 5]), "video/raw", "t")],
+        ["media_id", "payload", "mime", "meta_source"],
+    )
+    row = scene_cut_stats(media, frame_size=4).collect()[0]
+    assert (row["n_frames"], row["n_cuts"], row["max_jump"]) == (1, 0, 0)
