@@ -484,6 +484,29 @@ def main() -> None:
         except Exception:
             pass
 
+    # Round-6 additions, timed alongside (best-of-2, same statistic) but
+    # kept OUT of the judged 26-workload comparable total — the baseline
+    # ratio must keep comparing the same work across rounds.
+    NEW_OPS = [
+        "a22_grouping_sets", "w5_rank_family", "ts_rolling", "st_rfm",
+        "dq_impute_median", "ann_sq8_topk", "ann_rp_topk",
+        "j11_bloom_prefilter_join", "mm_scene_cuts",
+    ]
+    new_ops: dict[str, float] = {}
+    for name in NEW_OPS:
+        if name not in qs:
+            continue
+        best = -1.0
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                dt = round(time.time() - t0, 3)
+                best = dt if best < 0 else min(best, dt)
+        except Exception:
+            best = -1.0
+        new_ops[name] = best
+
     for k, v in timings.items():
         floors.setdefault(k, v)
     full_total = round(sum(v for v in timings.values() if v > 0), 3)
@@ -512,6 +535,7 @@ def main() -> None:
                 "scaling_up2": scaling_up2,
                 "scaling_web": scaling_web,
                 "scaling_mm": scaling_mm,
+                "new_ops": new_ops,
                 "scaling_up_note": (
                     "synthetic scaling decades (constant-duplicate-rate"
                     " 'scaling' profile since r6: tempered 20k-word vocab,"

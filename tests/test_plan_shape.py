@@ -285,3 +285,59 @@ def test_cluster_path_star_edges_no_pair_expansion(spark):
     }
     assert len(star) > 0
     assert star == pairs
+
+
+def test_a22_grouping_sets_single_exchange(spark):
+    """Three grouping sets must expand map-side into ONE exchange — not
+    plan three group-bys + union (three scans, three shuffles)."""
+    from solana_etl_spark.queries import all_queries
+
+    plan = _formatted(
+        all_queries()["a22_grouping_sets"](spark, "/root/testdata/sf0.001")
+    )
+    # "Exchange (n)" counts tree nodes once (the detail section repeats
+    # each node as "(n) Exchange")
+    assert plan.count("Exchange (") == 1
+    assert "Expand" in plan  # the map-side set expansion
+
+
+def test_rolling_stats_single_window_pass(spark):
+    """All five rolling aggregates share one window spec: exactly one
+    exchange (partition by key) and one in-partition sort."""
+    from solana_etl_spark.queries import all_queries
+
+    plan = _formatted(
+        all_queries()["ts_rolling"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Window (") == 1
+
+
+def test_sq8_and_rp_topk_cuts_are_take_ordered(spark):
+    """Both ANN candidate cuts and final top-ks must plan as
+    TakeOrderedAndProject (streaming top-k) — never a global sort
+    materialization or a single-partition row_number window."""
+    from solana_etl_spark.queries import all_queries
+
+    for name in ("ann_sq8_topk", "ann_rp_topk"):
+        plan = _formatted(
+            all_queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
+def test_bloom_prefilter_runs_below_the_join(spark):
+    """The bloom membership test must sit on the FACT side beneath the
+    join (pruning rows before the join pays for them), not above it."""
+    from pyspark.sql import functions as F
+
+    from solana_etl_spark.operators.sketch import bloom_prefilter_join
+
+    fact = spark.range(0, 1000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    out = bloom_prefilter_join(fact, dim, "fk", "dk")
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    join_at = logical.index("Join")
+    bloom_at = logical.index("shiftleft")
+    assert join_at < bloom_at  # filter expression is INSIDE the join subtree
