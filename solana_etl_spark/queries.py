@@ -10630,3 +10630,50 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return scene_cut_stats(documents_as_media(_t(spark, sf_dir, "documents")))
+
+
+@_register(
+    "stream_reservoir_sample",
+    f"""
+    SELECT doc_id,
+           {hash64_sql("'sample|' || CAST(doc_id AS VARCHAR)")} AS sample_rank
+    FROM documents
+    ORDER BY sample_rank, doc_id
+    LIMIT 100
+    """,
+    local_only=True,
+)
+def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deterministic sample (streaming/sample_stream.py): the
+    documents table streams through as TWO micro-batches (and the second
+    replays the full corpus), yet the maintained hash-rank sample equals
+    the batch ORDER BY rank LIMIT n — min-n over a set is idempotent and
+    order-free, which is what makes a 'reservoir' exactly maintainable
+    under at-least-once streaming. Ninth stream-equals-batch gate row.
+    local_only: streaming state dirs are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.sample_stream import (
+        read_sample,
+        start_streaming_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="gate_stream_sample_")
+    for p in ("a", "b"):
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{work}/src/{p}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*/*.parquet")
+    )
+    q = start_streaming_sample(
+        spark,
+        stream,
+        state_dir=f"{work}/state",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    return _materialize_and_clean(
+        read_sample(spark, f"{work}/state"), work
+    )

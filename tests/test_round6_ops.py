@@ -213,3 +213,30 @@ def test_scene_cut_stats_single_frame_has_no_cuts(spark):
     )
     row = scene_cut_stats(media, frame_size=4).collect()[0]
     assert (row["n_frames"], row["n_cuts"], row["max_jump"]) == (1, 0, 0)
+
+
+def test_streaming_sample_retry_and_order_invariance(spark, tmp_path):
+    # the sample after (batch0, batch1) must equal the sample after
+    # (batch1, batch0) AND after replaying batch0 — min-n is a pure
+    # function of the seen SET
+    from solana_etl_spark.streaming.sample_stream import (
+        read_sample,
+        update_sample_batch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(0, 50)], ["doc_id"])
+    b = spark.createDataFrame([(i,) for i in range(40, 90)], ["doc_id"])
+
+    def run(state, batches):
+        for bid, df in batches:
+            update_sample_batch(spark, df, str(state), bid, n=10)
+        return sorted(
+            (r["doc_id"], r["sample_rank"])
+            for r in read_sample(spark, str(state)).collect()
+        )
+
+    s1 = run(tmp_path / "s1", [(0, a), (1, b)])
+    s2 = run(tmp_path / "s2", [(0, b), (1, a)])
+    s3 = run(tmp_path / "s3", [(0, a), (1, b), (1, b)])  # batch-1 retried
+    assert s1 == s2 == s3
+    assert len(s1) == 10
