@@ -10677,3 +10677,55 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(
         read_sample(spark, f"{work}/state"), work
     )
+
+
+@_register(
+    "dq_drift_ks_exact",
+    """
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'view' AND value IS NOT NULL),
+    hist AS (
+        SELECT v, SUM(ca) AS na_v, SUM(cb) AS nb_v
+        FROM (
+            SELECT v, 1 AS ca, 0 AS cb FROM a
+            UNION ALL
+            SELECT v, 0 AS ca, 1 AS cb FROM b
+        ) GROUP BY v
+    ),
+    cums AS (
+        SELECT CAST(SUM(na_v) OVER w AS BIGINT) AS cum_a,
+               CAST(SUM(nb_v) OVER w AS BIGINT) AS cum_b
+        FROM hist
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    totals AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+               CAST(SUM(nb_v) AS BIGINT) AS n_b
+        FROM hist
+    )
+    SELECT n_a, n_b,
+           CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+           ROUND(MAX(abs(cum_a * n_b - cum_b * n_a))
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat
+    FROM cums, totals
+    GROUP BY n_a, n_b
+    """,
+    local_only=True,
+)
+def dq_drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS between purchase and view value distributions
+    (operators/drift.py exact_ks): sup-norm ECDF gap with the numerator
+    kept in cross-multiplied integers — the unbinned complement of
+    dq_drift_psi's histogram metrics (which can smear a gap inside one
+    bin). One distributed value-grain groupBy, then a window over the
+    distinct-value histogram only. local_only: driver cap."""
+    from solana_etl_spark.operators.drift import exact_ks
+
+    e = _t(spark, sf_dir, "events")
+    return exact_ks(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "view"),
+    )

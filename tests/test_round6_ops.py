@@ -240,3 +240,25 @@ def test_streaming_sample_retry_and_order_invariance(spark, tmp_path):
     s3 = run(tmp_path / "s3", [(0, a), (1, b), (1, b)])  # batch-1 retried
     assert s1 == s2 == s3
     assert len(s1) == 10
+
+
+def test_exact_ks_known_distributions(spark):
+    from solana_etl_spark.operators.drift import exact_ks
+
+    # identical samples -> KS 0; disjoint supports -> KS 1
+    same = spark.createDataFrame([(float(i),) for i in range(10)], ["value"])
+    row = exact_ks(same, same).collect()[0]
+    assert (row["ks_num"], row["ks_stat"]) == (0, 0.0)
+
+    lo = spark.createDataFrame([(float(i),) for i in range(5)], ["value"])
+    hi = spark.createDataFrame([(float(i),) for i in range(10, 15)], ["value"])
+    row = exact_ks(lo, hi).collect()[0]
+    assert row["ks_stat"] == 1.0
+
+    # hand case: a={1,2}, b={2,3}: ECDF gaps 1/2, 1/2, 0 -> KS 1/2
+    a = spark.createDataFrame([(1.0,), (2.0,)], ["value"])
+    b = spark.createDataFrame([(2.0,), (3.0,)], ["value"])
+    row = exact_ks(a, b).collect()[0]
+    assert (row["n_a"], row["n_b"], row["ks_num"], row["ks_stat"]) == (
+        2, 2, 2, 0.5,
+    )
