@@ -10729,3 +10729,68 @@ def dq_drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "purchase"),
         e.filter(F.col("event_type") == "view"),
     )
+
+
+@_register(
+    "a23_exact_corr",
+    """
+    WITH s AS (
+        -- scaled integers (cents): products fit int64 per row; SUMs go
+        -- HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) — exact on both, and
+        -- Pearson corr is scale-invariant so no rescaling is needed
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    suff AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM suff
+    """,
+    local_only=True,
+)
+def a23_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT sufficient statistics (the z-score
+    recipe extended to covariance): values scale to integer cents, the
+    five sufficient sums accumulate exactly (DECIMAL(38,0) here, HUGEINT
+    in the oracle) in one map-side-combined aggregate — partition-order-
+    independent, unlike a float corr() accumulator — and convert to
+    double ONCE before the closed-form ratio, so both engines run the
+    identical IEEE expression (corr is scale-invariant, so the cents
+    scaling needs no undo). The built-in corr() exists for the 100 TB
+    path but cannot be oracle-matched (float accumulation order).
+    local_only: driver cap."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d38 = "decimal(38,0)"
+    suff = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return suff.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
