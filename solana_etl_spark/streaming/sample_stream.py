@@ -13,19 +13,21 @@ union, so
 * the streaming result equals the batch ``ORDER BY rank LIMIT n`` —
   batch-SQL-expressible, hence value-hash oracle-checkable.
 
-State is versioned per micro-batch (``batch-k`` = the sample AFTER batch
-k, a pure function of the batch prefix); a retry re-reads its
-predecessor's state, recomputes the same output, and overwrites only its
-own partition — the same convergence recipe as the streaming dedup
-index. At 100 TB the state is n rows regardless of corpus size and the
-per-batch cost is one TakeOrderedAndProject over (batch ∪ n state rows).
+State is versioned per micro-batch (``batch=k`` = the sample AFTER batch
+k, a pure function of the batch prefix) and discovered through Spark's
+partition mechanism — no filesystem listing, so any object store works;
+a retry re-reads its predecessor's state (``batch < current``), recomputes
+the same output, and overwrites only its own partition — the same
+convergence recipe as the streaming dedup index. At 100 TB the state is
+n rows regardless of corpus size and the per-batch cost is one
+TakeOrderedAndProject over (batch ∪ n state rows).
 """
 
 from __future__ import annotations
 
 import os
-import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -33,6 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 from solana_etl_spark.functions.hashing import hash64
 
 SAMPLE_N = 100
+_STATE_SCHEMA = "doc_id long, sample_rank long"
 
 
 def sample_rank(key: Column) -> Column:
@@ -40,30 +43,28 @@ def sample_rank(key: Column) -> Column:
     return hash64(F.concat(F.lit("sample|"), key.cast("string")))
 
 
-def _latest_state_batch(state_dir: str, before_batch: int) -> int | None:
-    if not os.path.isdir(state_dir):
-        return None
-    ks = [
-        int(m.group(1))
-        for d in os.listdir(state_dir)
-        if (m := re.fullmatch(r"batch-(\d+)", d))
-    ]
-    ks = [k for k in ks if k < before_batch]
-    return max(ks, default=None)
-
-
 def read_sample(
     spark: SparkSession, state_dir: str, before_batch: int | None = None
 ) -> DataFrame:
-    """The current sample: the newest committed ``batch-k`` state (or the
+    """The current sample: the newest committed ``batch=k`` state (or the
     newest with k < before_batch, which a retrying batch uses so it never
-    reads its own first attempt)."""
-    k = _latest_state_batch(
-        state_dir, 2**62 if before_batch is None else before_batch
+    reads its own first attempt). Only the nonexistence of the state dir
+    is tolerated (first batch); the max-batch probe is a 1-row driver
+    scalar, like every bounded-state collect in this repo."""
+    try:
+        df = spark.read.option("basePath", state_dir).parquet(state_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], _STATE_SCHEMA)
+        raise
+    if before_batch is not None:
+        df = df.filter(F.col("batch") < before_batch)
+    latest = df.agg(F.max("batch")).first()[0]
+    if latest is None:
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    return df.filter(F.col("batch") == latest).select(
+        "doc_id", "sample_rank"
     )
-    if k is None:
-        return spark.createDataFrame([], "doc_id long, sample_rank long")
-    return spark.read.parquet(os.path.join(state_dir, f"batch-{k}"))
 
 
 def update_sample_batch(
@@ -90,7 +91,7 @@ def update_sample_batch(
         .limit(n)
     )
     new_state.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"batch-{batch_id}")
+        os.path.join(state_dir, f"batch={batch_id}")
     )
 
 
