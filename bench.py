@@ -487,10 +487,15 @@ def main() -> None:
     # Round-6 additions, timed alongside (best-of-2, same statistic) but
     # kept OUT of the judged 26-workload comparable total — the baseline
     # ratio must keep comparing the same work across rounds.
+    # (stream_reservoir_sample is the one round-6 row deliberately absent:
+    # like every stream_* row it drives a real Structured-Streaming run
+    # over per-run temp state dirs — a latency measurement of checkpoint
+    # setup, not of a query plan)
     NEW_OPS = [
         "a22_grouping_sets", "w5_rank_family", "ts_rolling", "st_rfm",
         "dq_impute_median", "ann_sq8_topk", "ann_rp_topk",
         "j11_bloom_prefilter_join", "mm_scene_cuts",
+        "dq_drift_ks_exact", "a23_exact_corr",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

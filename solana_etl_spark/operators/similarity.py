@@ -892,8 +892,19 @@ def rp_project(embeddings: DataFrame, out_dim: int = RP_OUT_DIM) -> DataFrame:
     Scale shape: the matrix is an (out_dim × in_dim) literal — broadcast
     with the plan, no join, no state table; each projection component is
     a sequential JVM fold over the input array (bit-reproducible, mirrors
-    the oracle's list_reduce), so the whole step fuses into the scan."""
-    in_dim = len(embeddings.select("embedding").first()["embedding"])
+    the oracle's list_reduce), so the whole step fuses into the scan.
+
+    Note: the input dimensionality is probed from one row at plan-build
+    time (an eager 1-row job, like the n-gram guard's estimate) — the
+    embeddings contract is fixed-width vectors, the same assumption the
+    IVF/PQ/SQ8 codebooks make. An empty corpus projects to empty sketches
+    (no crash, no job output)."""
+    first = embeddings.select("embedding").first()
+    if first is None:
+        return ensure_compute_parallelism(embeddings).withColumn(
+            "_rp", F.array().cast("array<double>")
+        )
+    in_dim = len(first["embedding"])
     sign_rows = [
         F.array(*[F.lit(s) for s in row]) for row in rp_signs(in_dim, out_dim)
     ]

@@ -250,6 +250,17 @@ def bloom_prefilter_join(
     """
     from functools import reduce
 
+    # the pre-filter drops fact rows BEFORE the join, which preserves
+    # semantics only for joins that would drop those rows anyway — an
+    # outer/anti join through it would silently lose (or invert) the
+    # non-matching side
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports how='inner'/'left_semi' "
+            f"(got {how!r}): the pre-filter discards non-matching fact "
+            f"rows, which outer/anti joins must keep"
+        )
+
     dim_keys = dim.select(F.col(dim_key).cast("string").alias("key"))
     n_words = (m_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS
     words = [0] * n_words

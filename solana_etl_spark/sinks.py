@@ -36,8 +36,9 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC batch sink — the second columnar format the Spark runtime ships
     natively (predicate pushdown + column pruning + zlib/snappy, like
     parquet). The reference writes CSV/parquet only (FileOutput.py:173-178);
-    ORC rounds out the warehouse-interchange matrix."""
-    df.write.mode(mode).orc(path)
+    ORC rounds out the warehouse-interchange matrix. Named alias into the
+    format matrix below (one write path, no drift)."""
+    write_table(df, path, fmt="orc", mode=mode)
 
 
 # format name -> (writer, reader) for the batch-sink matrix; every format

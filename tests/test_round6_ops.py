@@ -164,19 +164,24 @@ def test_bloom_prefilter_join_equals_plain_join_and_prunes(spark):
     # helper columns must not leak into the result schema
     assert not any(c.startswith("_b") for c in out.columns)
 
-    # the pre-filter itself prunes most of the fact side before the join:
-    # re-derive the pruned row count via the same literal-bitmap predicate
-    from solana_etl_spark.operators.sketch import bloom_build
+    # the pre-filter itself must PRUNE (not be a tautology the join then
+    # cleans up): probe every fact key against the same bitmap and check
+    # the maybe-member set is small — all 3 true members plus at most a
+    # few false positives, never all 200
+    from solana_etl_spark.operators.sketch import bloom_build, bloom_probe
     import pyspark.sql.functions as F
 
     bitmap = bloom_build(
         dim.select(F.col("dk").cast("string").alias("key")), "key"
     )
-    n_pruned = (
-        bloom_prefilter_join(fact, dim, "fk", "dk", how="left_semi")
-        .count()
+    probed = bloom_probe(
+        fact.select(F.col("fk").cast("string").alias("key")), bitmap
     )
-    assert n_pruned == 3  # semi join: exactly the true members survive
+    n_maybe = probed.filter("maybe_member").count()
+    assert 3 <= n_maybe < 50  # prunes >75% of the 200 fact keys
+    # and the semi-join result is exactly the true members
+    n_semi = bloom_prefilter_join(fact, dim, "fk", "dk", how="left_semi").count()
+    assert n_semi == 3
 
 
 def test_bloom_prefilter_join_never_drops_matches(spark):
