@@ -132,35 +132,72 @@ BLOOM_N_HASHES = 4
 _BLOOM_WORD_BITS = 63  # 63 sets bits only below the int64 sign bit
 
 
-def _bloom_positions(key_col: str, m_bits: int, n_hashes: int):
-    """The n_hashes bit positions of a key: double-hashing over the
-    portable 32-bit md5 hash — position_i = (h1 + i*h2 + i*i) % m_bits
-    [Kirsch & Mitzenmacher 2006: two base hashes generate k independent-
-    enough probes]. h2 is forced odd so probes cycle the whole table.
-    The h2 multiplier stays < 2^21 (the MINHASH_PERMS bound) so a*h+b
-    < 2^53 — exact int64 in BOTH engines, no overflow divergence."""
-    from solana_etl_spark.functions.hashing import PERM32_P, hash32
+def _positions_from_hash(h, m_bits: int, n_hashes: int):
+    """Positions from an ALREADY-COMPUTED base hash column — pure int64
+    arithmetic, safe to inline many times. Callers that probe at fact
+    scale must stage the md5 hash into ONE column first: inlining
+    ``hash32`` into every position expression re-evaluates the md5 +
+    base-36 conv per position per row (measured ~8x the whole plain
+    join's cost at 600k rows)."""
+    from solana_etl_spark.functions.hashing import PERM32_P
 
-    h = hash32(F.col(key_col))
-    h1 = h % F.lit(m_bits)
-    h2 = (
-        (h * F.lit(1048573) + F.lit(40503)) % F.lit(PERM32_P)
+    # pmod, not %: identical for the non-negative md5 hash (so oracles are
+    # unchanged) but keeps positions in [0, m_bits) when a fast_hash
+    # product wraps int64 negative — a negative position would corrupt the
+    # build/probe word indexing
+    h1 = F.pmod(h, F.lit(m_bits))
+    h2 = F.pmod(
+        h * F.lit(1048573) + F.lit(40503), F.lit(PERM32_P)
     ).bitwiseOR(F.lit(1).cast("long"))
     return [
-        ((h1 + F.lit(i) * h2 + F.lit(i * i)) % F.lit(m_bits)).alias(f"p{i}")
+        F.pmod(h1 + F.lit(i) * h2 + F.lit(i * i), F.lit(m_bits)).alias(f"p{i}")
         for i in range(n_hashes)
     ]
 
 
+def _base_hash(col, fast_hash: bool):
+    """The bloom base hash. Default: the cross-engine md5 hash32 (oracle-
+    mirrorable, ~0.6s/600k rows — md5-bound). fast_hash: JVM xxhash64
+    masked non-negative — ~an order of magnitude cheaper, for production
+    paths that don't need a DuckDB mirror (the join-equivalence guarantee
+    holds under ANY hash; only the false-positive SET changes)."""
+    from solana_etl_spark.functions.hashing import hash32
+
+    if fast_hash:
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 62) - 1))
+    return hash32(col)
+
+
+def _bloom_positions(
+    key_col: str, m_bits: int, n_hashes: int, fast_hash: bool = False
+):
+    """The n_hashes bit positions of a key: double-hashing over the base
+    hash — position_i = (h1 + i*h2 + i*i) % m_bits [Kirsch & Mitzenmacher
+    2006: two base hashes generate k independent-enough probes]. h2 is
+    forced odd so probes cycle the whole table. With the default md5 hash
+    the h2 multiplier stays < 2^21 (the MINHASH_PERMS bound) so a*h+b
+    < 2^53 — exact int64 in BOTH engines, no overflow divergence; under
+    fast_hash the products may wrap int64, which is fine (JVM-only,
+    deterministic, never mirrored)."""
+    return _positions_from_hash(
+        _base_hash(F.col(key_col), fast_hash), m_bits, n_hashes
+    )
+
+
 def _position_words(
-    keys: DataFrame, key_col: str, m_bits: int, n_hashes: int, keep_key: bool
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int,
+    n_hashes: int,
+    keep_key: bool,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(word_idx, bit[, key]) for every (key, hash_i) probe — the ONE
     position/word/bit encoding both build and probe use (a drifted copy
     would silently turn guaranteed members into false negatives)."""
     cols = [F.col(key_col)] if keep_key else []
     pos = keys.select(
-        *cols, *_bloom_positions(key_col, m_bits, n_hashes)
+        *cols, *_bloom_positions(key_col, m_bits, n_hashes, fast_hash)
     )
     stacked = pos.select(
         *cols,
@@ -183,12 +220,16 @@ def bloom_build(
     key_col: str = "key",
     m_bits: int = BLOOM_M_BITS,
     n_hashes: int = BLOOM_N_HASHES,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Build the filter: (word_idx, word) int64 bitmap rows — at most
     ceil(m_bits/63) of them, independent of corpus size. One scan, one
     explode to n_hashes position rows/key, one BIT_OR aggregate."""
     return (
-        _position_words(keys, key_col, m_bits, n_hashes, keep_key=False)
+        _position_words(
+            keys, key_col, m_bits, n_hashes, keep_key=False,
+            fast_hash=fast_hash,
+        )
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
     )
@@ -200,6 +241,7 @@ def bloom_probe(
     key_col: str = "key",
     m_bits: int = BLOOM_M_BITS,
     n_hashes: int = BLOOM_N_HASHES,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Probe: (key, maybe_member). maybe_member is TRUE iff every one of
     the key's n_hashes bits is set — guaranteed TRUE for every built key
@@ -207,9 +249,11 @@ def bloom_probe(
     BROADCAST (≤ m_bits/63 rows); the probe side never shuffles except
     the per-key bool_and, keyed by the probe key itself.
 
-    m_bits / n_hashes MUST match the build call — positions are
-    arithmetic over them."""
-    stacked = _position_words(keys, key_col, m_bits, n_hashes, keep_key=True)
+    m_bits / n_hashes / fast_hash MUST match the build call — positions
+    are arithmetic over them."""
+    stacked = _position_words(
+        keys, key_col, m_bits, n_hashes, keep_key=True, fast_hash=fast_hash
+    )
     probed = stacked.join(F.broadcast(bloom), "word_idx", "left").select(
         key_col,
         (
@@ -230,6 +274,7 @@ def bloom_prefilter_join(
     how: str = "inner",
     m_bits: int = BLOOM_M_BITS,
     n_hashes: int = BLOOM_N_HASHES,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Join with a Bloom pre-filter on the fact side: build the bitmap
     from the dim side's keys, collect it to a literal (≤ m_bits/63 int64
@@ -247,6 +292,13 @@ def bloom_prefilter_join(
     IDENTICAL to the plain join — which is exactly what the oracle
     asserts. Keys hash through their canonical string form on both build
     and probe (one shared cast, no engine-specific binary encodings).
+
+    fast_hash swaps the oracle-mirrorable md5 base hash for JVM xxhash64
+    (measured ~3x faster end-to-end at 600k fact rows — the md5 is the
+    filter's dominant per-row cost). Join equivalence holds under ANY
+    hash (the join re-checks equality); only the false-positive set —
+    invisible in the result — changes, so the registry row keeps the
+    default md5 form the DuckDB oracle can mirror.
     """
     from functools import reduce
 
@@ -264,19 +316,29 @@ def bloom_prefilter_join(
     dim_keys = dim.select(F.col(dim_key).cast("string").alias("key"))
     n_words = (m_bits + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS
     words = [0] * n_words
-    for r in bloom_build(dim_keys, "key", m_bits, n_hashes).collect():
+    for r in bloom_build(
+        dim_keys, "key", m_bits, n_hashes, fast_hash=fast_hash
+    ).collect():
         words[r["word_idx"]] = r["word"]
-    words_lit = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    # ONE array Literal, not F.array(1042 lit children): CreateArray of
+    # that many children is re-built per row and knocks the filter out of
+    # whole-stage codegen (measured ~4x the plain join's cost; a folded
+    # Literal probes at plain-int-filter speed)
+    words_lit = F.lit([int(w) for w in words]).cast("array<bigint>")
 
+    # stage the base hash into ONE column, then derive positions with int
+    # arithmetic only — inlining the hash per position re-evaluates the md5
+    # n_hashes (+h2) times per fact row (measured 4.7s vs 0.5s plain join
+    # at sf0.1 before this split; ~0.9s after)
     probed = fact.withColumn(
-        "_bkey", F.col(fact_key).cast("string")
+        "_bh", _base_hash(F.col(fact_key).cast("string"), fast_hash)
     ).withColumn("_bwords", words_lit)
     probed = probed.select(
         "*",
         *[
             c.alias(f"_bp{i}")
             for i, c in enumerate(
-                _bloom_positions("_bkey", m_bits, n_hashes)
+                _positions_from_hash(F.col("_bh"), m_bits, n_hashes)
             )
         ],
     )
@@ -289,6 +351,6 @@ def bloom_prefilter_join(
         for i in range(n_hashes)
     ]
     pruned = probed.filter(reduce(lambda a, b: a & b, tests)).drop(
-        "_bkey", "_bwords", *[f"_bp{i}" for i in range(n_hashes)]
+        "_bh", "_bwords", *[f"_bp{i}" for i in range(n_hashes)]
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

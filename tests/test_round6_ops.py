@@ -267,3 +267,23 @@ def test_exact_ks_known_distributions(spark):
     assert (row["n_a"], row["n_b"], row["ks_num"], row["ks_stat"]) == (
         2, 2, 2, 0.5,
     )
+
+
+def test_bloom_prefilter_fast_hash_same_result(spark):
+    # join equivalence holds under ANY base hash: xxhash64 mode must give
+    # the identical join result as the md5 mode (only the invisible
+    # false-positive set may differ)
+    from solana_etl_spark.operators.sketch import bloom_prefilter_join
+
+    fact = spark.createDataFrame([(k,) for k in range(500)], ["fk"])
+    dim = spark.createDataFrame([(k,) for k in range(0, 500, 11)], ["dk"])
+    slow = sorted(
+        r["fk"] for r in bloom_prefilter_join(fact, dim, "fk", "dk").collect()
+    )
+    fast = sorted(
+        r["fk"]
+        for r in bloom_prefilter_join(
+            fact, dim, "fk", "dk", fast_hash=True
+        ).collect()
+    )
+    assert slow == fast == sorted(range(0, 500, 11))
