@@ -86,30 +86,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # The EXTERNAL driver gate certifies at most 50 rows per round, so the
 # driver-facing registry is this curated 50: one strong representative
 # per operator family, rotated each round toward the newest unguarded
-# surface (r6: +dedup_lsh_jaccard, dedup_url_keep_best,
-# pipeline_web_clean, pipeline_pretrain_e2e, text_unigram_encode,
-# pipeline_wordpiece_pack, mm_phash_dedup, stream_corpus_pipeline,
-# stream_web_pipeline; retired near-duplicate coverage —
-# dedup_simhash_pairs/sim_lsh_buckets/text_lang_id/a16_cube/w3_lag_lead/
-# m12_date_funcs/q17/s2_stratified/mm_frame_sample — all of which stay
-# under the 180+-row local gate, scripts/check_oracle.py).
+# surface (r6 late rotation: +ann_sq8_topk for sim_neardup_pairs — the
+# SQ8 integer-score cut is the stronger ANN check, neardup's bucket
+# scheme is sim_ann_bucketed's; +mm_scene_cuts for mm_decode_features —
+# real-decode already certified via mm_phash_dedup; +j11_bloom_prefilter
+# _join for t3_explode_json — x1_semantic_extract exercises the same
+# JSON-path parse. Earlier r6 rotation: +dedup_lsh_jaccard,
+# dedup_url_keep_best, pipeline_web_clean, pipeline_pretrain_e2e,
+# text_unigram_encode, pipeline_wordpiece_pack, mm_phash_dedup,
+# stream_corpus_pipeline, stream_web_pipeline. Every retired row stays
+# under the 200+-row local gate, scripts/check_oracle.py).
 DRIVER_ROWS: tuple[str, ...] = (
     "q1_pricing_summary", "q3_topk_revenue", "q5_revenue_by_nation",
     "q6_forecast_revenue", "f1_filter_project", "f4_exists_semijoin",
     "f6_anti_join", "a9_conditional_rollup", "m1_balance_modes",
     "j2_full_outer_coalesce", "j6_asof_join", "j7_range_join",
     "m8_bucket_rollup", "w1_topk_per_group", "set_ops", "a12_rollup",
-    "t3_explode_json", "x1_semantic_extract",
+    "j11_bloom_prefilter_join", "x1_semantic_extract",
     "mine_bitext_margin", "dedup_bloom_probe",
     "a13_percentiles", "m11_string_funcs", "dedup_exact",
     "dedup_minhash_lsh_pairs", "dedup_clusters", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_url_keep_best",
     "pipeline_clean_corpus", "pipeline_web_clean", "pipeline_pretrain_e2e",
-    "sim_cosine_topk", "sim_neardup_pairs", "sim_ann_bucketed",
+    "sim_cosine_topk", "ann_sq8_topk", "sim_ann_bucketed",
     "text_token_stats", "text_quality",
     "text_winnow_fingerprint", "text_unigram_encode",
     "pipeline_wordpiece_pack", "a15_pivot", "s1_hash_sample",
-    "a14_kmv_distinct", "mm_decode_features", "mm_audio_fp_dedup",
+    "a14_kmv_distinct", "mm_scene_cuts", "mm_audio_fp_dedup",
     "mm_phash_dedup", "st_sessionize", "solana_e2e",
     "stream_corpus_pipeline", "stream_web_pipeline",
 )
