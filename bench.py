@@ -512,6 +512,39 @@ def main() -> None:
             best = -1.0
         new_ops[name] = best
 
+    # scaling decade for the new ops, same method as the HEADLINE
+    # `scaling` map (sf down one decade; fixed ~0.2s per-query overhead
+    # inflates t_small, understating exponents — conservative direction)
+    new_ops_scaling: dict[str, dict] = {}
+    if small_dir is not None and os.path.isdir(
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), small_dir)
+    ):
+        import math
+
+        small_path = os.path.join(
+            os.path.dirname(sf_dir.rstrip("/")), small_dir
+        )
+        for name in NEW_OPS:
+            if name not in qs or new_ops.get(name, -1.0) <= 0:
+                continue
+            small_best = -1.0
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    qs[name](spark, small_path).count()
+                    dt = round(time.time() - t0, 3)
+                    small_best = dt if small_best < 0 else min(small_best, dt)
+            except Exception:
+                continue
+            if small_best > 0:
+                new_ops_scaling[name] = {
+                    "t_small": small_best,
+                    "t_big": new_ops[name],
+                    "exponent": round(
+                        math.log10(max(new_ops[name], 1e-3) / small_best), 3
+                    ),
+                }
+
     for k, v in timings.items():
         floors.setdefault(k, v)
     full_total = round(sum(v for v in timings.values() if v > 0), 3)
@@ -541,6 +574,7 @@ def main() -> None:
                 "scaling_web": scaling_web,
                 "scaling_mm": scaling_mm,
                 "new_ops": new_ops,
+                "new_ops_scaling": new_ops_scaling,
                 "scaling_up_note": (
                     "synthetic scaling decades (constant-duplicate-rate"
                     " 'scaling' profile since r6: tempered 20k-word vocab,"
