@@ -136,3 +136,36 @@ def test_bloom_prefilter_join_equals_plain_join(spark, fact_keys, dim_keys):
     )
     expect = sorted(k for k in fact_keys if k in dim_keys)
     assert got == expect
+
+
+ks_samples = st.lists(
+    st.integers(-20, 20), min_size=1, max_size=30
+).map(lambda xs: [x / 4.0 for x in xs])
+
+
+def _ks_model(a, b):
+    xs = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    best = 0
+    for x in xs:
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        best = max(best, abs(ca * nb - cb * na))
+    return best, na, nb
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(a=ks_samples, b=ks_samples)
+def test_exact_ks_matches_ecdf_model(spark, a, b):
+    from solana_etl_spark.operators.drift import exact_ks
+
+    da = spark.createDataFrame([(v,) for v in a], ["value"])
+    db = spark.createDataFrame([(v,) for v in b], ["value"])
+    row = exact_ks(da, db).collect()[0]
+    num, na, nb = _ks_model(a, b)
+    assert (row["n_a"], row["n_b"], row["ks_num"]) == (na, nb, num)
+    assert row["ks_stat"] == round(num / (na * nb), 6)
