@@ -10797,3 +10797,61 @@ def a23_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suff.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@_register(
+    "a24_gini_concentration",
+    """
+    WITH r AS (
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS x,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id) AS i
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    s AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(x) AS BIGINT) AS total_chars,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(i * x) AS DOUBLE) AS six
+        FROM r GROUP BY lang
+    )
+    SELECT lang, n_docs, total_chars,
+           ROUND((2 * six - (n_docs + 1) * sx) / (n_docs * sx), 6) AS gini
+    FROM s
+    """,
+    local_only=True,
+)
+def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document mass per language — the data-mix
+    inequality diagnostic (is one source's token budget dominated by a
+    few huge documents?): G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted sizes with deterministic (size, doc_id) ranks.
+    Rank products and sums stay exact integers (DECIMAL(38,0) here,
+    HUGEINT in the oracle — the a23 recipe) with ONE double conversion
+    before the closed-form ratio. One rank window per language + one
+    rollup; exact Gini needs in-group ranks, so at 100 TB unbounded
+    groups use the histogram-binned approximation (operators/drift.py's
+    binning) — this is the exact-answer tool at per-source grain.
+    local_only: driver cap."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    i = F.row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    )
+    r = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        i.alias("i"),
+    )
+    d38 = "decimal(38,0)"
+    s = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("x").cast(d38)).cast("long").alias("total_chars"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast(d38)).cast("double").alias("six"),
+    )
+    gini = (2 * F.col("six") - (F.col("n_docs") + 1) * F.col("sx")) / (
+        F.col("n_docs") * F.col("sx")
+    )
+    return s.select(
+        "lang", "n_docs", "total_chars", F.round(gini, 6).alias("gini")
+    )

@@ -287,3 +287,26 @@ def test_bloom_prefilter_fast_hash_same_result(spark):
         ).collect()
     )
     assert slow == fast == sorted(range(0, 500, 11))
+
+
+def test_gini_known_distributions(spark):
+    from solana_etl_spark.queries import all_queries
+    import tempfile, os
+
+    # equal sizes -> G = 0; one doc owns (almost) everything -> G -> 1
+    d = tempfile.mkdtemp(prefix="gini_")
+    rows = (
+        [(i, "x", "eq", "s", 100) for i in range(4)]
+        + [(10, "x", "sk", "s", 1), (11, "x", "sk", "s", 1),
+           (12, "x", "sk", "s", 9998)]
+    )
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["lang"]: (r["n_docs"], r["gini"])
+        for r in all_queries()["a24_gini_concentration"](spark, d).collect()
+    }
+    assert got["eq"] == (4, 0.0)
+    # exact: x=(1,1,9998): G = (2*29997 - 4*10000)/(3*10000) = 19994/30000
+    assert got["sk"][1] == 0.666467
