@@ -495,7 +495,7 @@ def main() -> None:
         "a22_grouping_sets", "w5_rank_family", "ts_rolling", "st_rfm",
         "dq_impute_median", "ann_sq8_topk", "ann_rp_topk",
         "j11_bloom_prefilter_join", "mm_scene_cuts",
-        "dq_drift_ks_exact", "a23_exact_corr",
+        "dq_drift_ks_exact", "a23_exact_corr", "a24_gini_concentration",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

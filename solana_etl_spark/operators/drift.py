@@ -229,10 +229,15 @@ def exact_ks(
     complement of :func:`drift_report`'s histogram KS (which under-reports
     any sup-norm gap that opens and closes inside one bin).
 
-    sup_x |ECDF_a(x) − ECDF_b(x)| is computed entirely in integers:
-    at each distinct value, the gap numerator is |cum_a·n_b − cum_b·n_a|
-    (cross-multiplied so no rational ever becomes a float early); the one
-    division happens once, on the max. Bit-identical cross-engine.
+    sup_x |ECDF_a(x) − ECDF_b(x)| is computed exactly: at each distinct
+    value, the gap numerator is |cum_a·n_b − cum_b·n_a| (cross-multiplied
+    so no rational ever becomes a float early) accumulated as
+    DECIMAL(38,0) — int64 would wrap silently once n_a·n_b passes 2^63,
+    i.e. two ~4e9-row samples, exactly the scale this operator targets.
+    The one division happens once, on the max; ``ks_num`` surfaces as
+    DOUBLE (exact below 2^53 and a nearest-rounding of the exact integer
+    beyond — identical in both engines, the a23 sufficient-stats recipe),
+    and ``ks_stat``'s 6-decimal precision is unaffected either way.
 
     Scale shape: one distributed groupBy collapses the data to the
     DISTINCT-VALUE grain (per-value a/b counts, map-side combined); only
@@ -262,6 +267,7 @@ def exact_ks(
         F.sum("na_v").cast("long").alias("n_a"),
         F.sum("nb_v").cast("long").alias("n_b"),
     )
+    d38 = "decimal(38,0)"
     gaps = hist.select(
         F.sum("na_v").over(w).cast("long").alias("cum_a"),
         F.sum("nb_v").over(w).cast("long").alias("cum_b"),
@@ -270,10 +276,11 @@ def exact_ks(
         "n_a",
         "n_b",
         F.abs(
-            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            F.col("cum_a").cast(d38) * F.col("n_b")
+            - F.col("cum_b").cast(d38) * F.col("n_a")
         ).alias("num"),
     ).groupBy("n_a", "n_b").agg(
-        F.max("num").alias("ks_num")
+        F.max("num").cast("double").alias("ks_num")
     ).select(
         "n_a",
         "n_b",

@@ -194,10 +194,16 @@ def _position_words(
 ) -> DataFrame:
     """(word_idx, bit[, key]) for every (key, hash_i) probe — the ONE
     position/word/bit encoding both build and probe use (a drifted copy
-    would silently turn guaranteed members into false negatives)."""
+    would silently turn guaranteed members into false negatives). The
+    base hash stages into one projection before the position expressions
+    so md5 evaluates ONCE per key, not once per position (the
+    bloom_prefilter_join fix, applied here so build and probe share it)."""
     cols = [F.col(key_col)] if keep_key else []
-    pos = keys.select(
-        *cols, *_bloom_positions(key_col, m_bits, n_hashes, fast_hash)
+    hashed = keys.select(
+        *cols, _base_hash(F.col(key_col), fast_hash).alias("_bh")
+    )
+    pos = hashed.select(
+        *cols, *_positions_from_hash(F.col("_bh"), m_bits, n_hashes)
     )
     stacked = pos.select(
         *cols,

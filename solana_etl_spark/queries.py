@@ -982,6 +982,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "t3_explode_json",
+    # rotated out of the driver 50 late-r6 (x1_semantic_extract covers the
+    # same JSON-path parse there); stays under the local gate
     """
     SELECT event_type,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k,
@@ -989,6 +991,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT)
     """,
+    local_only=True,
 )
 def t3_explode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5/T3 analog: JSON-in-string column parsed and grouped (the reference
@@ -1826,6 +1829,7 @@ def _lsh_bucket_sql_expr(bits: int) -> str:
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ROUND({_NDOT_SQL}, 6) >= 0.3
     """,
+    local_only=True,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.3 (not the 0.95 semantic default): the synthetic embeddings
@@ -3541,6 +3545,7 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          1, 1024)) AS resized_md5
     FROM documents
     """,
+    local_only=True,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_etl_spark.operators.multimodal import (
@@ -10468,14 +10473,14 @@ def _sq8_oracle() -> str:
     """
 
 
-@_register("ann_sq8_topk", _sq8_oracle(), local_only=True)
+@_register("ann_sq8_topk", _sq8_oracle())
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized ANN (operators/similarity.py sq8_topk): the
     8-bit rung of the quantization ladder (sign-LSH → SQ8 → PQ/IVF-PQ) —
     integer-dot candidate scoring over per-dim affine codes, exact cosine
     rerank on the top 4k candidates. Integer candidate scores make the
     WHOLE operator value-hash checkable (float-scored ANN can only gate
-    its rerank). local_only: driver cap."""
+    its rerank). Driver row since late r6."""
     from solana_etl_spark.operators.similarity import sq8_topk
 
     return sq8_topk(_t(spark, sf_dir, "embeddings"))
@@ -10550,7 +10555,6 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
-    local_only=True,
 )
 def j11_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered fact⋈dim join (operators/sketch.py
@@ -10560,7 +10564,7 @@ def j11_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level filter, for the 100 TB case where the dim is selective but
     too big to broadcast. False positives are re-checked by the join, so
     the result — and the oracle, a PLAIN join — is exactly the unfiltered
-    join's. local_only: driver cap."""
+    join's. Driver row since late r6."""
     from solana_etl_spark.operators.sketch import bloom_prefilter_join
 
     li = _t(spark, sf_dir, "lineitem")
@@ -10620,13 +10624,13 @@ def _scene_cut_oracle() -> str:
     """
 
 
-@_register("mm_scene_cuts", _scene_cut_oracle(), local_only=True)
+@_register("mm_scene_cuts", _scene_cut_oracle())
 def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-cut detection (operators/multimodal.py scene_cut_stats): the
     video-analysis shape — per-frame signatures from an Arrow byte kernel
     (the ONLY Python stage), temporal cut logic as a relational lag
     window over 24-byte rows. Completes the video modality next to the
-    frame sampler (mm_frame_sample). local_only: driver cap."""
+    frame sampler (mm_frame_sample). Driver row since late r6."""
     from solana_etl_spark.operators.multimodal import (
         documents_as_media,
         scene_cut_stats,
@@ -10710,8 +10714,12 @@ def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hist
     )
     SELECT n_a, n_b,
-           CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
-           ROUND(MAX(abs(cum_a * n_b - cum_b * n_a))
+           -- HUGEINT-exact max, surfaced as DOUBLE (the a23 recipe): the
+           -- int64 form would wrap once n_a*n_b passes 2^63
+           CAST(MAX(abs(CAST(cum_a AS HUGEINT) * n_b
+                        - CAST(cum_b AS HUGEINT) * n_a)) AS DOUBLE) AS ks_num,
+           ROUND(CAST(MAX(abs(CAST(cum_a AS HUGEINT) * n_b
+                              - CAST(cum_b AS HUGEINT) * n_a)) AS DOUBLE)
                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat
     FROM cums, totals
     GROUP BY n_a, n_b

@@ -55,7 +55,16 @@ def _read_index(
     try:
         df = spark.read.option("basePath", path).parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # a dir that exists but holds zero COMMITTED files (crash during
+        # the first index write — _temporary only) reads as
+        # UNABLE_TO_INFER_SCHEMA and is the same "no index yet" state as
+        # nonexistence: the parquet commit protocol guarantees uncommitted
+        # files are never readable, so this cannot hide a real index
+        if (
+            "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
             return spark.createDataFrame([], schema)
         raise
     if exclude_batch is not None and "batch" in df.columns:

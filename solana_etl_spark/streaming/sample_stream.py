@@ -54,7 +54,17 @@ def read_sample(
     try:
         df = spark.read.option("basePath", state_dir).parquet(state_dir)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # missing dir (first batch) OR an existing dir with ZERO committed
+        # files (crash during the very first state write — _temporary only,
+        # which reads as UNABLE_TO_INFER_SCHEMA): both genuinely mean "no
+        # state yet"; the parquet commit protocol guarantees uncommitted
+        # files are never readable, so treating this as empty is safe and
+        # keeps the retry loop convergent instead of permanently wedged
+        if (
+            "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
             return spark.createDataFrame([], _STATE_SCHEMA)
         raise
     if before_batch is not None:

@@ -167,5 +167,5 @@ def test_exact_ks_matches_ecdf_model(spark, a, b):
     db = spark.createDataFrame([(v,) for v in b], ["value"])
     row = exact_ks(da, db).collect()[0]
     num, na, nb = _ks_model(a, b)
-    assert (row["n_a"], row["n_b"], row["ks_num"]) == (na, nb, num)
+    assert (row["n_a"], row["n_b"], row["ks_num"]) == (na, nb, float(num))
     assert row["ks_stat"] == round(num / (na * nb), 6)

@@ -253,7 +253,7 @@ def test_exact_ks_known_distributions(spark):
     # identical samples -> KS 0; disjoint supports -> KS 1
     same = spark.createDataFrame([(float(i),) for i in range(10)], ["value"])
     row = exact_ks(same, same).collect()[0]
-    assert (row["ks_num"], row["ks_stat"]) == (0, 0.0)
+    assert (row["ks_num"], row["ks_stat"]) == (0.0, 0.0)
 
     lo = spark.createDataFrame([(float(i),) for i in range(5)], ["value"])
     hi = spark.createDataFrame([(float(i),) for i in range(10, 15)], ["value"])
@@ -265,7 +265,7 @@ def test_exact_ks_known_distributions(spark):
     b = spark.createDataFrame([(2.0,), (3.0,)], ["value"])
     row = exact_ks(a, b).collect()[0]
     assert (row["n_a"], row["n_b"], row["ks_num"], row["ks_stat"]) == (
-        2, 2, 2, 0.5,
+        2, 2, 2.0, 0.5,
     )
 
 
@@ -289,12 +289,12 @@ def test_bloom_prefilter_fast_hash_same_result(spark):
     assert slow == fast == sorted(range(0, 500, 11))
 
 
-def test_gini_known_distributions(spark):
+def test_gini_known_distributions(spark, tmp_path):
     from solana_etl_spark.queries import all_queries
-    import tempfile, os
+    import os
 
     # equal sizes -> G = 0; one doc owns (almost) everything -> G -> 1
-    d = tempfile.mkdtemp(prefix="gini_")
+    d = str(tmp_path)
     rows = (
         [(i, "x", "eq", "s", 100) for i in range(4)]
         + [(10, "x", "sk", "s", 1), (11, "x", "sk", "s", 1),
