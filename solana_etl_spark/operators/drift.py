@@ -224,6 +224,7 @@ def exact_ks(
     df_a: DataFrame,
     df_b: DataFrame,
     value_col: str = "value",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov-Smirnov statistic — the unbinned
     complement of :func:`drift_report`'s histogram KS (which under-reports
@@ -240,38 +241,66 @@ def exact_ks(
     and ``ks_stat``'s 6-decimal precision is unaffected either way.
 
     Scale shape: one distributed groupBy collapses the data to the
-    DISTINCT-VALUE grain (per-value a/b counts, map-side combined); only
-    that value histogram — bounded by the value domain, not the row
-    count — passes through the single cumulative window. For unbounded
-    continuous domains at 100 TB, use :func:`drift_report`'s fixed-bin
-    variant; this is the exact-answer tool for the (common) case where
-    the compared feature has bounded cardinality (prices in cents,
-    lengths, scores).
+    DISTINCT-VALUE grain (per-value a/b counts, map-side combined); the
+    cumulative ECDF sums then run as a TWO-PHASE prefix sum over sampled
+    range buckets (operators/prefix.py) — a partitioned per-bucket
+    window plus broadcast bucket offsets — so even an unbounded
+    continuous domain, where the distinct-value grain equals the row
+    count, never funnels through one reducer. Split sampling costs one
+    approxQuantile pass over the unioned values; split choice affects
+    load balance only, never the statistic.
+
+    Empty inputs (documented contract): if exactly one side has zero
+    non-null rows the sup gap is vacuous, so ``ks_stat`` is NULL (and
+    ``ks_num`` 0) rather than the silent 0/0 NaN; if BOTH sides are
+    empty the histogram is empty and the result has zero rows.
     """
+    from solana_etl_spark.operators.prefix import (
+        N_RANGE_BUCKETS,
+        exclusive_offsets,
+        quantile_splits,
+        range_bucket,
+    )
+
+    if n_buckets is None:
+        n_buckets = N_RANGE_BUCKETS
     a = df_a.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb")
     )
     b = df_b.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("v"), F.lit(0).alias("ca"), F.lit(1).alias("cb")
     )
+    union = a.unionByName(b)
+    splits = quantile_splits(union, "v", n_buckets)
     hist = (
-        a.unionByName(b)
-        .groupBy("v")
+        union.groupBy("v")
         .agg(F.sum("ca").alias("na_v"), F.sum("cb").alias("nb_v"))
+        .withColumn("_bkt", range_bucket(F.col("v"), splits))
     )
     w = (
-        Window.orderBy("v")
+        Window.partitionBy("_bkt")
+        .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    offs = exclusive_offsets(hist, ["na_v", "nb_v"])
     totals = hist.agg(
         F.sum("na_v").cast("long").alias("n_a"),
         F.sum("nb_v").cast("long").alias("n_b"),
     )
     d38 = "decimal(38,0)"
-    gaps = hist.select(
-        F.sum("na_v").over(w).cast("long").alias("cum_a"),
-        F.sum("nb_v").over(w).cast("long").alias("cum_b"),
-    ).crossJoin(F.broadcast(totals))
+    gaps = (
+        hist.select(
+            "_bkt",
+            F.sum("na_v").over(w).cast("long").alias("_la"),
+            F.sum("nb_v").over(w).cast("long").alias("_lb"),
+        )
+        .join(F.broadcast(offs), "_bkt")
+        .select(
+            (F.col("_la") + F.col("_off_na_v")).alias("cum_a"),
+            (F.col("_lb") + F.col("_off_nb_v")).alias("cum_b"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
     return gaps.select(
         "n_a",
         "n_b",
@@ -285,9 +314,15 @@ def exact_ks(
         "n_a",
         "n_b",
         "ks_num",
-        F.round(
-            F.col("ks_num")
-            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-            6,
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("ks_num")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            ),
         ).alias("ks_stat"),
     )

@@ -1,0 +1,116 @@
+"""Two-phase distributed prefix sums over sampled range buckets.
+
+The pattern every exact order-statistics operator here shares (exact KS,
+exact Gini): a cumulative sum over a sorted domain, computed WITHOUT an
+unpartitioned global window. A ``Window.orderBy(...)`` with no partition
+spec moves every row through ONE task — fine on a 16-row histogram,
+fatal on a continuous 100 TB feature where the distinct-value grain IS
+the row count. The standard fix is a two-phase prefix sum:
+
+1. **Bucket** the sort key into contiguous ranges using split points from
+   one ``approxQuantile`` pass (Greenwald-Khanna, driver state = the
+   split list, ≤ ``n_buckets`` doubles). Split choice affects only load
+   balance, never results — all rows with equal keys land in one bucket
+   and buckets are monotone in the key.
+2. **Local** cumulative window per bucket (``partitionBy(bucket)`` — runs
+   on ~``n_buckets`` parallel tasks), plus per-bucket totals reduced to an
+   EXCLUSIVE prefix via a broadcast inequality self-join over the tiny
+   bucket-grain aggregate (≤ groups × n_buckets rows — a bounded
+   BroadcastNestedLoopJoin, the window-free way to prefix-sum a
+   literal-sized table). Global cumulative = local cumulative + the
+   bucket's broadcast offset.
+
+Identical output to the single-window form, bit for bit — the oracles of
+every caller are unchanged; ``tests/test_plan_shape.py`` guards that no
+caller plans an unpartitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_RANGE_BUCKETS = 64
+
+
+def quantile_splits(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = N_RANGE_BUCKETS,
+    relative_error: float | None = None,
+) -> list[float]:
+    """Range split points for ``col`` balancing ROW mass across
+    ``n_buckets`` buckets: one approxQuantile pass, deduped or empty.
+    Non-numeric / empty inputs degrade to ``[]`` (single bucket) — the
+    caller's plan shape is unchanged, only its parallelism."""
+    if n_buckets <= 1:
+        return []
+    if relative_error is None:
+        relative_error = 1.0 / (4 * n_buckets)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    try:
+        qs = df.approxQuantile(col, probs, relative_error)
+    except Exception:
+        return []
+    return sorted({float(q) for q in qs})
+
+
+def range_bucket(col: Column, splits: list[float]) -> Column:
+    """Bucket id = number of splits strictly below ``col`` — a chained
+    sum of comparisons against literal split points (plain codegen
+    arithmetic; deliberately NOT an ``F.aggregate`` lambda, whose
+    NamedLambdaVariables canonicalize unstably under exchange reuse and
+    can fail attribute binding in self-joined plans). Monotone in the
+    key and constant across equal keys, so per-bucket order + bucket
+    offsets reproduce the global order exactly."""
+    if not splits:
+        return F.lit(0)
+    out = F.lit(0)
+    for s in splits:
+        out = out + F.when(col > float(s), 1).otherwise(0)
+    return out
+
+
+def exclusive_offsets(
+    bucketed: DataFrame,
+    measures: list[str],
+    bucket_col: str = "_bkt",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per (group, bucket) EXCLUSIVE prefix totals ``_off_<m>`` for each
+    measure: the broadcast inequality self-join over the bucket-grain
+    aggregate. Both join sides are ≤ groups × n_buckets rows (the
+    broadcast side is ~KB), so the nested-loop expansion is bounded at
+    n_buckets² per group — deliberately window-free."""
+    agg = bucketed.groupBy(*group_cols, bucket_col).agg(
+        *[F.sum(m).alias(f"_t_{m}") for m in measures]
+    )
+    left = agg.select(
+        *[F.col(g).alias(f"_l_{g}") for g in group_cols],
+        F.col(bucket_col).alias("_l_bkt"),
+        *[F.col(f"_t_{m}").alias(f"_l_{m}") for m in measures],
+    )
+    cond = F.col("_l_bkt") < F.col(bucket_col)
+    for g in group_cols:
+        cond = (F.col(f"_l_{g}") == F.col(g)) & cond
+    out = (
+        agg.join(F.broadcast(left), cond, "left")
+        .groupBy(*group_cols, bucket_col)
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_l_{m}"), F.lit(0))
+                .cast("long")
+                .alias(f"_off_{m}")
+                for m in measures
+            ]
+        )
+    )
+    # re-alias the key columns to FRESH attributes: the caller joins this
+    # result back onto the same `bucketed` lineage, and grouping columns
+    # keep their input exprIds — without this, the self-join resolves the
+    # shared attribute to the wrong side (ATTRIBUTE_NOT_FOUND at runtime)
+    return out.select(
+        *[F.col(g).alias(g) for g in group_cols],
+        F.col(bucket_col).alias(bucket_col),
+        *[F.col(f"_off_{m}") for m in measures],
+    )

@@ -10731,8 +10731,10 @@ def dq_drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/drift.py exact_ks): sup-norm ECDF gap with the numerator
     kept in cross-multiplied integers — the unbinned complement of
     dq_drift_psi's histogram metrics (which can smear a gap inside one
-    bin). One distributed value-grain groupBy, then a window over the
-    distinct-value histogram only. local_only: driver cap."""
+    bin). One distributed value-grain groupBy, then the two-phase
+    range-bucketed prefix sum (operators/prefix.py) — no unpartitioned
+    window anywhere, so a continuous domain whose distinct-value grain
+    equals the row count still runs wide. local_only: driver cap."""
     from solana_etl_spark.operators.drift import exact_ks
 
     e = _t(spark, sf_dir, "events")
@@ -10833,29 +10835,64 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of document mass per language — the data-mix
     inequality diagnostic (is one source's token budget dominated by a
     few huge documents?): G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) over
-    ascending-sorted sizes with deterministic (size, doc_id) ranks.
-    Rank products and sums stay exact integers (DECIMAL(38,0) here,
-    HUGEINT in the oracle — the a23 recipe) with ONE double conversion
-    before the closed-form ratio. One rank window per language + one
-    rollup; exact Gini needs in-group ranks, so at 100 TB unbounded
-    groups use the histogram-binned approximation (operators/drift.py's
-    binning) — this is the exact-answer tool at per-source grain.
-    local_only: driver cap."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
-    i = F.row_number().over(
-        Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ascending-sorted sizes (ranks tie-broken by doc_id in the oracle; the
+    Σi·x sum is invariant under any tie order, since permuting ranks
+    among equal x only reshuffles i within one x factor).
+
+    Scale shape — NO per-language rank window (the dominant language
+    would sort on one reducer): sizes collapse to the (lang, size)
+    distinct grain first, where a tie run of ``cnt`` docs at size ``x``
+    starting after ``prev`` earlier docs contributes
+    x · (cnt·prev + cnt·(cnt+1)/2) exactly. ``prev`` comes from the
+    two-phase prefix sum (operators/prefix.py): per-(lang, range-bucket)
+    local cumulative window + broadcast bucket offsets, buckets from one
+    sampled-split pass. The triangular term keeps integer arithmetic
+    (``div 2`` on whichever of cnt/cnt+1 is even) and all products cast
+    to DECIMAL(38,0) BEFORE multiplying (int64 i·x would silently wrap
+    where DuckDB's BIGINT errors), with ONE double conversion before the
+    closed-form ratio — the a23 recipe. local_only: driver cap."""
+    from solana_etl_spark.operators.prefix import (
+        exclusive_offsets,
+        quantile_splits,
+        range_bucket,
     )
-    r = docs.select(
-        "lang",
-        F.col("n_chars").cast("long").alias("x"),
-        i.alias("i"),
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    splits = quantile_splits(docs, "n_chars")
+    g = (
+        docs.select("lang", F.col("n_chars").cast("long").alias("x"))
+        .groupBy("lang", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_bkt", range_bucket(F.col("x"), splits))
+    )
+    offs = exclusive_offsets(g, ["cnt"], group_cols=("lang",))
+    wloc = (
+        Window.partitionBy("lang", "_bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d38 = "decimal(38,0)"
-    s = r.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("x").cast(d38)).cast("long").alias("total_chars"),
-        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
-        F.sum((F.col("i") * F.col("x")).cast(d38)).cast("double").alias("six"),
+    ranked = (
+        g.withColumn("_lc", F.sum("cnt").over(wloc))
+        .join(F.broadcast(offs), ["lang", "_bkt"])
+        .withColumn(
+            "_prev", F.col("_lc") - F.col("cnt") + F.col("_off_cnt")
+        )
+    )
+    cnt_d = F.col("cnt").cast(d38)
+    # Σ ranks of the tie run = cnt·prev + cnt·(cnt+1)/2; one of cnt,
+    # cnt+1 is even, so the halving stays integral (no decimal division)
+    tri = F.when(
+        F.col("cnt") % 2 == 0,
+        F.expr("cnt div 2").cast(d38) * (F.col("cnt") + 1).cast(d38),
+    ).otherwise(cnt_d * F.expr("(cnt + 1) div 2").cast(d38))
+    rank_sum = cnt_d * F.col("_prev").cast(d38) + tri
+    x_d = F.col("x").cast(d38)
+    s = ranked.groupBy("lang").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum(x_d * cnt_d).cast("long").alias("total_chars"),
+        F.sum(x_d * cnt_d).cast("double").alias("sx"),
+        F.sum(x_d * rank_sum).cast("double").alias("six"),
     )
     gini = (2 * F.col("six") - (F.col("n_docs") + 1) * F.col("sx")) / (
         F.col("n_docs") * F.col("sx")

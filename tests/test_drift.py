@@ -79,3 +79,31 @@ def test_drift_report_empty_reference_fails_loudly(spark):
     # (reviewed bug)
     with pytest.raises(SparkRuntimeException, match="refusing to score"):
         drift_report(empty, empty, "n_chars").collect()
+
+
+def test_exact_ks_empty_side_contract(spark):
+    """Documented empty-input behavior: one empty side -> ks_stat NULL
+    (never the silent 0/0 NaN), ks_num 0; both empty -> zero rows."""
+    from solana_etl_spark.operators.drift import exact_ks
+
+    some = spark.createDataFrame([(1.0,), (2.0,)], ["value"])
+    empty = spark.createDataFrame([], "value double")
+    row = exact_ks(some, empty).collect()[0]
+    assert (row["n_a"], row["n_b"], row["ks_num"]) == (2, 0, 0.0)
+    assert row["ks_stat"] is None
+    row = exact_ks(empty, some).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (0, 2)
+    assert row["ks_stat"] is None
+    assert exact_ks(empty, empty).collect() == []
+
+
+def test_exact_ks_bucket_count_invariant(spark):
+    """Split-point choice balances load only: 1 bucket and many buckets
+    give the identical statistic."""
+    from solana_etl_spark.operators.drift import exact_ks
+
+    a = spark.createDataFrame([(float(i % 13),) for i in range(200)], ["value"])
+    b = spark.createDataFrame([(float(i % 17),) for i in range(150)], ["value"])
+    one = exact_ks(a, b, n_buckets=1).collect()[0]
+    many = exact_ks(a, b, n_buckets=32).collect()[0]
+    assert one == many

@@ -341,3 +341,30 @@ def test_bloom_prefilter_runs_below_the_join(spark):
     join_at = logical.index("Join")
     bloom_at = logical.index("shiftleft")
     assert join_at < bloom_at  # filter expression is INSIDE the join subtree
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """Window specs whose FIRST argument is already the sort column —
+    i.e. no partition columns before it — in formatted-plan text:
+    ``windowspecdefinition(v#1L ASC ...`` vs the partitioned
+    ``windowspecdefinition(_bkt#5, v#1L ASC ...``."""
+    import re
+
+    return re.findall(r"windowspecdefinition\(\S+ (?:ASC|DESC)", plan)
+
+
+def test_exact_ks_and_gini_windows_are_partitioned(spark):
+    """The exact-KS and exact-Gini prefix sums must run as the two-phase
+    range-bucketed form (operators/prefix.py): every window in either
+    plan carries a partition spec — an unpartitioned ``orderBy`` window
+    would funnel the whole distinct-value grain through ONE task, the
+    r6-flagged single-reducer scale-killer."""
+    from solana_etl_spark.queries import all_queries
+
+    for name in ("dq_drift_ks_exact", "a24_gini_concentration"):
+        plan = _formatted(
+            all_queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        assert "windowspecdefinition" in plan, name
+        assert not _unpartitioned_window_specs(plan), name
+        assert "_bkt" in plan, name
