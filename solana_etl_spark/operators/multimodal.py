@@ -487,6 +487,10 @@ def frame_signatures(
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # skip NULL payloads like the other kernels — one null
+                    # row must not TypeError the whole mapInPandas job
+                    continue
                 n_frames = (len(payload) + frame_size - 1) // frame_size
                 for i in range(n_frames):
                     ids.append(media_id)

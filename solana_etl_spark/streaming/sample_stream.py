@@ -35,7 +35,10 @@ from pyspark.sql.streaming import StreamingQuery
 from solana_etl_spark.functions.hashing import hash64
 
 SAMPLE_N = 100
-_STATE_SCHEMA = "doc_id long, sample_rank long"
+
+
+def _state_schema(key_type: str) -> str:
+    return f"doc_id {key_type}, sample_rank long"
 
 
 def sample_rank(key: Column) -> Column:
@@ -44,13 +47,18 @@ def sample_rank(key: Column) -> Column:
 
 
 def read_sample(
-    spark: SparkSession, state_dir: str, before_batch: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int | None = None,
+    key_type: str = "long",
 ) -> DataFrame:
     """The current sample: the newest committed ``batch=k`` state (or the
     newest with k < before_batch, which a retrying batch uses so it never
     reads its own first attempt). Only the nonexistence of the state dir
     is tolerated (first batch); the max-batch probe is a 1-row driver
-    scalar, like every bounded-state collect in this repo."""
+    scalar, like every bounded-state collect in this repo. ``key_type``
+    shapes the empty no-state-yet frame so non-long keys (string ids)
+    union cleanly with their first batch."""
     try:
         df = spark.read.option("basePath", state_dir).parquet(state_dir)
     except AnalysisException as e:
@@ -65,16 +73,40 @@ def read_sample(
             or "Path does not exist" in str(e)
             or "UNABLE_TO_INFER_SCHEMA" in str(e)
         ):
-            return spark.createDataFrame([], _STATE_SCHEMA)
+            return spark.createDataFrame([], _state_schema(key_type))
         raise
     if before_batch is not None:
         df = df.filter(F.col("batch") < before_batch)
     latest = df.agg(F.max("batch")).first()[0]
     if latest is None:
-        return spark.createDataFrame([], _STATE_SCHEMA)
+        return spark.createDataFrame([], _state_schema(key_type))
     return df.filter(F.col("batch") == latest).select(
         "doc_id", "sample_rank"
     )
+
+
+def _prune_state(spark: SparkSession, state_dir: str, keep_from: int) -> None:
+    """Delete ``batch=k`` state versions with k < keep_from. Called after
+    a successful write with keep_from = batch_id − 1: the predecessor
+    stays (a retry of batch_id re-reads it and converges), everything
+    older is dead weight — without this a long-running stream accumulates
+    one partition per micro-batch and read_sample's listing cost grows
+    without bound. Hadoop FS API so any object store works."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b < keep_from:
+            fs.delete(status.getPath(), True)
 
 
 def update_sample_batch(
@@ -93,7 +125,10 @@ def update_sample_batch(
         F.col(key_col).alias("doc_id"),
         sample_rank(F.col(key_col)).alias("sample_rank"),
     )
-    prev = read_sample(spark, state_dir, before_batch=batch_id)
+    key_type = batch_df.schema[key_col].dataType.simpleString()
+    prev = read_sample(
+        spark, state_dir, before_batch=batch_id, key_type=key_type
+    )
     new_state = (
         ranked.unionByName(prev)
         .distinct()
@@ -103,6 +138,7 @@ def update_sample_batch(
     new_state.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch={batch_id}")
     )
+    _prune_state(spark, state_dir, keep_from=batch_id - 1)
 
 
 def start_streaming_sample(

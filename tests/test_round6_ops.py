@@ -310,3 +310,17 @@ def test_gini_known_distributions(spark, tmp_path):
     assert got["eq"] == (4, 0.0)
     # exact: x=(1,1,9998): G = (2*29997 - 4*10000)/(3*10000) = 19994/30000
     assert got["sk"][1] == 0.666467
+
+
+def test_frame_signatures_skip_null_payload(spark):
+    """A NULL payload row is skipped, like the other multimodal kernels —
+    it must not TypeError the whole mapInPandas job."""
+    from solana_etl_spark.operators.multimodal import frame_signatures
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x01" * 40)), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = frame_signatures(media, frame_size=16).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    assert len(rows) == 3  # ceil(40/16)

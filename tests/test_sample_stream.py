@@ -77,3 +77,53 @@ def test_sample_stream_restart_converges_to_batch(spark, tmp_path):
     )
     assert got2 == _batch_expected(spark, ids1 + ids2)
     assert len(got2) == N
+
+
+def test_sample_batch_string_keys(spark, tmp_path):
+    """State schema derives from the batch key type — string ids must
+    work end-to-end, not just the long default."""
+    from solana_etl_spark.streaming.sample_stream import (
+        read_sample,
+        update_sample_batch,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(f"u{i}",) for i in range(40)], ["doc_id"])
+    b1 = spark.createDataFrame([(f"v{i}",) for i in range(40)], ["doc_id"])
+    update_sample_batch(spark, b0, state, 0, n=N)
+    update_sample_batch(spark, b1, state, 1, n=N)
+    got = read_sample(spark, state, key_type="string").collect()
+    assert len(got) == N
+    assert all(isinstance(r["doc_id"], str) for r in got)
+    expected = _batch_expected(spark, [f"u{i}" for i in range(40)]
+                               + [f"v{i}" for i in range(40)])
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in got) == expected
+
+
+def test_sample_state_pruned_to_two_versions(spark, tmp_path):
+    """Old state partitions are deleted after each successful write:
+    only batch=k and its predecessor survive (the predecessor stays for
+    retry convergence), so a long-running stream's state listing stays
+    O(1) instead of one partition per micro-batch."""
+    from solana_etl_spark.streaming.sample_stream import (
+        read_sample,
+        update_sample_batch,
+    )
+
+    state = tmp_path / "state"
+    for bid in range(5):
+        df = spark.createDataFrame(
+            [(bid * 100 + i,) for i in range(30)], ["doc_id"]
+        )
+        update_sample_batch(spark, df, str(state), bid, n=N)
+    kept = sorted(
+        p.name for p in state.iterdir() if p.name.startswith("batch=")
+    )
+    assert kept == ["batch=3", "batch=4"]
+    # the sample itself is still the full-prefix sample
+    got = read_sample(spark, str(state)).collect()
+    assert len(got) == N
+    expected = _batch_expected(
+        spark, [b * 100 + i for b in range(5) for i in range(30)]
+    )
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in got) == expected
