@@ -66,12 +66,21 @@ def _mg_partition(key_col: str, k: int):
     return run
 
 
+# Above this many distinct candidates the exact-verify semi-join stops
+# broadcasting: k·n_partitions candidates are usually tiny, but at 10^6
+# partitions with k=1000 the "bounded" union is a 10^9-row broadcast that
+# would OOM the driver — past the cap the semi-join SHUFFLES instead
+# (same rows out, one extra exchange of the candidate keys only).
+BROADCAST_CANDIDATE_CAP = 1_000_000
+
+
 def frequent_items(
     df: DataFrame,
     key_col: str,
     phi_num: int = 1,
     phi_den: int = 1000,
     min_count: int | None = None,
+    broadcast_cap: int = BROADCAST_CANDIDATE_CAP,
 ) -> DataFrame:
     """Exact (key, n_rows) for every key with count >= threshold, found
     with O(phi_den/phi_num) memory per task and a candidate-sized shuffle.
@@ -82,7 +91,12 @@ def frequent_items(
     threshold tracks corpus growth instead of going stale). An explicit
     ``min_count`` must sit at or above the phi boundary (checked — the MG
     superset guarantee covers nothing below it).
-    """
+
+    The exact-verify semi-join broadcasts the candidate set while it is
+    ≤ ``broadcast_cap`` distinct keys (counted first — one aggregate over
+    the already-sketched candidate grain) and falls back to a shuffled
+    semi-join beyond it; the result is identical either way, so the
+    oracle doesn't change."""
     k = math.ceil(phi_den / phi_num)
     candidates = (
         df.select(key_col)
@@ -100,10 +114,15 @@ def frequent_items(
             f"min_count={threshold} below the MG guarantee boundary "
             f"ceil(phi*N)={boundary}: raise min_count or lower phi"
         )
-    # exact verify: count ONLY candidate rows (broadcast semi-join — the
-    # candidate set is ≤ k * n_partitions rows by construction)
+    # exact verify: count ONLY candidate rows. Candidates are ≤
+    # k · n_partitions rows by construction — broadcast when that's
+    # actually small, shuffle when a massive partition count makes it not
+    n_cand = candidates.count()
+    probe = (
+        F.broadcast(candidates) if n_cand <= broadcast_cap else candidates
+    )
     return (
-        df.join(F.broadcast(candidates), key_col, "left_semi")
+        df.join(probe, key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") >= threshold)

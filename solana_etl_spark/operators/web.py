@@ -88,16 +88,19 @@ PSL_RULES: tuple[str, ...] = (
 )
 
 
-def psl_rows() -> list[tuple[str, int, int | None, int | None, int | None]]:
-    """:data:`PSL_RULES` normalized to join-table rows
-    ``(rkey, klab, ps_exact, ps_wild, ps_exc)``: ``rkey`` is the
-    matchable suffix (wildcard/exception markers stripped), ``klab`` its
-    label count, and each ``ps_*`` the public-suffix label count a match
-    of that kind implies (exact → klab, wildcard → klab+1 provided the
-    host HAS a child label, exception → klab−1). One row per key; a key
-    carrying several rule kinds folds into one row."""
+def psl_rows(
+    rules: tuple[str, ...] | None = None,
+) -> list[tuple[str, int, int | None, int | None, int | None]]:
+    """``rules`` (default :data:`PSL_RULES`; pass a full publicsuffix.org
+    snapshot parsed to its rule lines for production) normalized to
+    join-table rows ``(rkey, klab, ps_exact, ps_wild, ps_exc)``: ``rkey``
+    is the matchable suffix (wildcard/exception markers stripped),
+    ``klab`` its label count, and each ``ps_*`` the public-suffix label
+    count a match of that kind implies (exact → klab, wildcard → klab+1
+    provided the host HAS a child label, exception → klab−1). One row
+    per key; a key carrying several rule kinds folds into one row."""
     rows: dict[str, dict] = {}
-    for rule in PSL_RULES:
+    for rule in rules if rules is not None else PSL_RULES:
         if rule.startswith("!"):
             key, kind = rule[1:], "exc"
         elif rule.startswith("*."):
@@ -165,12 +168,16 @@ def bare_host(url: Column) -> Column:
     return F.regexp_replace(_host(url), r":[0-9]+$", "")
 
 
-def psl_rules_df(spark, klab: int | None = None) -> DataFrame:
-    """The vendored PSL as a (tiny) dimension table —
+def psl_rules_df(
+    spark, klab: int | None = None, rules: tuple[str, ...] | None = None
+) -> DataFrame:
+    """The PSL as a (tiny) dimension table —
     (rkey, klab, ps_exact, ps_wild, ps_exc); optionally just the rules
     with ``klab`` labels. This is what ships to executors via
-    ``F.broadcast`` in :func:`with_registrable_domain`."""
-    rows = psl_rows()
+    ``F.broadcast`` in :func:`with_registrable_domain`. The full ~9k-rule
+    publicsuffix.org snapshot is ~300 KB as rows — still far below any
+    broadcast threshold."""
+    rows = psl_rows(rules)
     if klab is not None:
         rows = [r for r in rows if r[1] == klab]
     return spark.createDataFrame(
@@ -180,7 +187,10 @@ def psl_rules_df(spark, klab: int | None = None) -> DataFrame:
 
 
 def with_registrable_domain(
-    pages: DataFrame, url_col: str = "url", out_col: str = "domain"
+    pages: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    rules: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """pages + ``out_col`` = the PSL registrable domain of each row's URL
     (``''`` when the host has no registrable domain — it IS a public
@@ -200,7 +210,7 @@ def with_registrable_domain(
     side streams through map-side joins, so the stage stays map-only at
     any corpus size."""
     spark = pages.sparkSession
-    depths = sorted({r[1] for r in psl_rows()})
+    depths = sorted({r[1] for r in psl_rows(rules)})
     host = bare_host(F.col(url_col))
     out = pages.withColumn("_harr", F.split(host, r"\.")).withColumn(
         "_hn", F.size("_harr")
@@ -209,7 +219,7 @@ def with_registrable_domain(
     for d in depths:
         sfx = F.when(n >= d, F.array_join(F.slice("_harr", -d, d), "."))
         rdf = (
-            psl_rules_df(spark, klab=d)
+            psl_rules_df(spark, klab=d, rules=rules)
             .select(
                 F.col("rkey").alias(f"_k{d}"),
                 F.col("ps_exact").alias(f"_pse{d}"),

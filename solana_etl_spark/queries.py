@@ -86,35 +86,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # The EXTERNAL driver gate certifies at most 50 rows per round, so the
 # driver-facing registry is this curated 50: one strong representative
 # per operator family, rotated each round toward the newest unguarded
-# surface (r6 late rotation: +ann_sq8_topk for sim_neardup_pairs — the
-# SQ8 integer-score cut is the stronger ANN check, neardup's bucket
-# scheme is sim_ann_bucketed's; +mm_scene_cuts for mm_decode_features —
-# real-decode already certified via mm_phash_dedup; +j11_bloom_prefilter
-# _join for t3_explode_json — x1_semantic_extract exercises the same
-# JSON-path parse. Earlier r6 rotation: +dedup_lsh_jaccard,
-# dedup_url_keep_best, pipeline_web_clean, pipeline_pretrain_e2e,
-# text_unigram_encode, pipeline_wordpiece_pack, mm_phash_dedup,
-# stream_corpus_pipeline, stream_web_pipeline. Every retired row stays
-# under the 200+-row local gate, scripts/check_oracle.py).
+# surface.
+#
+# r7 rotation (VERDICT r6 tasks 2 + 7) — IN: the whole round-6 op
+# surface that only the local gate had certified (a22_grouping_sets,
+# w5_rank_family, ts_rolling, st_rfm, dq_impute_median, ann_rp_topk,
+# a23_exact_corr, dedup_star_edges, stream_reservoir_sample,
+# graph_pagerank, sketch_frequent_tokens) plus the two-phase-prefix-sum
+# rewrites this round certifies (dq_drift_ks_exact,
+# a24_gini_concentration). OUT, each shadowed by a stronger surviving
+# row and still under the 200+-row local gate
+# (scripts/check_oracle.py): a13_percentiles (a12_rollup),
+# text_winnow_fingerprint (text_token_stats), dedup_bloom_probe +
+# m11_string_funcs (j11_bloom_prefilter_join exercises bloom + string
+# paths), s1_hash_sample (stream_reservoir_sample is the stronger
+# deterministic-sample check), dedup_minhash_lsh_pairs + dedup_simhash
+# (dedup_lsh_jaccard runs sigs→bands→exact end-to-end; dedup_star_edges
+# covers the band-bucket path), q3_topk_revenue (w1_topk_per_group),
+# f6_anti_join (set_ops' EXCEPT is the same anti shape),
+# a14_kmv_distinct (sketch_frequent_tokens certifies the sketch
+# family), stream_web_pipeline (stream_corpus_pipeline + the web rows),
+# pipeline_clean_corpus (pipeline_pretrain_e2e contains it),
+# sim_ann_bucketed (ann_sq8/ann_rp/sim_cosine span the ANN family).
+# Earlier rotations: see git history of this block.
 DRIVER_ROWS: tuple[str, ...] = (
-    "q1_pricing_summary", "q3_topk_revenue", "q5_revenue_by_nation",
+    "q1_pricing_summary", "q5_revenue_by_nation",
     "q6_forecast_revenue", "f1_filter_project", "f4_exists_semijoin",
-    "f6_anti_join", "a9_conditional_rollup", "m1_balance_modes",
+    "a9_conditional_rollup", "m1_balance_modes",
     "j2_full_outer_coalesce", "j6_asof_join", "j7_range_join",
     "m8_bucket_rollup", "w1_topk_per_group", "set_ops", "a12_rollup",
     "j11_bloom_prefilter_join", "x1_semantic_extract",
-    "mine_bitext_margin", "dedup_bloom_probe",
-    "a13_percentiles", "m11_string_funcs", "dedup_exact",
-    "dedup_minhash_lsh_pairs", "dedup_clusters", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_url_keep_best",
-    "pipeline_clean_corpus", "pipeline_web_clean", "pipeline_pretrain_e2e",
-    "sim_cosine_topk", "ann_sq8_topk", "sim_ann_bucketed",
-    "text_token_stats", "text_quality",
-    "text_winnow_fingerprint", "text_unigram_encode",
-    "pipeline_wordpiece_pack", "a15_pivot", "s1_hash_sample",
-    "a14_kmv_distinct", "mm_scene_cuts", "mm_audio_fp_dedup",
+    "mine_bitext_margin", "dedup_exact", "dedup_clusters",
+    "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_star_edges",
+    "dedup_url_keep_best",
+    "pipeline_web_clean", "pipeline_pretrain_e2e",
+    "sim_cosine_topk", "ann_sq8_topk", "ann_rp_topk",
+    "text_token_stats", "text_quality", "text_unigram_encode",
+    "pipeline_wordpiece_pack", "a15_pivot",
+    "a22_grouping_sets", "w5_rank_family", "ts_rolling", "st_rfm",
+    "dq_impute_median", "dq_drift_ks_exact", "a23_exact_corr",
+    "a24_gini_concentration", "sketch_frequent_tokens",
+    "graph_pagerank", "stream_reservoir_sample",
+    "mm_scene_cuts", "mm_audio_fp_dedup",
     "mm_phash_dedup", "st_sessionize", "solana_e2e",
-    "stream_corpus_pipeline", "stream_web_pipeline",
+    "stream_corpus_pipeline",
 )
 
 

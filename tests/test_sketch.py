@@ -60,3 +60,25 @@ def test_frequent_items_rejects_min_count_below_boundary(spark):
     # boundary = ceil(0.05 * 1000) = 50
     with pytest.raises(ValueError, match="guarantee boundary"):
         frequent_items(df, "k", 5, 100, min_count=10)
+
+
+def test_frequent_items_shuffle_fallback_same_result(spark):
+    """broadcast_cap below the candidate count forces the shuffled
+    semi-join (no driver-side candidate broadcast); results identical."""
+    df = _skewed_df(spark, 8)
+    fallback = frequent_items(df, "k", 5, 100, broadcast_cap=1)
+    got = sorted(map(tuple, fallback.collect()))
+    want = sorted(
+        map(tuple, frequent_items(df, "k", 5, 100).collect())
+    )
+    assert got == want == [("hot", 400), ("warm", 100)]
+    # the static plan must not FORCE a broadcast (AQE may still choose
+    # one at runtime when it measures the candidate set is small — the
+    # cap only removes the unconditional driver-side broadcast hint)
+    plan = fallback._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    forced = frequent_items(df, "k", 5, 100)
+    assert (
+        "BroadcastHashJoin"
+        in forced._jdf.queryExecution().sparkPlan().toString()
+    )

@@ -457,3 +457,69 @@ class TestHtmlExtract:
             .first()
         )
         assert row["t"] == expect
+
+
+def _full_psl_snapshot():
+    """A publicsuffix.org-scale rule list (~9k rules) in the list's own
+    grammar: the vendored subset verbatim (so every pinned behavior
+    holds) plus generated same-grammar rules across depths 1-5 with
+    wildcard/exception pairs — the swap-in shape a production deployment
+    loads from the full snapshot file."""
+    from solana_etl_spark.operators.web import PSL_RULES
+
+    rules = list(PSL_RULES)
+    rules += [f"tld{i}" for i in range(800)]                    # depth 1
+    rules += [f"reg{i}.tld{i % 800}" for i in range(6000)]      # depth 2
+    rules += [f"sub{i}.reg{i % 500}.tld{i % 300}" for i in range(1500)]
+    rules += [f"d4x{i}.sub{i}.reg{i}.tld{i % 100}" for i in range(400)]
+    rules += [f"d5x{i}.d4x{i}.sub{i}.reg{i}.tld{i % 50}" for i in range(100)]
+    rules += [f"*.wild{i}" for i in range(150)]                 # wildcards
+    rules += [f"!ok.wild{i}" for i in range(75)]                # exceptions
+    return tuple(rules)
+
+
+def test_full_scale_psl_snapshot_single_broadcast_plan(spark):
+    """The full ~9k-rule snapshot through psl_rows()'s table shape: the
+    registrable-domain lookup must stay broadcast-joins-only (zero data
+    shuffles) and produce the same pinned answers as the subset, plus
+    correct answers for generated deep/wildcard rules."""
+    from solana_etl_spark.operators.web import (
+        psl_rows,
+        with_registrable_domain,
+    )
+
+    rules = _full_psl_snapshot()
+    rows = psl_rows(rules)
+    assert len(rows) > 8900  # full-list scale
+    assert {r[1] for r in rows} == {1, 2, 3, 4, 5}
+
+    urls = [
+        (0, "https://a.co.uk/x"),
+        (1, "https://b.co.uk/x"),
+        (2, "https://deep.host.reg3.tld3/x"),        # depth-2 rule
+        (3, "https://a.d5x7.d4x7.sub7.reg7.tld7/x"),  # depth-5 rule
+        (4, "https://x.y.wild9/x"),                   # wildcard *.wild9
+        (5, "https://ok.wild9/x"),                    # exception !ok.wild9
+        (6, "https://plain.example-unlisted/x"),      # implicit * default
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = with_registrable_domain(df, rules=rules)
+    got = {r["doc_id"]: r["domain"] for r in out.collect()}
+    assert got[0] == "a.co.uk" and got[1] == "b.co.uk"
+    assert got[2] == "host.reg3.tld3"
+    assert got[3] == "a.d5x7.d4x7.sub7.reg7.tld7"
+    # *.wild9 makes y.wild9 the public suffix; registrable = one more label
+    assert got[4] == "x.y.wild9"
+    assert got[5] == "ok.wild9"      # exception: ok.wild9 itself registrable
+    assert got[6] == "plain.example-unlisted"
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # broadcast exchanges only — the data side must never shuffle
+    assert "Exchange hashpartitioning" not in plan
