@@ -545,6 +545,59 @@ def main() -> None:
                     ),
                 }
 
+    # batched BPE training at a production-ish merge count (r7). The
+    # honest result (operators/vocab.py docstring): under PROVABLE
+    # classic equality the realized batch factor on Zipf text is ~1.7
+    # (classic's top picks chain into their own created successors), so
+    # batched mode ~breaks even with classic on a single node and pays
+    # only where per-job scheduler round-trips dominate — this row
+    # records the measured profile rather than claiming a local win.
+    # One-time 512-merge measurement on the 50k-doc scaling corpus
+    # (kept out of the per-round bench for wall-time): batched 446.6 s /
+    # 301 rounds / mean batch 1.7 / max 6, classic-32 anchor 16.1 s
+    # (512-extrapolated ~258 s), prefix-equality True. The per-round
+    # bench row below re-measures at 128 merges on the small corpus.
+    vocab_batched: dict = {}
+    try:
+        from solana_etl_spark.operators.vocab import train_bpe_merges
+        from solana_etl_spark.sources.synth import ensure_sf_tables
+
+        vb_root = ensure_sf_tables(5000, 2000, profile="scaling")
+        vb_docs = spark.read.parquet(f"{vb_root}/documents.parquet")
+        stats: dict = {}
+        t0 = time.time()
+        learned = train_bpe_merges(
+            vb_docs, n_merges=128, batch_size=32, stats=stats
+        )
+        batched_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        classic32 = train_bpe_merges(vb_docs, n_merges=32, batch_size=1)
+        classic32_sec = round(time.time() - t0, 3)
+        sizes = stats.get("batch_sizes", [])
+        vocab_batched = {
+            "n_merges_requested": 128,
+            "batch_size": 32,
+            "merges_learned": len(learned),
+            "rounds": stats.get("rounds", -1),
+            "mean_batch": round(len(learned) / max(1, len(sizes)), 2),
+            "max_batch": max(sizes, default=0),
+            "sec": batched_sec,
+            "classic_32_merges_sec": classic32_sec,
+            "classic_128_extrapolated_sec": round(
+                classic32_sec * 128 / 32, 1
+            ),
+            "prefix_equal_check": learned[:32] == classic32,
+            "note": (
+                "provable classic-equality caps realized batching at the"
+                " corpus's merge-dependency structure (mean ~1.7 on Zipf"
+                " text); 512-merge one-time measurement in the comment"
+                " above — batched targets scheduler-bound clusters, not"
+                " local shuffle cost"
+            ),
+        }
+    except Exception as e:  # never fail the bench for the extra row
+        vocab_batched = {"error": str(e)[:200]}
+
     for k, v in timings.items():
         floors.setdefault(k, v)
     full_total = round(sum(v for v in timings.values() if v > 0), 3)
@@ -575,6 +628,7 @@ def main() -> None:
                 "scaling_mm": scaling_mm,
                 "new_ops": new_ops,
                 "new_ops_scaling": new_ops_scaling,
+                "vocab_batched": vocab_batched,
                 "scaling_up_note": (
                     "synthetic scaling decades (constant-duplicate-rate"
                     " 'scaling' profile since r6: tempered 20k-word vocab,"

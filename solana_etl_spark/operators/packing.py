@@ -34,6 +34,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     n_tokens: Column | None = None,
     shards_per_group: int = 1,
+    order_splits: list[float] | None = None,
 ) -> DataFrame:
     """One row per (document, packed sequence) it occupies.
 
@@ -49,7 +50,7 @@ def pack_sequences(
     (vocab.apply_bpe_replace) instead of the default whitespace/BPE-ish
     regex count; the packing accounting is tokenizer-agnostic.
 
-    ``shards_per_group`` > 1 is the 100 TB skew valve: the running-total
+    ``shards_per_group`` > 1 is a 100 TB skew valve: the running-total
     window serializes each pack group through ONE reducer, so a dominant
     group (lang='en' is ~90% of a web corpus) bounds the job. Sharding
     hashes each document into one of N (group, shard) streams
@@ -59,6 +60,15 @@ def pack_sequences(
     ~group/N. Training-sequence semantics are unchanged — concat-and-chunk
     never promised a global document order, only a deterministic one, and
     (group, shard, seq_id) is exactly as deterministic as (group, seq_id).
+
+    ``order_splits`` is the SEMANTICS-PRESERVING skew valve: range split
+    points over the order key (operators/prefix.py two-phase prefix sum
+    — per-(group, bucket) local cumulative window + broadcast exclusive
+    bucket offsets). The running totals, and therefore every seq_id /
+    offset, are BIT-IDENTICAL to the single-window form — the oracle is
+    unchanged — while the dominant group packs on ~n_buckets parallel
+    tasks. Callers supply the splits (one cheap approxQuantile over the
+    raw order-key column) so the upstream pipeline isn't computed twice.
     """
     from solana_etl_spark.functions.hashing import hash64
 
@@ -80,8 +90,33 @@ def pack_sequences(
         )
         part_cols.append("shard")
         shard_cols = ["shard"]
-    w = Window.partitionBy(*part_cols).orderBy(order_col)
-    with_cum = sel.withColumn("_end", F.sum("n_tokens").over(w))
+    if order_splits:
+        from solana_etl_spark.operators.prefix import (
+            exclusive_offsets,
+            range_bucket,
+        )
+
+        bucketed = sel.withColumn(
+            "_bkt", range_bucket(F.col(order_col), order_splits)
+        )
+        offs = exclusive_offsets(
+            bucketed, ["n_tokens"], group_cols=tuple(part_cols)
+        )
+        # same default RANGE frame as the single-window form, so tied
+        # order keys take identical cumulative values in both modes
+        wloc = Window.partitionBy(*part_cols, "_bkt").orderBy(order_col)
+        with_cum = (
+            bucketed.withColumn("_lend", F.sum("n_tokens").over(wloc))
+            .join(F.broadcast(offs), [*part_cols, "_bkt"])
+            .withColumn(
+                "_end",
+                (F.col("_lend") + F.col("_off_n_tokens")).cast("long"),
+            )
+            .drop("_bkt", "_lend", "_off_n_tokens")
+        )
+    else:
+        w = Window.partitionBy(*part_cols).orderBy(order_col)
+        with_cum = sel.withColumn("_end", F.sum("n_tokens").over(w))
     with_cum = with_cum.withColumn("_start", F.col("_end") - F.col("n_tokens"))
 
     first_seq = F.floor(F.col("_start") / budget)

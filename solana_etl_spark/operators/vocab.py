@@ -105,32 +105,258 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _triple_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol triples weighted by word freq — the batched-round
+    safety data: any pair CREATED by merging (a, b) has count bounded by
+    some adjacent triple (·, a, b) / (a, b, ·) count (each created-pair
+    occurrence contains a merge site with its left/right neighbor)."""
+    n = F.size("symbols")
+    triples = F.arrays_zip(
+        F.slice("symbols", 1, n - 2).alias("s1"),
+        F.slice("symbols", 2, n - 2).alias("s2"),
+        F.slice("symbols", 3, n - 2).alias("s3"),
+    )
+    return (
+        words.filter(n >= 3)
+        .select(F.explode(triples).alias("t"), "freq")
+        .groupBy(
+            F.col("t.s1").alias("s1"),
+            F.col("t.s2").alias("s2"),
+            F.col("t.s3").alias("s3"),
+        )
+        .agg(F.sum("freq").alias("cnt3"))
+    )
+
+
+def _candidate_adjacent_triple_counts(
+    words: DataFrame, cand: list
+) -> DataFrame:
+    """Triple counts restricted to triples adjacent to the candidate
+    pairs, with the adjacency filter pushed BELOW the shuffle: the
+    explode emits every triple but a literal key-set test drops
+    non-adjacent rows before they pay the exchange, so the triple job's
+    shuffle is candidate-bounded instead of corpus-trigram-bounded."""
+    keys = sorted({f"{r['a']}\x00{r['b']}" for r in cand})
+    n = F.size("symbols")
+    triples = F.arrays_zip(
+        F.slice("symbols", 1, n - 2).alias("s1"),
+        F.slice("symbols", 2, n - 2).alias("s2"),
+        F.slice("symbols", 3, n - 2).alias("s3"),
+    )
+    exploded = (
+        words.filter(n >= 3)
+        .select(F.explode(triples).alias("t"), "freq")
+        .select(
+            F.col("t.s1").alias("s1"),
+            F.col("t.s2").alias("s2"),
+            F.col("t.s3").alias("s3"),
+            "freq",
+        )
+    )
+    left_key = F.concat_ws("\x00", "s1", "s2")
+    right_key = F.concat_ws("\x00", "s2", "s3")
+    return (
+        exploded.filter(left_key.isin(keys) | right_key.isin(keys))
+        .groupBy("s1", "s2", "s3")
+        .agg(F.sum("freq").alias("cnt3"))
+    )
+
+
+def collect_adjacent_triples(
+    tri: DataFrame, cand: list, cap: int
+) -> tuple[list, int]:
+    """All triples (``tri``: s1, s2, s3, cnt3 rows) adjacent to the
+    candidate pairs (a triple matches a candidate (a, b) as (·, a, b) or
+    (a, b, ·)), sorted by count desc, limited to ``cap`` rows; second
+    value is the conservative floor for uncollected triples (0 unless
+    the collect hit ``cap``, in which case any uncollected adjacent
+    triple has count ≤ the smallest collected one)."""
+    spark = tri.sparkSession
+    cand_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["a"], r["b"]) for r in cand], "a string, b string"
+        )
+    )
+    left = tri.join(
+        cand_df,
+        (tri["s1"] == cand_df["a"]) & (tri["s2"] == cand_df["b"]),
+        "left_semi",
+    )
+    right = tri.join(
+        cand_df,
+        (tri["s2"] == cand_df["a"]) & (tri["s3"] == cand_df["b"]),
+        "left_semi",
+    )
+    rows = (
+        left.unionByName(right)
+        .distinct()
+        .orderBy(F.desc("cnt3"), "s1", "s2", "s3")
+        .limit(cap)
+        .collect()
+    )
+    floor = min((r["cnt3"] for r in rows), default=0) if len(rows) == cap else 0
+    return rows, floor
+
+
+def _adjacent_triples(
+    tri: DataFrame, cand: list, cap: int
+) -> tuple[dict[tuple[str, str], int], int]:
+    """{(a, b): max adjacent triple count} + uncollected floor — the BPE
+    batch policy's created-pair bound data."""
+    rows, floor = collect_adjacent_triples(tri, cand, cap)
+    candset = {(c["a"], c["b"]) for c in cand}
+    best: dict[tuple[str, str], int] = {}
+    for r in rows:
+        for key in ((r["s1"], r["s2"]), (r["s2"], r["s3"])):
+            if key in candset:
+                best[key] = max(best.get(key, 0), r["cnt3"])
+    return best, floor
+
+
+TRIPLE_COLLECT_CAP = 8192
+
+
+def _select_bpe_batch(
+    cand: list,
+    want: int,
+    known: set[str],
+    triple_best: dict[tuple[str, str], int],
+    triple_floor: int,
+) -> list[tuple[str, str]]:
+    """The conflict-free batch: the maximal CONTIGUOUS prefix of the
+    (cnt desc, a, b)-sorted candidates that is provably the same sequence
+    classic one-at-a-time training would pick. Candidate c_i joins the
+    batch iff
+
+    1. its symbols {a_i, b_i} and merged token m_i are disjoint from
+       every earlier accepted pair's {a_j, b_j, m_j} — then applying the
+       earlier merges changes neither c_i's count nor its application
+       (old-symbol pairs only ever DECREASE under a merge: adjacency
+       between surviving symbols is never created), and
+    2. cnt(c_i) strictly exceeds every earlier accepted pair's max
+       adjacent-triple count (+ the collect floor when the triple
+       collect was truncated) — every pair CREATED by merge j, including
+       the (m_j, m_j) run case via the (b_j, a_j, b_j) triple, has count
+       ≤ that bound, so classic could not have picked a created pair
+       before c_i, and
+    3. no earlier accepted merged token m_j collides with a pre-existing
+       vocabulary symbol (a collision conflates counts with the existing
+       symbol's pairs, invalidating bound 2) — c_1 itself may collide
+       (classic performs the identical merge), but then the batch stops
+       at size 1.
+
+    Stopping at the FIRST rejection (never skipping) is what preserves
+    equality: a skipped conflicting candidate might still outrank later
+    ones after its count drops."""
+    accepted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    bound = 0
+    stop_after = False
+    for r in cand:
+        a, b, cnt = r["a"], r["b"], r["cnt"]
+        m = a + b
+        if accepted:
+            if stop_after or cnt <= bound:
+                break
+            if {a, b, m} & used:
+                break
+        accepted.append((a, b))
+        used |= {a, b, m}
+        if m in known:
+            stop_after = True
+        bound = max(bound, triple_best.get((a, b), 0), triple_floor)
+        if len(accepted) >= want:
+            break
+    return accepted
+
+
 def train_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
     append_eow: bool = True,
+    batch_size: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges over the corpus. Returns the ordered
     merge list — the vocabulary artifact a tokenizer ships with.
 
-    Measured at sf0.01 after the localCheckpoint switch: 16 merges
-    12.4 s (cold session), 32 merges 9.6 s warm — ~0.3 s/round, flat
-    with round count, and the 32-merge run's first 16 merges equal the
-    16-merge run's (lineage truncation changes plans, never results)."""
+    ``batch_size=1`` is the classic one-merge-per-round loop (the oracle
+    mode). ``batch_size>1`` applies up to that many merges per round,
+    selected by :func:`_select_bpe_batch`'s provable conflict policy —
+    the learned merge LIST IS IDENTICAL to classic (property-tested in
+    tests/test_vocab_batched.py); a round costs one pair-count shuffle +
+    one candidate-adjacent triple-count job (adjacency filter pushed
+    below its shuffle, so it is candidate-bounded) + one checkpoint for
+    up to ``batch_size`` merges.
+
+    Measured honestly (50k-doc / 20k-word Zipf scaling corpus,
+    local[32]): the realized batch factor under PROVABLE classic
+    equality is ~1.7 (max 6; 512 merges in 301 rounds) — natural text's
+    top pairs chain into their own created successors ((t,h) → (th,e)),
+    and those dependencies are real classic-sequence dependencies no
+    sound policy can batch across. Consequently batched mode roughly
+    BREAKS EVEN with classic on a single node (see BENCH_LOCAL.json's
+    vocab_batched row) and pays off only where per-job scheduler
+    round-trips dominate the per-round data cost — the 1000-executor
+    regime the batching targets. For production 32k-merge vocabularies
+    the honest scale path remains training on a bounded sample (the
+    k-means/unigram pattern) rather than any exact whole-corpus loop.
+
+    Classic-mode measurements at sf0.01 after the localCheckpoint
+    switch: 16 merges 12.4 s (cold session), 32 merges 9.6 s warm —
+    ~0.3 s/round, flat with round count, and the 32-merge run's first
+    16 merges equal the 16-merge run's (lineage truncation changes
+    plans, never results)."""
     words = word_freq_table(docs, text_col).withColumn(
         "symbols", _initial_symbols(F.col("word"), append_eow)
     )
+    # the words table's symbol set is exactly (initial alphabet ∪ applied
+    # merges) — symbols never appear any other way — so merged-token
+    # collisions (policy rule 3) are checked against driver state, free
+    known: set[str] = set()
+    if batch_size > 1:
+        known = {
+            r["s"]
+            for r in words.select(F.explode("symbols").alias("s"))
+            .distinct()
+            .collect()
+        }
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(words)
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .first()
-        )
-        if top is None:
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        if want == 1:
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .first()
+            )
+            batch = [(top["a"], top["b"])] if top is not None else []
+        else:
+            cand = (
+                _pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(want)
+                .collect()
+            )
+            batch = []
+            if cand:
+                # second (cheap) job: triple counts with the candidate-
+                # adjacency filter pushed below the shuffle
+                tri = _candidate_adjacent_triple_counts(words, cand)
+                triple_best, triple_floor = _adjacent_triples(
+                    tri, cand, TRIPLE_COLLECT_CAP
+                )
+                batch = _select_bpe_batch(
+                    cand, want, known, triple_best, triple_floor
+                )
+        if not batch:
             break
-        merges.append((top["a"], top["b"]))
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
+            stats.setdefault("batch_sizes", []).append(len(batch))
+        merges.extend(batch)
+        known.update(a + b for a, b in batch)
         # localCheckpoint, NOT persist+count: a persist chain keeps every
         # prior round's (large, interpreted) merge-fold plan as an
         # un-executed child, and Catalyst re-canonicalizes that
@@ -140,9 +366,12 @@ def train_bpe_merges(
         # default 16 merges the persist chain was still fine (~2 s/round),
         # but the loop is O(rounds²) either way — truncation makes it
         # linear. Same learned merges: checkpointing changes lineage only.
-        words = words.withColumn(
-            "symbols", merge_pair_expr(F.col("symbols"), top["a"], top["b"])
-        ).localCheckpoint()
+        # Batched rounds chain the (mutually disjoint, hence commuting)
+        # merges as nested folds in ONE projection before the checkpoint.
+        col = F.col("symbols")
+        for a, b in batch:
+            col = merge_pair_expr(col, a, b)
+        words = words.withColumn("symbols", col).localCheckpoint()
     return merges
 
 

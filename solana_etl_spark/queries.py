@@ -7547,12 +7547,25 @@ def _pretrain_parts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     enc = apply_bpe_replace(up, _BPE_MERGES).withColumn(
         "_ord", F.col("doc_id").cast("long") * 16 + F.col("epoch")
     )
+    # range splits for the two-phase pack prefix sum, from the CHEAP raw
+    # doc_id column (not the pipeline output — that would run the whole
+    # upstream twice): bit-identical seq accounting, but the dominant
+    # language packs on ~n_buckets tasks instead of one reducer
+    from solana_etl_spark.operators.prefix import quantile_splits
+
+    splits = quantile_splits(
+        corpus.select(
+            (F.col("doc_id").cast("long") * 16).alias("_k")
+        ),
+        "_k",
+    )
     packed = pack_sequences(
         enc,
         budget=_BPE_PACK_BUDGET,
         group_cols=("lang",),
         order_col="_ord",
         n_tokens=F.size("bpe_tokens"),
+        order_splits=splits,
     )
     return {
         "survivors": survivors.select("doc_id"),
@@ -7584,6 +7597,7 @@ def pipeline_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by the pack group; the encode adds zero shuffles.
     local_only: driver cap."""
     from solana_etl_spark.operators.packing import pack_sequences
+    from solana_etl_spark.operators.prefix import quantile_splits
     from solana_etl_spark.operators.vocab import apply_bpe_replace
 
     docs = _t(spark, sf_dir, "documents")
@@ -7594,6 +7608,7 @@ def pipeline_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("lang",),
         order_col="doc_id",
         n_tokens=F.size("bpe_tokens"),
+        order_splits=quantile_splits(docs, "doc_id"),
     )
     return packed.select(
         "lang",

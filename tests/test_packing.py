@@ -203,3 +203,24 @@ def test_pack_with_masks_sharded_mask_conservation(spark):
     }
     assert agg(plain) == agg(sharded)
     assert sharded.select("shard").distinct().count() == 4
+
+
+def test_pack_sequences_order_splits_identical_accounting(spark):
+    """The two-phase prefix-sum mode (order_splits) must produce
+    BIT-IDENTICAL sequence accounting to the single-window form — split
+    choice affects load balance only."""
+    from solana_etl_spark.operators.packing import pack_sequences
+
+    rows = [
+        (i, "en" if i % 3 else "fr", "w " * (5 + i % 37)) for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    base = sorted(map(tuple, pack_sequences(docs, budget=64).collect()))
+    for splits in ([50.0, 120.0, 200.0, 260.0], [0.5], [1000.0]):
+        got = sorted(
+            map(
+                tuple,
+                pack_sequences(docs, budget=64, order_splits=splits).collect(),
+            )
+        )
+        assert got == base, splits

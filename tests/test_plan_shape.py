@@ -368,3 +368,19 @@ def test_exact_ks_and_gini_windows_are_partitioned(spark):
         assert "windowspecdefinition" in plan, name
         assert not _unpartitioned_window_specs(plan), name
         assert "_bkt" in plan, name
+
+
+def test_pretrain_pack_window_is_bucket_partitioned(spark):
+    """The capstone's pack window must run as the two-phase form: its
+    window spec carries the range-bucket column next to the language
+    partition, so the dominant language never serializes through one
+    reducer; and no window in the plan is unpartitioned."""
+    from solana_etl_spark.queries import all_queries
+
+    plan = _formatted(
+        all_queries()["pipeline_pretrain_e2e"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert not _unpartitioned_window_specs(plan)
+    assert "_bkt" in plan
