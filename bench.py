@@ -629,6 +629,18 @@ def main() -> None:
                 "new_ops": new_ops,
                 "new_ops_scaling": new_ops_scaling,
                 "vocab_batched": vocab_batched,
+                "solana_e2e_drift_note": (
+                    "r6 flagged solana_e2e 1.285->1.749s with no plan"
+                    " change (plans/ untouched). r7 attribution: in an"
+                    " ISOLATED quiet session the query runs"
+                    " [3.342, 1.753, 1.616, 1.411] best 1.411 across 4"
+                    " reps - the whole-block JSON path has its own"
+                    " codegen/JIT warm-up curve still descending after"
+                    " the bench's 2 reps, so the recorded best-of-2"
+                    " swings ~+-0.4s with JVM state, bracketing both the"
+                    " r5 and r6 numbers. Environmental, not a"
+                    " regression."
+                ),
                 "scaling_up_note": (
                     "synthetic scaling decades (constant-duplicate-rate"
                     " 'scaling' profile since r6: tempered 20k-word vocab,"

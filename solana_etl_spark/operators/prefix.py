@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_RANGE_BUCKETS = 64
 
@@ -76,12 +77,14 @@ def exclusive_offsets(
     measures: list[str],
     bucket_col: str = "_bkt",
     group_cols: tuple[str, ...] = (),
+    descending: bool = False,
 ) -> DataFrame:
     """Per (group, bucket) EXCLUSIVE prefix totals ``_off_<m>`` for each
     measure: the broadcast inequality self-join over the bucket-grain
     aggregate. Both join sides are ≤ groups × n_buckets rows (the
     broadcast side is ~KB), so the nested-loop expansion is bounded at
-    n_buckets² per group — deliberately window-free."""
+    n_buckets² per group — deliberately window-free. ``descending``
+    accumulates from the TOP bucket down (for desc-ordered ranks)."""
     agg = bucketed.groupBy(*group_cols, bucket_col).agg(
         *[F.sum(m).alias(f"_t_{m}") for m in measures]
     )
@@ -90,7 +93,10 @@ def exclusive_offsets(
         F.col(bucket_col).alias("_l_bkt"),
         *[F.col(f"_t_{m}").alias(f"_l_{m}") for m in measures],
     )
-    cond = F.col("_l_bkt") < F.col(bucket_col)
+    if descending:
+        cond = F.col("_l_bkt") > F.col(bucket_col)
+    else:
+        cond = F.col("_l_bkt") < F.col(bucket_col)
     for g in group_cols:
         cond = (F.col(f"_l_{g}") == F.col(g)) & cond
     out = (
@@ -114,3 +120,64 @@ def exclusive_offsets(
         F.col(bucket_col).alias(bucket_col),
         *[F.col(f"_off_{m}") for m in measures],
     )
+
+
+def two_phase_row_number(
+    df: DataFrame,
+    primary: str,
+    order_cols: list,
+    out_col: str = "_rn",
+    n_buckets: int = N_RANGE_BUCKETS,
+    descending: bool = False,
+) -> DataFrame:
+    """``df`` + ``out_col`` = the global ROW_NUMBER of each row under
+    (``order_cols``) — computed WITHOUT an unpartitioned window.
+
+    ``primary`` is the leading numeric sort column; range buckets come
+    from its sampled quantiles, all ties of ``primary`` land in one
+    bucket (so any secondary tie-break columns resolve locally), and the
+    global number is the per-bucket local row_number plus the broadcast
+    count of rows in preceding buckets. ``descending`` flips both the
+    bucket accumulation and the expected direction of ``order_cols``
+    (the caller still supplies the actual Column ordering). The quantile
+    pass runs ``df``'s plan once extra — persist upstream if it is
+    expensive."""
+    splits = quantile_splits(df, primary, n_buckets)
+    bucketed = df.withColumn(
+        "_bkt", range_bucket(F.col(primary), splits)
+    ).withColumn("_one", F.lit(1))
+    offs = exclusive_offsets(
+        bucketed, ["_one"], group_cols=(), descending=descending
+    )
+    w = Window.partitionBy("_bkt").orderBy(*order_cols)
+    out = (
+        bucketed.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(offs), "_bkt")
+        .withColumn(out_col, F.col("_lrn") + F.col("_off__one"))
+        .drop("_bkt", "_one", "_lrn", "_off__one")
+    )
+    return out
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Exact integer division of non-negative longs: subtract the
+    remainder before dividing, so the double division is of an exact
+    multiple (bit-exact ≤ 2^53, where a bare floor(a/b) can misround
+    just below an integer boundary)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, tiles: int) -> Column:
+    """SQL NTILE(tiles) reconstructed from a global 1-based rank and the
+    row count — the closed form of the standard uneven split (n = q·t +
+    r: the first r buckets take q+1 rows, the rest q). Lets NTILE ride
+    the two-phase row_number instead of an unpartitioned window. The
+    q = 0 branch (fewer rows than tiles) stays in the first piece, so
+    the integer division by q is never evaluated there (Spark Whens
+    evaluate only the selected branch)."""
+    q = _int_div(n_rows, F.lit(tiles))
+    r = n_rows % tiles
+    first = r * (q + 1)
+    return F.when(
+        rank <= first, _int_div(rank - 1, q + 1) + 1
+    ).otherwise(r + _int_div(rank - 1 - first, q) + 1)

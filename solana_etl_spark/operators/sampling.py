@@ -121,14 +121,36 @@ def quantile_bins(
     df: DataFrame, score_col: str, key_col: str, n_bins: int = 10
 ) -> DataFrame:
     """Assign each row an exact quantile bin of ``score_col`` (1..n_bins) —
-    curriculum/quality binning. Uses NTILE over a total order with the row
-    key as tiebreak, so the binning is deterministic and cross-engine
-    reproducible (percentile sketches are not). One global sort — for
-    score-ordered curricula that sort is the deliverable itself; for
-    billion-row corpora prefer binning per partition key on top of this.
-    """
-    w = Window.orderBy(F.col(score_col), F.col(key_col))
-    return df.withColumn("bin", F.ntile(n_bins).over(w))
+    curriculum/quality binning. NTILE semantics over the total order with
+    the row key as tiebreak, so the binning is deterministic and
+    cross-engine reproducible (percentile sketches are not) — computed as
+    the two-phase row_number + closed-form ntile reconstruction
+    (operators/prefix.py), so no unpartitioned corpus-grain window: the
+    dominant cost is one range-bucketed partitioned window. The split
+    sampling runs ``df``'s plan once extra — persist upstream when it is
+    expensive."""
+    from solana_etl_spark.operators.prefix import (
+        ntile_from_rank,
+        two_phase_row_number,
+    )
+
+    ranked = two_phase_row_number(
+        df,
+        score_col,
+        [F.asc(score_col), F.asc(key_col)],
+        out_col="_qb_rn",
+    )
+    cnt = ranked.agg(F.count(F.lit(1)).alias("_qb_n"))
+    return (
+        ranked.crossJoin(F.broadcast(cnt))
+        .withColumn(
+            "bin",
+            ntile_from_rank(
+                F.col("_qb_rn"), F.col("_qb_n"), n_bins
+            ).cast("int"),
+        )
+        .drop("_qb_rn", "_qb_n")
+    )
 
 
 def train_val_test_split(

@@ -6019,9 +6019,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    top = rev.withColumn(
-        "_rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
-    ).filter(F.col("_rk") == 1)
+    # rank()==1 keeps all max ties — the window-free form is a broadcast
+    # 1-row max joined back (no unpartitioned supplier-grain window);
+    # DECIMAL equality is exact, so ties survive identically
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
+    )
     s = _t(spark, sf_dir, "supplier")
     return s.join(
         F.broadcast(top), s.s_suppkey == top.supplier_no
@@ -10371,13 +10377,19 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles — the
     classic customer-analytics rollup, sibling of sessionize/funnel/
     cohort): one map-side-combined per-user aggregate over purchases,
-    a broadcast 1-row corpus clock, then quartile labels via ntile with
-    user_id tie-breaks (deterministic cross-engine). The ntile windows
-    are unpartitioned BUT operate at user grain — rows = |users|, orders
-    of magnitude below event grain, the same single-reducer posture as
-    the cohort triangle (at 100 TB shard by tenant or swap ntile for
-    exact_quantiles cut-points). Recency stays exact integer
-    microseconds — no float time math."""
+    a broadcast 1-row corpus clock, then quartile labels with user_id
+    tie-breaks (deterministic cross-engine). The three NTILEs ride the
+    TWO-PHASE row_number (operators/prefix.py two_phase_row_number:
+    range-bucketed partitioned windows + broadcast offsets — NO
+    unpartitioned user-grain window, plan-shape-guarded) and the exact
+    closed-form ntile_from_rank reconstruction, which the driver's value
+    hash pins against the oracle's real NTILE. Recency stays exact
+    integer microseconds — no float time math."""
+    from solana_etl_spark.operators.prefix import (
+        ntile_from_rank,
+        two_phase_row_number,
+    )
+
     e = _t(spark, sf_dir, "events")
     p = e.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
@@ -10395,15 +10407,44 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("now_ts") - F.unix_micros("last_ts")).alias("recency_us"),
         "frequency",
         "monetary",
+    ).persist()  # three quantile passes + the final plan read it
+
+    def rank_table(metric: str, order_cols, desc: bool, out: str):
+        sub = m.select("user_id", metric)
+        return two_phase_row_number(
+            sub, metric, order_cols, out_col=out, descending=desc
+        ).select("user_id", out)
+
+    r_rn = rank_table(
+        "recency_us",
+        [F.asc("recency_us"), F.asc("user_id")],
+        False,
+        "_r_rn",
     )
-    r_q = F.ntile(4).over(Window.orderBy("recency_us", "user_id")).cast("long")
-    f_q = F.ntile(4).over(
-        Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    ).cast("long")
-    m_q = F.ntile(4).over(
-        Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-    ).cast("long")
-    return m.select(
+    f_rn = rank_table(
+        "frequency",
+        [F.desc("frequency"), F.asc("user_id")],
+        True,
+        "_f_rn",
+    )
+    m_rn = rank_table(
+        "monetary",
+        [F.desc("monetary"), F.asc("user_id")],
+        True,
+        "_m_rn",
+    )
+    cnt = m.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        m.join(r_rn, "user_id")
+        .join(f_rn, "user_id")
+        .join(m_rn, "user_id")
+        .crossJoin(F.broadcast(cnt))
+    )
+    n = F.col("_n")
+    r_q = ntile_from_rank(F.col("_r_rn"), n, 4).cast("long")
+    f_q = ntile_from_rank(F.col("_f_rn"), n, 4).cast("long")
+    m_q = ntile_from_rank(F.col("_m_rn"), n, 4).cast("long")
+    return ranked.select(
         "user_id", "recency_us", "frequency", "monetary",
         r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
         (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_segment"),

@@ -370,6 +370,22 @@ def test_exact_ks_and_gini_windows_are_partitioned(spark):
         assert "_bkt" in plan, name
 
 
+def test_ntile_family_windows_are_partitioned(spark):
+    """st_rfm's three quartile ranks and s4_quantile_bins' binning must
+    plan as two-phase row_numbers (bucket-partitioned windows + the
+    closed-form ntile reconstruction) — the r7 fix for the corpus-grain
+    unpartitioned NTILE windows. q15's rank-of-max is window-free."""
+    from solana_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("st_rfm", "s4_quantile_bins"):
+        plan = _formatted(qs[name](spark, "/root/testdata/sf0.001"))
+        assert not _unpartitioned_window_specs(plan), name
+        assert "_bkt" in plan, name
+    q15 = _formatted(qs["q15_top_supplier"](spark, "/root/testdata/sf0.001"))
+    assert "Window" not in q15
+
+
 def test_pretrain_pack_window_is_bucket_partitioned(spark):
     """The capstone's pack window must run as the two-phase form: its
     window spec carries the range-bucket column next to the language

@@ -94,3 +94,26 @@ def test_categorical_draws_exact_and_proportional(spark):
     assert sorted((r.draw_id, r.tok) for r in out) == sorted(
         (r.draw_id, r.tok) for r in again
     )
+
+
+def test_ntile_from_rank_matches_builtin_ntile(spark):
+    """The closed-form NTILE reconstruction must equal F.ntile for every
+    (n, tiles) shape — uneven splits included."""
+    from pyspark.sql.window import Window
+
+    from solana_etl_spark.operators.prefix import ntile_from_rank
+
+    for n in (1, 2, 3, 5, 6, 7, 10, 13, 100, 101):
+        for tiles in (2, 3, 4, 7):
+            df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+            got = df.select(
+                "rk",
+                ntile_from_rank(F.col("rk"), F.lit(n), tiles).alias("t"),
+            )
+            want = spark.range(0, n).select(
+                (F.col("id") + 1).alias("rk"),
+                F.ntile(tiles).over(Window.orderBy("id")).alias("t"),
+            )
+            g = {r["rk"]: r["t"] for r in got.collect()}
+            w = {r["rk"]: r["t"] for r in want.collect()}
+            assert g == w, (n, tiles)
