@@ -379,3 +379,79 @@ def bloom_prefilter_join(
         "_bh", "_bwords", *[f"_bp{i}" for i in range(n_hashes)]
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+# --- HyperLogLog distinct (deterministic registers, mergeable) ------------
+#
+# KMV (a14) estimates distincts from the k smallest hashes; HLL is the
+# register form whose state is FIXED (m = 2^p bytes-ish) and mergeable by
+# max() — the shape production telemetry uses. Registers here are pure
+# integer arithmetic over the shared md5 hash: bucket = h mod m, rho =
+# leading-zero rank of the remaining 50 bits via length(bin(w)) (both
+# engines define bin() as minimal binary digits), so the register table —
+# and therefore the estimate — is bit-identical cross-engine:
+# approximate-by-definition, not approximate-by-race. The harmonic mean
+# is kept EXACT by scaling: sum 2^(51 - reg) as int64 (<= 2^61), one
+# double division at the end.
+
+HLL_P = 10  # 2^10 = 1024 registers
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """(group cols, bucket, reg): the HLL register table — ONE
+    map-side-combined max aggregate with state bounded by
+    groups × 2^p rows regardless of corpus size."""
+    from solana_etl_spark.functions.hashing import hash64
+
+    m = 1 << p
+    h = hash64(F.col(key_col).cast("string"))
+    bucket = F.pmod(h, F.lit(m))
+    # exact integer h div m (h is non-negative)
+    w = ((h - F.pmod(h, F.lit(m))) / m).cast("long")
+    rho = F.when(w == 0, F.lit(51)).otherwise(51 - F.length(F.bin(w)))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """HLL distinct-count estimate per group: (group cols, m_used,
+    hll_estimate). Standard estimator with the small-range
+    linear-counting correction; every input to the final double formula
+    is an exact integer, so both engines compute the identical IEEE
+    result (rounded to 4)."""
+    m = 1 << p
+    regs = hll_registers(df, key_col, group_cols, p)
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("m_used"),
+        F.sum(term).alias("_s_used"),
+    )
+    empty = m - F.col("m_used")
+    s_total = (
+        F.col("_s_used") + empty * F.lit(1 << 51).cast("long")
+    ).cast("double")
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = F.lit(alpha * m * m) * F.lit(float(1 << 51)) / s_total
+    est = F.when(
+        (raw <= 2.5 * m) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "m_used",
+        F.round(est, 4).alias("hll_estimate"),
+    )

@@ -689,3 +689,54 @@ def collocations(
         .limit(k)
         .select("bigram", "c_ab", F.round(F.log10("_ratio"), 6).alias("pmi"))
     )
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    budget: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window chunking — the RAG/embedding-ingest step that
+    splits each document into overlapping fixed-budget chunks:
+    (id, chunk_id, start_token, n_tokens, chunk_text). Chunk k starts at
+    token k·(budget − overlap) (0-based) and takes up to ``budget``
+    whitespace tokens; windows start while start < n_tokens, so the last
+    chunk may be short and every token belongs to ≥ 1 chunk. Pure column
+    expressions (sequence → explode → slice/array_join): zero shuffles,
+    zero Python — chunking fuses into whatever scan feeds it, and the
+    explode multiplies rows by ~n_tokens/step, never bytes by more than
+    (budget+overlap)/budget. NULL text → no chunks (filter upstream to
+    keep them); empty text → no chunks."""
+    if overlap >= budget:
+        raise ValueError(
+            f"overlap ({overlap}) must be < budget ({budget}): the window"
+            " start step is budget - overlap"
+        )
+    step = budget - overlap
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            ((n - 1) - F.pmod(n - 1, F.lit(step))) / step, F.lit(0)
+        ).cast("int"),
+    )
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(starts).alias("chunk_id"),
+    ).filter(F.col("_n") > 0)
+    start_token = (F.col("chunk_id") * step).cast("long")
+    take = F.least(F.lit(budget), F.col("_n") - start_token).cast("int")
+    return staged.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start_token.alias("start_token"),
+        take.cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice("_toks", (start_token + 1).cast("int"), take), " "
+        ).alias("chunk_text"),
+    )

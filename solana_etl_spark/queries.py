@@ -10971,3 +10971,107 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "lang", "n_docs", "total_chars", F.round(gini, 6).alias("gini")
     )
+
+
+@_register(
+    "sketch_hll_distinct",
+    """
+    WITH h AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+        SELECT source, h % 1024 AS bucket,
+               CASE WHEN h // 1024 = 0 THEN 51
+                    ELSE 51 - length(bin(h // 1024)) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT source, bucket, MAX(rho) AS reg FROM r GROUP BY source, bucket
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS m_used,
+               SUM(CAST(1 AS BIGINT) << CAST(51 - reg AS INT)) AS s_used
+        FROM regs GROUP BY source
+    ),
+    est AS (
+        SELECT source, m_used,
+               ((0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024)
+               * 2251799813685248.0
+               / (CAST(s_used AS DOUBLE)
+                  + (1024 - m_used) * 2251799813685248.0) AS raw,
+               1024 - m_used AS v
+        FROM agg
+    )
+    SELECT source, m_used,
+           ROUND(CASE WHEN raw <= 2560.0 AND v > 0
+                      THEN 1024.0 * ln(1024.0 / v)
+                      ELSE raw END, 4) AS hll_estimate
+    FROM est
+    """,
+    local_only=True,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-text estimate per source
+    (operators/sketch.py hll_distinct): 1024 registers from the shared
+    md5 hash — bucket = h mod m, rho via length(bin(w)) (minimal binary
+    digits in BOTH engines) — so the register table and the estimate are
+    bit-identical cross-engine: approximate-by-definition, never by
+    race. The harmonic mean stays exact (Σ 2^(51−reg) as integers, ≤
+    2^61) with ONE double division; the m·ln(m/V) small-range branch is
+    the only libm call, rounded to 4. ONE map-side-combined max
+    aggregate with state = sources × 1024 rows at any corpus size — the
+    mergeable fixed-state sibling of a14's KMV. local_only: driver
+    cap."""
+    from solana_etl_spark.operators.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(docs, "text", group_cols=("source",)).orderBy(
+        "source"
+    )
+
+
+@_register(
+    "text_chunk_windows",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   t -> t <> ''
+               ) AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, (n - 1) // 96)) AS chunk_id
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 96 AS BIGINT) AS start_token,
+           CAST(least(128, n - chunk_id * 96) AS BIGINT) AS n_tokens,
+           array_to_string(
+               list_slice(toks, chunk_id * 96 + 1,
+                          chunk_id * 96 + least(128, n - chunk_id * 96)),
+               ' '
+           ) AS chunk_text
+    FROM c
+    """,
+    local_only=True,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (operators/text.py
+    chunk_token_windows, budget 128 / overlap 32): the RAG/embedding
+    ingest step, as pure sequence→explode→slice column expressions —
+    zero shuffles, zero Python, so it fuses into the document scan and
+    the only growth is the ~n/step row explode. Value-hash oracle:
+    chunk ids, offsets and the joined chunk text are all deterministic
+    integer/token arithmetic. local_only: driver cap."""
+    from solana_etl_spark.operators.text import chunk_token_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_token_windows(docs, budget=128, overlap=32)

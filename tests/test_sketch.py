@@ -82,3 +82,32 @@ def test_frequent_items_shuffle_fallback_same_result(spark):
         "BroadcastHashJoin"
         in forced._jdf.queryExecution().sparkPlan().toString()
     )
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    from solana_etl_spark.operators.sketch import hll_distinct, hll_registers
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") % 2).alias("g"),
+    )
+    est = hll_distinct(df, "k").collect()[0]["hll_estimate"]
+    assert abs(est - 5000) / 5000 < 0.1  # ~3.25% stderr at p=10
+    # registers merge by max: union registers == max of split registers
+    a = hll_registers(df.filter("g = 0"), "k")
+    b = hll_registers(df.filter("g = 1"), "k")
+    merged = {
+        (r["bucket"],): r["reg"]
+        for r in a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    whole = {
+        (r["bucket"],): r["reg"] for r in hll_registers(df, "k").collect()
+    }
+    assert merged == whole
+    # small-range linear counting: tiny set estimates near-exact
+    tiny = spark.range(0, 30).select(F.concat(F.lit("t"), F.col("id")).alias("k"))
+    est_tiny = hll_distinct(tiny, "k").collect()[0]["hll_estimate"]
+    assert abs(est_tiny - 30) < 2

@@ -126,3 +126,38 @@ def test_script_stats_cross_engine_on_multilingual(spark, tmp_path):
         for r in con.execute(all_oracle_sql()["text_script_stats"]).fetchall()
     )
     assert sp == du
+
+
+def test_chunk_token_windows_coverage_and_edges(spark):
+    from solana_etl_spark.operators.text import chunk_token_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks: 2 chunks
+            (2, "a b c"),                                  # < budget: 1 chunk
+            (3, ""),                                       # empty: none
+            (4, None),                                     # NULL: none
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_token_windows(docs, budget=6, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    # step = 4; chunks of doc 1: [0..5], [4..9], [8..9]
+    assert got[(1, 0)]["chunk_text"] == "w0 w1 w2 w3 w4 w5"
+    assert got[(1, 1)]["chunk_text"] == "w4 w5 w6 w7 w8 w9"
+    assert got[(1, 2)]["chunk_text"] == "w8 w9"
+    assert got[(1, 2)]["start_token"] == 8 and got[(1, 2)]["n_tokens"] == 2
+    assert got[(2, 0)]["chunk_text"] == "a b c"
+    # every token of doc 1 is covered at least once
+    covered = set()
+    for (d, _), r in got.items():
+        if d == 1:
+            covered.update(
+                range(r["start_token"], r["start_token"] + r["n_tokens"])
+            )
+    assert covered == set(range(10))
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_token_windows(docs, budget=4, overlap=4)
