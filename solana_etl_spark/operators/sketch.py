@@ -422,19 +422,16 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame,
-    key_col: str,
-    group_cols: tuple[str, ...] = (),
-    p: int = HLL_P,
+def hll_estimate(
+    regs: DataFrame, group_cols: tuple[str, ...] = (), p: int = HLL_P
 ) -> DataFrame:
-    """HLL distinct-count estimate per group: (group cols, m_used,
-    hll_estimate). Standard estimator with the small-range
-    linear-counting correction; every input to the final double formula
-    is an exact integer, so both engines compute the identical IEEE
-    result (rounded to 4)."""
+    """(group cols, m_used, hll_estimate) from a register table —
+    standard estimator with the small-range linear-counting correction;
+    every input to the final double formula is an exact integer, so both
+    engines compute the identical IEEE result (rounded to 4). Shared by
+    the batch sketch and the streaming state scorer, so a streamed
+    register table scores identically to the batch one."""
     m = 1 << p
-    regs = hll_registers(df, key_col, group_cols, p)
     term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("m_used"),
@@ -455,3 +452,14 @@ def hll_distinct(
         "m_used",
         F.round(est, 4).alias("hll_estimate"),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """HLL distinct-count estimate per group: (group cols, m_used,
+    hll_estimate) — register build + shared estimator."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, p), group_cols, p)

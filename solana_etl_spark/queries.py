@@ -11075,3 +11075,85 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_token_windows(docs, budget=128, overlap=32)
+
+
+@_register(
+    "stream_hll_distinct",
+    """
+    WITH h AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+        SELECT source, h % 1024 AS bucket,
+               CASE WHEN h // 1024 = 0 THEN 51
+                    ELSE 51 - length(bin(h // 1024)) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT source, bucket, MAX(rho) AS reg FROM r GROUP BY source, bucket
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS m_used,
+               SUM(CAST(1 AS BIGINT) << CAST(51 - reg AS INT)) AS s_used
+        FROM regs GROUP BY source
+    ),
+    est AS (
+        SELECT source, m_used,
+               ((0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024)
+               * 2251799813685248.0
+               / (CAST(s_used AS DOUBLE)
+                  + (1024 - m_used) * 2251799813685248.0) AS raw,
+               1024 - m_used AS v
+        FROM agg
+    )
+    SELECT source, m_used,
+           ROUND(CASE WHEN raw <= 2560.0 AND v > 0
+                      THEN 1024.0 * ln(1024.0 / v)
+                      ELSE raw END, 4) AS hll_estimate
+    FROM est
+    """,
+    local_only=True,
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL (streaming/hll_stream.py): documents stream through
+    as TWO micro-batches (the second replays the full corpus), the
+    maintained register state (sources × 1024 rows, merged by max) is
+    scored with the shared estimator — and equals the BATCH sketch over
+    the same corpus exactly, because max-merge over registers is
+    idempotent and order-free. Tenth stream-equals-batch gate family;
+    the oracle is the batch HLL SQL. local_only: streaming state dirs
+    are per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.hll_stream import (
+        hll_estimate_from_state,
+        read_hll_state,
+        start_streaming_hll,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    work = tempfile.mkdtemp(prefix="gate_stream_hll_")
+    for p in ("a", "b"):
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{work}/src/{p}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*/*.parquet")
+    )
+    q = start_streaming_hll(
+        spark,
+        stream,
+        state_dir=f"{work}/state",
+        checkpoint_dir=f"{work}/ckpt",
+        key_col="text",
+        group_cols=("source",),
+    )
+    q.awaitTermination(300)
+    est = hll_estimate_from_state(
+        read_hll_state(spark, f"{work}/state", group_cols=("source",)),
+        group_cols=("source",),
+    ).orderBy("source")
+    return _materialize_and_clean(est, work)

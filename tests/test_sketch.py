@@ -111,3 +111,34 @@ def test_hll_distinct_accuracy_and_merge(spark):
     tiny = spark.range(0, 30).select(F.concat(F.lit("t"), F.col("id")).alias("k"))
     est_tiny = hll_distinct(tiny, "k").collect()[0]["hll_estimate"]
     assert abs(est_tiny - 30) < 2
+
+
+def test_streaming_hll_replay_converges_to_batch(spark, tmp_path):
+    """Replayed/retried micro-batches converge to the batch registers
+    (max-merge is idempotent and order-free), and only two state
+    versions survive pruning."""
+    from solana_etl_spark.operators.sketch import hll_registers
+    from solana_etl_spark.streaming.hll_stream import (
+        read_hll_state,
+        update_hll_batch,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    a = df.filter("id < 1200")
+    b = df.filter("id >= 800")  # overlaps a: replayed rows
+    for order in ([(0, a), (1, b)], [(0, b), (1, a)], [(0, a), (1, b), (1, b)]):
+        state = tmp_path / f"s{hash(str(order)) % 10**6}"
+        for bid, batch in order:
+            update_hll_batch(spark, batch, str(state), bid, key_col="k")
+        got = {
+            (r["bucket"],): r["reg"]
+            for r in read_hll_state(spark, str(state)).collect()
+        }
+        want = {
+            (r["bucket"],): r["reg"] for r in hll_registers(df, "k").collect()
+        }
+        assert got == want
+        kept = [p.name for p in state.iterdir() if p.name.startswith("batch=")]
+        assert sorted(kept) == ["batch=0", "batch=1"]
