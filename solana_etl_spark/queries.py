@@ -11034,7 +11034,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "text_chunk_windows",
+    "text_chunk_token_windows",
     """
     WITH d AS (
         SELECT doc_id,
@@ -11063,7 +11063,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     local_only=True,
 )
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding token-window chunking (operators/text.py
     chunk_token_windows, budget 128 / overlap 32): the RAG/embedding
     ingest step, as pure sequence→explode→slice column expressions —
