@@ -657,6 +657,14 @@ def main() -> None:
                     " force=True; dedup_lsh_jaccard is the measured"
                     " linear-shuffle scale path."
                 ),
+                "scaling_up2_note": (
+                    "iterative cluster-family queries (connected"
+                    " components) may sit mildly above 1.0: per-round"
+                    " work is linear in edges but the pointer-jumping"
+                    " round count grows ~log(max cluster diameter) with"
+                    " corpus size — O(n log d) by design, not a"
+                    " quadratic plan."
+                ),
                 "full_total_with_r2_workloads": full_total,
                 "steady_floor_comparable_total": round(
                     sum(
