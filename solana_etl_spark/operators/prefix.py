@@ -52,6 +52,11 @@ def quantile_splits(
     try:
         qs = df.approxQuantile(col, probs, relative_error)
     except Exception:
+        # broad by design: ANY sampling failure (non-numeric column,
+        # empty input) degrades to a single bucket — a correctness-
+        # preserving fallback (results never depend on splits), only a
+        # parallelism loss. A genuine cluster failure will resurface on
+        # the main plan's own action.
         return []
     return sorted({float(q) for q in qs})
 

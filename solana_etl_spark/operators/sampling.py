@@ -140,7 +140,10 @@ def quantile_bins(
         [F.asc(score_col), F.asc(key_col)],
         out_col="_qb_rn",
     )
-    cnt = ranked.agg(F.count(F.lit(1)).alias("_qb_n"))
+    # row count from the INPUT, not the ranked plan — the window/join
+    # preserve rows, and this keeps the count aggregate off the heavier
+    # two-phase lineage
+    cnt = df.agg(F.count(F.lit(1)).alias("_qb_n"))
     return (
         ranked.crossJoin(F.broadcast(cnt))
         .withColumn(

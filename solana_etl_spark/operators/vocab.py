@@ -135,7 +135,10 @@ def _candidate_adjacent_triple_counts(
     pairs, with the adjacency filter pushed BELOW the shuffle: the
     explode emits every triple but a literal key-set test drops
     non-adjacent rows before they pay the exchange, so the triple job's
-    shuffle is candidate-bounded instead of corpus-trigram-bounded."""
+    shuffle is candidate-bounded instead of corpus-trigram-bounded.
+    The NUL-joined key can only FALSE-MATCH if a symbol itself contains
+    NUL — which admits extra triples, and extra triples only make the
+    batch policy's bounds more conservative (never unsound)."""
     keys = sorted({f"{r['a']}\x00{r['b']}" for r in cand})
     n = F.size("symbols")
     triples = F.arrays_zip(

@@ -29,6 +29,9 @@ from solana_etl_spark.streaming.sample_stream import _prune_state
 
 
 def _state_schema(group_cols: tuple[str, ...]) -> str:
+    # group columns are typed string in the empty no-state-yet frame
+    # (the sample-stream key-type lesson); non-string group keys would
+    # need the type threaded through like update_sample_batch does
     gs = "".join(f"{g} string, " for g in group_cols)
     return f"{gs}bucket long, reg int"
 
