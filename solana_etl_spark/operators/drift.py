@@ -39,18 +39,13 @@ N_BINS = 16
 EPS = 1e-6
 
 
-def drift_report(
-    ref: DataFrame,
-    cur: DataFrame,
-    value_col: str,
-    feature: str | None = None,
-    n_bins: int = N_BINS,
+def _binned_hist(
+    ref: DataFrame, cur: DataFrame, value_col: str, n_bins: int
 ) -> DataFrame:
-    """One-row drift report comparing ``cur`` against ``ref`` on integer
-    column ``value_col``: (feature, n_ref, n_cur, psi, ks_stat).
-    """
-    feature = feature or value_col
-
+    """(bin, ref_cnt, cur_cnt): the shared reference-defined fixed-width
+    binning every binned drift metric (PSI / binned-KS / chi²) runs on —
+    bounds from the REFERENCE slice, out-of-range current values clamp
+    into the edge bins, exact integer bin assignment."""
     bounds = ref.agg(
         F.min(F.col(value_col).cast("long")).alias("_lo"),
         F.max(F.col(value_col).cast("long")).alias("_hi"),
@@ -71,11 +66,25 @@ def drift_report(
         )
 
     h = hist(ref, "ref_cnt").join(hist(cur, "cur_cnt"), "bin", "full_outer")
-    h = h.select(
+    return h.select(
         "bin",
         F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
         F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
     )
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    feature: str | None = None,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """One-row drift report comparing ``cur`` against ``ref`` on integer
+    column ``value_col``: (feature, n_ref, n_cur, psi, ks_stat).
+    """
+    feature = feature or value_col
+    h = _binned_hist(ref, cur, value_col, n_bins)
     totals = h.agg(
         F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
     )
@@ -139,6 +148,68 @@ def drift_report(
         "n_cur",
         "psi",
         "ks_stat",
+    )
+
+
+def chi2_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    feature: str | None = None,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Pearson chi-square homogeneity test between the two slices over
+    the shared reference-defined binning — the significance-testable
+    complement of PSI (an effect size) and KS (a sup-norm): (feature,
+    n_ref, n_cur, dof, chi2). Expected counts come from the pooled bin
+    distribution, e_slice_i = n_slice · (ref_i + cur_i) / (n_ref +
+    n_cur); every input is an exact integer so both engines evaluate the
+    identical IEEE formula (rounded to 6). dof = populated bins − 1.
+    Same bounded scale shape as :func:`drift_report`: two histogram
+    aggregates and arithmetic over ≤ n_bins rows."""
+    feature = feature or value_col
+    h = _binned_hist(ref, cur, value_col, n_bins)
+    totals = h.agg(
+        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+    )
+    hh = h.crossJoin(F.broadcast(totals))
+    pooled = (F.col("ref_cnt") + F.col("cur_cnt")).cast("double")
+    n_all = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    e_ref = F.col("n_ref").cast("double") * pooled / n_all
+    e_cur = F.col("n_cur").cast("double") * pooled / n_all
+    term = F.when(
+        pooled > 0,
+        (F.col("ref_cnt") - e_ref) * (F.col("ref_cnt") - e_ref) / e_ref
+        + (F.col("cur_cnt") - e_cur) * (F.col("cur_cnt") - e_cur) / e_cur,
+    ).otherwise(F.lit(0.0))
+    # global (group-less) aggregate + totals cross join, like
+    # drift_report: the one-row shape guarantees the empty-slice guard
+    # evaluates even when the histogram has zero rows (both slices
+    # empty), instead of silently returning no rows
+    stats = hh.agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        (
+            F.sum(F.when(pooled > 0, 1).otherwise(0)).cast("long") - 1
+        ).alias("dof"),
+    )
+    nonempty = (F.coalesce(F.col("n_ref"), F.lit(0)) > 0) & (
+        F.coalesce(F.col("n_cur"), F.lit(0)) > 0
+    )
+    guard = F.when(nonempty, F.col("n_ref")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"chi2_report: empty or all-NULL slice for '{feature}' "
+                "(n_ref/n_cur = 0) — refusing to score drift against "
+                "nothing"
+            )
+        ).cast("long")
+    )
+    return totals.crossJoin(stats).select(
+        F.lit(feature).alias("feature"),
+        guard.alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        "dof",
+        "chi2",
     )
 
 

@@ -11157,3 +11157,168 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("source",),
     ).orderBy("source")
     return _materialize_and_clean(est, work)
+
+
+def _chi2_oracle() -> str:
+    from solana_etl_spark.operators.drift import N_BINS
+
+    b = N_BINS
+    return f"""
+    WITH ref AS (SELECT n_chars FROM documents
+                 WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+                   AND n_chars IS NOT NULL),
+    cur AS (SELECT n_chars FROM documents
+            WHERE CAST(substr(source, 4) AS INT) % 2 = 1
+              AND n_chars IS NOT NULL),
+    bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM ref),
+    hr AS (
+        SELECT greatest(0, least({b} - 1,
+                   CAST(floor(((n_chars - lo) * {b}) / (hi - lo + 1))
+                        AS BIGINT))) AS bin,
+               COUNT(*) AS ref_cnt
+        FROM ref, bounds GROUP BY 1
+    ),
+    hc AS (
+        SELECT greatest(0, least({b} - 1,
+                   CAST(floor(((n_chars - lo) * {b}) / (hi - lo + 1))
+                        AS BIGINT))) AS bin,
+               COUNT(*) AS cur_cnt
+        FROM cur, bounds GROUP BY 1
+    ),
+    h AS (
+        SELECT COALESCE(hr.bin, hc.bin) AS bin,
+               COALESCE(ref_cnt, 0) AS ref_cnt,
+               COALESCE(cur_cnt, 0) AS cur_cnt
+        FROM hr FULL OUTER JOIN hc ON hr.bin = hc.bin
+    ),
+    t AS (SELECT SUM(ref_cnt) AS n_ref, SUM(cur_cnt) AS n_cur FROM h),
+    terms AS (
+        SELECT n_ref, n_cur,
+               CASE WHEN (ref_cnt + cur_cnt) > 0 THEN
+                   (ref_cnt - CAST(n_ref AS DOUBLE)
+                              * CAST(ref_cnt + cur_cnt AS DOUBLE)
+                              / CAST(n_ref + n_cur AS DOUBLE))
+                   * (ref_cnt - CAST(n_ref AS DOUBLE)
+                                * CAST(ref_cnt + cur_cnt AS DOUBLE)
+                                / CAST(n_ref + n_cur AS DOUBLE))
+                   / (CAST(n_ref AS DOUBLE)
+                      * CAST(ref_cnt + cur_cnt AS DOUBLE)
+                      / CAST(n_ref + n_cur AS DOUBLE))
+                   + (cur_cnt - CAST(n_cur AS DOUBLE)
+                                * CAST(ref_cnt + cur_cnt AS DOUBLE)
+                                / CAST(n_ref + n_cur AS DOUBLE))
+                   * (cur_cnt - CAST(n_cur AS DOUBLE)
+                                * CAST(ref_cnt + cur_cnt AS DOUBLE)
+                                / CAST(n_ref + n_cur AS DOUBLE))
+                   / (CAST(n_cur AS DOUBLE)
+                      * CAST(ref_cnt + cur_cnt AS DOUBLE)
+                      / CAST(n_ref + n_cur AS DOUBLE))
+               ELSE 0.0 END AS term,
+               CASE WHEN (ref_cnt + cur_cnt) > 0 THEN 1 ELSE 0 END AS pop
+        FROM h, t
+    )
+    SELECT 'n_chars' AS feature,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(SUM(pop) - 1 AS BIGINT) AS dof,
+           ROUND(SUM(term), 6) AS chi2
+    FROM terms GROUP BY n_ref, n_cur
+    """
+
+
+@_register("dq_drift_chi2", _chi2_oracle(), local_only=True)
+def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square homogeneity drift test over the shared
+    reference-defined binning (operators/drift.py chi2_report) — the
+    significance-testable complement of dq_drift_psi's PSI effect size
+    and the KS sup-norm, on the same odd-vs-even source slices of
+    document length. Expected counts from the pooled bin distribution;
+    all inputs exact integers, two bounded histogram aggregates and
+    arithmetic over ≤ 16 rows. local_only: driver cap."""
+    from solana_etl_spark.operators.drift import chi2_report
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    return chi2_report(
+        docs.filter(src_num % 2 == 0),
+        docs.filter(src_num % 2 == 1),
+        "n_chars",
+    )
+
+
+@_register(
+    "a25_weighted_median",
+    """
+    WITH s AS (
+        SELECT l_returnflag AS f,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+               CAST(round(l_quantity, 0) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (SELECT f, x, CAST(SUM(w) AS BIGINT) AS w FROM s GROUP BY f, x),
+    c AS (
+        SELECT f, x,
+               CAST(SUM(w) OVER (PARTITION BY f ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(w) OVER (PARTITION BY f) AS BIGINT) AS tot
+        FROM g
+    )
+    SELECT f AS l_returnflag,
+           CAST(MAX(tot) AS BIGINT) AS total_qty,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN x END) AS BIGINT)
+               AS median_price_cents
+    FROM c GROUP BY f
+    """,
+    local_only=True,
+)
+def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group (lower median: the smallest value
+    whose inclusive cumulative weight reaches half the total) — the
+    weighted-quantile sibling of a24's Gini, on the same two-phase
+    machinery: collapse to the (group, value) distinct grain, per-
+    (group, range-bucket) local cumulative window + broadcast exclusive
+    offsets, then one argmin over the half-total threshold. No
+    unpartitioned window, no per-group single reducer, values exact
+    integer cents / integer quantities throughout. local_only: driver
+    cap."""
+    from solana_etl_spark.operators.prefix import (
+        exclusive_offsets,
+        quantile_splits,
+        range_bucket,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("f"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
+    )
+    splits = quantile_splits(s, "x")
+    g = (
+        s.groupBy("f", "x")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("_bkt", range_bucket(F.col("x"), splits))
+    )
+    offs = exclusive_offsets(g, ["w"], group_cols=("f",))
+    wloc = (
+        Window.partitionBy("f", "_bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = g.groupBy("f").agg(F.sum("w").alias("_tot")).select(
+        F.col("f").alias("_tf"), "_tot"
+    )
+    cum = (
+        g.withColumn("_lc", F.sum("w").over(wloc))
+        .join(F.broadcast(offs), ["f", "_bkt"])
+        .withColumn("cum", F.col("_lc") + F.col("_off_w"))
+        .join(F.broadcast(tot), F.col("f") == F.col("_tf"))
+    )
+    return cum.groupBy("f").agg(
+        F.max("_tot").cast("long").alias("total_qty"),
+        F.min(F.when(2 * F.col("cum") >= F.col("_tot"), F.col("x")))
+        .cast("long")
+        .alias("median_price_cents"),
+    ).select(
+        F.col("f").alias("l_returnflag"), "total_qty", "median_price_cents"
+    )

@@ -107,3 +107,27 @@ def test_exact_ks_bucket_count_invariant(spark):
     one = exact_ks(a, b, n_buckets=1).collect()[0]
     many = exact_ks(a, b, n_buckets=32).collect()[0]
     assert one == many
+
+
+def test_chi2_identical_slices_zero_and_shift_detected(spark):
+    from solana_etl_spark.operators.drift import chi2_report
+
+    same = spark.createDataFrame([(i % 40,) for i in range(400)], ["value"])
+    row = chi2_report(same, same, "value").collect()[0]
+    assert row["chi2"] == 0.0 and row["dof"] >= 1
+    lo = spark.createDataFrame([(i % 10,) for i in range(400)], ["value"])
+    hi = spark.createDataFrame([(30 + i % 10,) for i in range(400)], ["value"])
+    row = chi2_report(lo, hi, "value").collect()[0]
+    assert row["chi2"] > 100  # disjoint supports -> huge statistic
+
+
+def test_chi2_empty_slice_fails_loudly(spark):
+    import pytest
+
+    from solana_etl_spark.operators.drift import chi2_report
+
+    some = spark.createDataFrame([(1,), (2,)], ["value"])
+    empty = spark.createDataFrame([], "value long")
+    for a, b in ((some, empty), (empty, some), (empty, empty)):
+        with pytest.raises(Exception, match="refusing to score"):
+            chi2_report(a, b, "value").collect()

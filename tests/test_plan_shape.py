@@ -400,3 +400,15 @@ def test_pretrain_pack_window_is_bucket_partitioned(spark):
     )
     assert not _unpartitioned_window_specs(plan)
     assert "_bkt" in plan
+
+
+def test_weighted_median_windows_are_partitioned(spark):
+    """a25's per-group cumulative weights must run two-phase — no
+    unpartitioned window, and no single-reducer-per-group global sort."""
+    from solana_etl_spark.queries import all_queries
+
+    plan = _formatted(
+        all_queries()["a25_weighted_median"](spark, "/root/testdata/sf0.001")
+    )
+    assert not _unpartitioned_window_specs(plan)
+    assert "_bkt" in plan
