@@ -496,6 +496,8 @@ def main() -> None:
         "dq_impute_median", "ann_sq8_topk", "ann_rp_topk",
         "j11_bloom_prefilter_join", "mm_scene_cuts",
         "dq_drift_ks_exact", "a23_exact_corr", "a24_gini_concentration",
+        "dq_drift_chi2", "a25_weighted_median", "sketch_hll_distinct",
+        "text_chunk_token_windows", "s4_quantile_bins",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
