@@ -93,6 +93,7 @@ def pack_sequences(
     if order_splits:
         from solana_etl_spark.operators.prefix import (
             exclusive_offsets,
+            nullsafe_offsets_join,
             range_bucket,
         )
 
@@ -103,11 +104,16 @@ def pack_sequences(
             bucketed, ["n_tokens"], group_cols=tuple(part_cols)
         )
         # same default RANGE frame as the single-window form, so tied
-        # order keys take identical cumulative values in both modes
+        # order keys take identical cumulative values in both modes;
+        # nullsafe_offsets_join keeps NULL group keys (a USING join
+        # would silently drop them, breaking the bit-identical contract)
         wloc = Window.partitionBy(*part_cols, "_bkt").orderBy(order_col)
         with_cum = (
-            bucketed.withColumn("_lend", F.sum("n_tokens").over(wloc))
-            .join(F.broadcast(offs), [*part_cols, "_bkt"])
+            nullsafe_offsets_join(
+                bucketed.withColumn("_lend", F.sum("n_tokens").over(wloc)),
+                offs,
+                [*part_cols, "_bkt"],
+            )
             .withColumn(
                 "_end",
                 (F.col("_lend") + F.col("_off_n_tokens")).cast("long"),

@@ -103,7 +103,9 @@ def exclusive_offsets(
     else:
         cond = F.col("_l_bkt") < F.col(bucket_col)
     for g in group_cols:
-        cond = (F.col(f"_l_{g}") == F.col(g)) & cond
+        # eqNullSafe: a NULL group key (lang-ID failure, missing tenant)
+        # is a real group — plain == would drop its offsets silently
+        cond = F.col(f"_l_{g}").eqNullSafe(F.col(g)) & cond
     out = (
         agg.join(F.broadcast(left), cond, "left")
         .groupBy(*group_cols, bucket_col)
@@ -124,6 +126,27 @@ def exclusive_offsets(
         *[F.col(g).alias(g) for g in group_cols],
         F.col(bucket_col).alias(bucket_col),
         *[F.col(f"_off_{m}") for m in measures],
+    )
+
+
+def nullsafe_offsets_join(
+    bucketed: DataFrame, offs: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Join the broadcast ``exclusive_offsets`` result back onto the
+    bucketed relation, matching NULL group keys (``eqNullSafe``) — the
+    null-tolerant replacement for a USING join, which silently drops
+    rows whose group key is NULL (realistic in web corpora: lang-ID
+    failures). Keeps the LEFT side's key columns; the right side's are
+    renamed away before the join so attribute resolution is unambiguous
+    even though both sides share the ``bucketed`` lineage."""
+    r = offs
+    for k in keys:
+        r = r.withColumnRenamed(k, f"_r_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_r_{k}"))
+    return bucketed.join(F.broadcast(r), cond, "inner").drop(
+        *[f"_r_{k}" for k in keys]
     )
 
 

@@ -10407,7 +10407,8 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("now_ts") - F.unix_micros("last_ts")).alias("recency_us"),
         "frequency",
         "monetary",
-    ).persist()  # three quantile passes + the final plan read it
+    ).persist()  # three quantile passes + the user count read it;
+    # unpersisted below once those driver-state actions complete
 
     def rank_table(metric: str, order_cols, desc: bool, out: str):
         sub = m.select("user_id", metric)
@@ -10433,14 +10434,20 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         True,
         "_m_rn",
     )
-    cnt = m.agg(F.count(F.lit(1)).alias("_n"))
+    # user count is one long of driver state (same bounded-collect class
+    # as the quantile splits); taking it as an action HERE lets the
+    # persist be released before returning — repeated invocations in a
+    # long-lived session no longer accumulate cached blocks. The final
+    # plan recomputes m's aggregate, but its 4 references share one
+    # exchange (ReuseExchange), so the recompute is a single pass.
+    n_users = m.count()
+    m.unpersist()
     ranked = (
         m.join(r_rn, "user_id")
         .join(f_rn, "user_id")
         .join(m_rn, "user_id")
-        .crossJoin(F.broadcast(cnt))
     )
-    n = F.col("_n")
+    n = F.lit(n_users)
     r_q = ntile_from_rank(F.col("_r_rn"), n, 4).cast("long")
     f_q = ntile_from_rank(F.col("_f_rn"), n, 4).cast("long")
     m_q = ntile_from_rank(F.col("_m_rn"), n, 4).cast("long")
@@ -10924,6 +10931,7 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form ratio — the a23 recipe. local_only: driver cap."""
     from solana_etl_spark.operators.prefix import (
         exclusive_offsets,
+        nullsafe_offsets_join,
         quantile_splits,
         range_bucket,
     )
@@ -10943,13 +10951,11 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d38 = "decimal(38,0)"
-    ranked = (
-        g.withColumn("_lc", F.sum("cnt").over(wloc))
-        .join(F.broadcast(offs), ["lang", "_bkt"])
-        .withColumn(
-            "_prev", F.col("_lc") - F.col("cnt") + F.col("_off_cnt")
-        )
-    )
+    # nullsafe join: a NULL lang (lang-ID failure) is a real group both
+    # here and in the DuckDB oracle's GROUP BY — a USING join drops it
+    ranked = nullsafe_offsets_join(
+        g.withColumn("_lc", F.sum("cnt").over(wloc)), offs, ["lang", "_bkt"]
+    ).withColumn("_prev", F.col("_lc") - F.col("cnt") + F.col("_off_cnt"))
     cnt_d = F.col("cnt").cast(d38)
     # Σ ranks of the tie run = cnt·prev + cnt·(cnt+1)/2; one of cnt,
     # cnt+1 is even, so the halving stays integral (no decimal division)
@@ -11283,6 +11289,7 @@ def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap."""
     from solana_etl_spark.operators.prefix import (
         exclusive_offsets,
+        nullsafe_offsets_join,
         quantile_splits,
         range_bucket,
     )
@@ -11309,10 +11316,11 @@ def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f").alias("_tf"), "_tot"
     )
     cum = (
-        g.withColumn("_lc", F.sum("w").over(wloc))
-        .join(F.broadcast(offs), ["f", "_bkt"])
+        nullsafe_offsets_join(
+            g.withColumn("_lc", F.sum("w").over(wloc)), offs, ["f", "_bkt"]
+        )
         .withColumn("cum", F.col("_lc") + F.col("_off_w"))
-        .join(F.broadcast(tot), F.col("f") == F.col("_tf"))
+        .join(F.broadcast(tot), F.col("f").eqNullSafe(F.col("_tf")))
     )
     return cum.groupBy("f").agg(
         F.max("_tot").cast("long").alias("total_qty"),

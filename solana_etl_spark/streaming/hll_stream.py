@@ -28,11 +28,16 @@ from solana_etl_spark.operators.sketch import HLL_P, hll_registers
 from solana_etl_spark.streaming.sample_stream import _prune_state
 
 
-def _state_schema(group_cols: tuple[str, ...]) -> str:
-    # group columns are typed string in the empty no-state-yet frame
-    # (the sample-stream key-type lesson); non-string group keys would
-    # need the type threaded through like update_sample_batch does
-    gs = "".join(f"{g} string, " for g in group_cols)
+def _state_schema(
+    group_cols: tuple[str, ...], group_types: tuple[str, ...] | None
+) -> str:
+    # group-column types come from the live batch schema (the
+    # sample-stream key-type lesson) — an int tenant id must round-trip
+    # through the empty no-state-yet frame as int, or the first batch's
+    # unionByName miscoerces
+    if group_types is None:
+        group_types = tuple("string" for _ in group_cols)
+    gs = "".join(f"{g} {t}, " for g, t in zip(group_cols, group_types))
     return f"{gs}bucket long, reg int"
 
 
@@ -41,6 +46,7 @@ def read_hll_state(
     state_dir: str,
     group_cols: tuple[str, ...] = (),
     before_batch: int | None = None,
+    group_types: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The current register table: newest committed ``batch=k`` (or the
     newest below ``before_batch`` for a retrying batch)."""
@@ -52,13 +58,17 @@ def read_hll_state(
             or "Path does not exist" in str(e)
             or "UNABLE_TO_INFER_SCHEMA" in str(e)
         ):
-            return spark.createDataFrame([], _state_schema(group_cols))
+            return spark.createDataFrame(
+                [], _state_schema(group_cols, group_types)
+            )
         raise
     if before_batch is not None:
         df = df.filter(F.col("batch") < before_batch)
     latest = df.agg(F.max("batch")).first()[0]
     if latest is None:
-        return spark.createDataFrame([], _state_schema(group_cols))
+        return spark.createDataFrame(
+            [], _state_schema(group_cols, group_types)
+        )
     return df.filter(F.col("batch") == latest).select(
         *group_cols, "bucket", "reg"
     )
@@ -78,8 +88,15 @@ def update_hll_batch(
     batch_regs = hll_registers(batch_df, key_col, group_cols, p).select(
         *group_cols, "bucket", F.col("reg").cast("int").alias("reg")
     )
+    group_types = tuple(
+        batch_df.schema[g].dataType.simpleString() for g in group_cols
+    )
     prev = read_hll_state(
-        spark, state_dir, group_cols, before_batch=batch_id
+        spark,
+        state_dir,
+        group_cols,
+        before_batch=batch_id,
+        group_types=group_types,
     )
     new_state = (
         batch_regs.unionByName(prev)

@@ -224,3 +224,35 @@ def test_pack_sequences_order_splits_identical_accounting(spark):
             )
         )
         assert got == base, splits
+
+
+def test_pack_sequences_order_splits_null_group_key(spark):
+    """NULL group keys (lang-ID failures) must pack identically in the
+    two-phase mode — the r7 USING-join dropped them silently."""
+    from solana_etl_spark.operators.packing import pack_sequences
+
+    rows = [
+        (
+            i,
+            None if i % 4 == 0 else ("en" if i % 3 else "fr"),
+            "w " * (5 + i % 23),
+        )
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    base = sorted(map(tuple, pack_sequences(docs, budget=64).collect()), key=key)
+    got = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                docs, budget=64, order_splits=[30.0, 60.0, 90.0]
+            ).collect(),
+        ),
+        key=key,
+    )
+    assert got == base
+    assert any(r[0] is None for r in base)  # NULL group genuinely packed

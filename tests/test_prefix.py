@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 from solana_etl_spark.operators.prefix import (
     exclusive_offsets,
     ntile_from_rank,
+    nullsafe_offsets_join,
     range_bucket,
     two_phase_row_number,
 )
@@ -87,6 +88,51 @@ def test_exclusive_offsets_descending_direction(spark):
     }
     assert asc == {0: 0, 1: 2, 2: 3}
     assert desc == {0: 4, 1: 3, 2: 0}
+
+
+def test_exclusive_offsets_null_group_key(spark):
+    # a NULL group key is a real group (lang-ID failures in web corpora):
+    # its offsets must accumulate exactly like any other group's, and the
+    # nullsafe join-back must keep its rows. Compare against the
+    # single-window baseline per group including the NULL group.
+    rows = [
+        ("en", 0, 1),
+        ("en", 1, 2),
+        (None, 0, 10),
+        (None, 1, 20),
+        (None, 2, 30),
+        ("fr", 2, 5),
+    ]
+    df = spark.createDataFrame(rows, "lang string, b int, w long")
+    bucketed = df.withColumn("_bkt", F.col("b"))
+    offs = exclusive_offsets(bucketed, ["w"], group_cols=("lang",))
+    got = {
+        (r["lang"], r["_bkt"]): r["_off_w"] for r in offs.collect()
+    }
+    assert got == {
+        ("en", 0): 0,
+        ("en", 1): 1,
+        (None, 0): 0,
+        (None, 1): 10,
+        (None, 2): 30,
+        ("fr", 2): 0,
+    }
+    joined = nullsafe_offsets_join(bucketed, offs, ["lang", "_bkt"])
+    assert joined.count() == len(rows)  # no NULL-key rows dropped
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["lang"], r["b"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    got_cum = {
+        (r["lang"], r["b"]): r["_off_w"] + r["w"]
+        for r in joined.collect()
+    }
+    assert got_cum == want
 
 
 def test_range_bucket_monotone_and_tie_stable(spark):

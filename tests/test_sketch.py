@@ -142,3 +142,32 @@ def test_streaming_hll_replay_converges_to_batch(spark, tmp_path):
         assert got == want
         kept = [p.name for p in state.iterdir() if p.name.startswith("batch=")]
         assert sorted(kept) == ["batch=0", "batch=1"]
+
+
+def test_streaming_hll_int_group_key(spark, tmp_path):
+    """Non-string group keys (int tenant id) must round-trip through the
+    empty no-state-yet frame: the first batch's unionByName used to hit
+    the hardcoded-string state schema."""
+    from solana_etl_spark.operators.sketch import hll_registers
+    from solana_etl_spark.streaming.hll_stream import (
+        read_hll_state,
+        update_hll_batch,
+    )
+
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).cast("int").alias("tenant"),
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+    )
+    state = tmp_path / "s_int"
+    for bid, batch in [(0, df.filter("id < 300")), (1, df.filter("id >= 300"))]:
+        update_hll_batch(
+            spark, batch, str(state), bid, key_col="k", group_cols=("tenant",)
+        )
+    got_df = read_hll_state(spark, str(state), group_cols=("tenant",))
+    assert got_df.schema["tenant"].dataType.simpleString() == "int"
+    got = {(r["tenant"], r["bucket"]): r["reg"] for r in got_df.collect()}
+    want = {
+        (r["tenant"], r["bucket"]): r["reg"]
+        for r in hll_registers(df, "k", ("tenant",)).collect()
+    }
+    assert got == want
