@@ -547,58 +547,51 @@ def main() -> None:
                     ),
                 }
 
-    # batched BPE training at a production-ish merge count (r7). The
-    # honest result (operators/vocab.py docstring): under PROVABLE
-    # classic equality the realized batch factor on Zipf text is ~1.7
-    # (classic's top picks chain into their own created successors), so
-    # batched mode ~breaks even with classic on a single node and pays
-    # only where per-job scheduler round-trips dominate — this row
-    # records the measured profile rather than claiming a local win.
-    # One-time 512-merge measurement on the 50k-doc scaling corpus
-    # (kept out of the per-round bench for wall-time): batched 446.6 s /
-    # 301 rounds / mean batch 1.7 / max 6, classic-32 anchor 16.1 s
-    # (512-extrapolated ~258 s), prefix-equality True. The per-round
-    # bench row below re-measures at 128 merges on the small corpus.
-    vocab_batched: dict = {}
+    # hybrid BPE training at a production merge count (r8, replacing the
+    # r7 batched-mode row): ONE distributed scan to the Zipf-bounded
+    # (word, freq) table, then classic greedy merges in-driver
+    # (operators/vocab_driver.py incremental heap trainer). The r7 wall
+    # — 128 merges = 94.8 s batched / 52.9 s classic-extrapolated, 32k
+    # merges ~hours — collapses to seconds: the merge loop costs no
+    # Spark jobs at all. The classic-32 distributed anchor pins
+    # bit-equality of the learned prefix every bench run; full-sequence
+    # equality is oracle-certified cross-engine by the
+    # text_bpe_vocab_train gate row (DuckDB re-learns the merges).
+    vocab_hybrid: dict = {}
     try:
         from solana_etl_spark.operators.vocab import train_bpe_merges
         from solana_etl_spark.sources.synth import ensure_sf_tables
 
-        vb_root = ensure_sf_tables(5000, 2000, profile="scaling")
+        vb_root = ensure_sf_tables(50000, 20000, profile="scaling")
         vb_docs = spark.read.parquet(f"{vb_root}/documents.parquet")
         stats: dict = {}
         t0 = time.time()
-        learned = train_bpe_merges(
-            vb_docs, n_merges=128, batch_size=32, stats=stats
-        )
-        batched_sec = round(time.time() - t0, 3)
+        learned = train_bpe_merges(vb_docs, n_merges=512, stats=stats)
+        hybrid_sec = round(time.time() - t0, 3)
         t0 = time.time()
-        classic32 = train_bpe_merges(vb_docs, n_merges=32, batch_size=1)
+        classic32 = train_bpe_merges(
+            vb_docs, n_merges=32, strategy="distributed", batch_size=1
+        )
         classic32_sec = round(time.time() - t0, 3)
-        sizes = stats.get("batch_sizes", [])
-        vocab_batched = {
-            "n_merges_requested": 128,
-            "batch_size": 32,
+        vocab_hybrid = {
+            "n_merges": 512,
+            "strategy": stats.get("strategy"),
+            "words_collected": stats.get("words_collected", -1),
             "merges_learned": len(learned),
-            "rounds": stats.get("rounds", -1),
-            "mean_batch": round(len(learned) / max(1, len(sizes)), 2),
-            "max_batch": max(sizes, default=0),
-            "sec": batched_sec,
+            "sec": hybrid_sec,
             "classic_32_merges_sec": classic32_sec,
-            "classic_128_extrapolated_sec": round(
-                classic32_sec * 128 / 32, 1
+            "classic_512_extrapolated_sec": round(
+                classic32_sec * 512 / 32, 1
             ),
             "prefix_equal_check": learned[:32] == classic32,
             "note": (
-                "provable classic-equality caps realized batching at the"
-                " corpus's merge-dependency structure (mean ~1.7 on Zipf"
-                " text); 512-merge one-time measurement in the comment"
-                " above — batched targets scheduler-bound clusters, not"
-                " local shuffle cost"
+                "hybrid = distributed word-table scan + in-driver classic"
+                " merges (SentencePiece/HF shape); r7 batched mode is"
+                " retained as the over-cap distributed fallback"
             ),
         }
     except Exception as e:  # never fail the bench for the extra row
-        vocab_batched = {"error": str(e)[:200]}
+        vocab_hybrid = {"error": str(e)[:200]}
 
     for k, v in timings.items():
         floors.setdefault(k, v)
@@ -630,7 +623,7 @@ def main() -> None:
                 "scaling_mm": scaling_mm,
                 "new_ops": new_ops,
                 "new_ops_scaling": new_ops_scaling,
-                "vocab_batched": vocab_batched,
+                "vocab_hybrid": vocab_hybrid,
                 "solana_e2e_drift_note": (
                     "r6 flagged solana_e2e 1.285->1.749s with no plan"
                     " change (plans/ untouched). r7 attribution: in an"

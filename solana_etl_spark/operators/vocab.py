@@ -280,38 +280,71 @@ def train_bpe_merges(
     append_eow: bool = True,
     batch_size: int = 1,
     stats: dict | None = None,
+    strategy: str = "auto",
+    driver_word_cap: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges over the corpus. Returns the ordered
     merge list — the vocabulary artifact a tokenizer ships with.
 
-    ``batch_size=1`` is the classic one-merge-per-round loop (the oracle
-    mode). ``batch_size>1`` applies up to that many merges per round,
-    selected by :func:`_select_bpe_batch`'s provable conflict policy —
-    the learned merge LIST IS IDENTICAL to classic (property-tested in
-    tests/test_vocab_batched.py); a round costs one pair-count shuffle +
-    one candidate-adjacent triple-count job (adjacency filter pushed
-    below its shuffle, so it is candidate-bounded) + one checkpoint for
-    up to ``batch_size`` merges.
+    ``strategy`` picks the training engine for the merge loop; the
+    corpus scan that builds the (word, freq) table is distributed in
+    every mode, and ALL modes learn the bit-identical merge list:
 
-    Measured honestly (50k-doc / 20k-word Zipf scaling corpus,
-    local[32]): the realized batch factor under PROVABLE classic
-    equality is ~1.7 (max 6; 512 merges in 301 rounds) — natural text's
-    top pairs chain into their own created successors ((t,h) → (th,e)),
-    and those dependencies are real classic-sequence dependencies no
-    sound policy can batch across. Consequently batched mode roughly
-    BREAKS EVEN with classic on a single node (see BENCH_LOCAL.json's
-    vocab_batched row) and pays off only where per-job scheduler
-    round-trips dominate the per-round data cost — the 1000-executor
-    regime the batching targets. For production 32k-merge vocabularies
-    the honest scale path remains training on a bounded sample (the
-    k-means/unigram pattern) rather than any exact whole-corpus loop.
+    - ``"auto"`` (default): collect the word table under
+      ``driver_word_cap`` (LIMIT cap+1, so an over-cap table never
+      materializes on the driver) and run classic greedy merges
+      in-process — the SentencePiece/HF trainer shape, exploiting that
+      the word table is Zipf-bounded (the operators/lm.py argument):
+      ~10^6-10^8 rows at ANY corpus size. Measured on the 50k-doc
+      scaling corpus: 512 merges in ~3 s where the distributed classic
+      loop extrapolates to ~258 s and the batched loop measured 447 s —
+      this is the production 32k-merge path. Falls back to the
+      distributed rounds past the cap.
+    - ``"driver"``: force the driver path; raises past the cap (the
+      train_cap/BROADCAST_CANDIDATE_CAP fail-loudly discipline).
+    - ``"distributed"``: the r6/r7 round loop. ``batch_size=1`` is the
+      classic one-merge-per-round oracle mode; ``batch_size>1`` applies
+      up to that many merges per round under :func:`_select_bpe_batch`'s
+      provable conflict policy (identical merge list, property-tested in
+      tests/test_vocab_batched.py). Measured honestly: provable classic
+      equality caps the realized batch factor at ~1.7 on Zipf text
+      (created-successor chains are real sequential dependencies), so
+      batching pays only where per-job scheduler round-trips dominate —
+      and the driver path above beats both whenever the word table fits,
+      which is why it is the default.
 
-    Classic-mode measurements at sf0.01 after the localCheckpoint
-    switch: 16 merges 12.4 s (cold session), 32 merges 9.6 s warm —
-    ~0.3 s/round, flat with round count, and the 32-merge run's first
-    16 merges equal the 16-merge run's (lineage truncation changes
-    plans, never results)."""
-    words = word_freq_table(docs, text_col).withColumn(
+    Classic distributed measurements at sf0.01 (localCheckpoint
+    lineage truncation): ~0.3 s/round, flat with round count; the
+    32-merge run's first 16 merges equal the 16-merge run's."""
+    from solana_etl_spark.operators.vocab_driver import (
+        DRIVER_WORD_TABLE_CAP,
+        bpe_merges_from_word_freqs,
+    )
+
+    if driver_word_cap is None:
+        driver_word_cap = DRIVER_WORD_TABLE_CAP
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    words_tbl = word_freq_table(docs, text_col)
+    if strategy in ("auto", "driver"):
+        rows = words_tbl.limit(driver_word_cap + 1).collect()
+        if len(rows) <= driver_word_cap:
+            if stats is not None:
+                stats["strategy"] = "driver"
+                stats["words_collected"] = len(rows)
+            return bpe_merges_from_word_freqs(
+                ((r["word"], r["freq"]) for r in rows),
+                n_merges,
+                append_eow,
+            )
+        if strategy == "driver":
+            raise ValueError(
+                f"word table exceeds driver_word_cap={driver_word_cap}; "
+                "use strategy='auto' (distributed fallback) or raise the cap"
+            )
+    if stats is not None:
+        stats["strategy"] = "distributed"
+    words = words_tbl.withColumn(
         "symbols", _initial_symbols(F.col("word"), append_eow)
     )
     # the words table's symbol set is exactly (initial alphabet ∪ applied

@@ -222,6 +222,8 @@ def train_wordpiece_vocab(
     n_merges: int = 16,
     max_piece_len: int = MAX_PIECE_LEN,
     batch_size: int = 1,
+    strategy: str = "auto",
+    driver_word_cap: int | None = None,
 ) -> list[str]:
     """Learn a WordPiece vocabulary: the corpus alphabet (bare +
     ##-prefixed forms, count-bearing only) plus one merged piece per
@@ -247,7 +249,44 @@ def train_wordpiece_vocab(
     nature: the likelihood score rewards chaining into just-created
     pieces (cnt_m is tiny, so created pairs often win the next round),
     and the policy correctly degenerates to classic exactly when
-    classic's own choices are sequentially dependent."""
+    classic's own choices are sequentially dependent.
+
+    ``strategy="auto"`` (default) runs the merge loop DRIVER-SIDE over
+    the collected (word, freq) table when it fits under
+    ``driver_word_cap`` — the table is Zipf-bounded at any corpus size,
+    so this is the production path for large vocabularies (the
+    SentencePiece/HF trainer shape; see
+    operators/vocab_driver.py:wordpiece_vocab_from_word_freqs) — and
+    falls back to the distributed rounds past the cap. The learned
+    vocabulary is bit-identical in every mode. ``strategy="driver"``
+    forces the driver path (raises past the cap);
+    ``strategy="distributed"`` forces the round loop."""
+    from solana_etl_spark.operators.vocab_driver import (
+        DRIVER_WORD_TABLE_CAP,
+        wordpiece_vocab_from_word_freqs,
+    )
+
+    if driver_word_cap is None:
+        driver_word_cap = DRIVER_WORD_TABLE_CAP
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy in ("auto", "driver"):
+        rows = (
+            word_freq_table(docs, text_col)
+            .limit(driver_word_cap + 1)
+            .collect()
+        )
+        if len(rows) <= driver_word_cap:
+            return wordpiece_vocab_from_word_freqs(
+                ((r["word"], r["freq"]) for r in rows),
+                n_merges,
+                max_piece_len,
+            )
+        if strategy == "driver":
+            raise ValueError(
+                f"word table exceeds driver_word_cap={driver_word_cap}; "
+                "use strategy='auto' (distributed fallback) or raise the cap"
+            )
     base = word_freq_table(docs, text_col).withColumn(
         "symbols", _initial_wp_symbols(F.col("word"))
     )

@@ -87,8 +87,12 @@ def test_greedy_merge_expr_matches_reference(spark):
 
 def test_bpe_merge_sequence_matches_reference(spark):
     docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    # both engines of the hybrid: the driver fast path (default) and
+    # the distributed round loop must learn the identical sequence
     got = train_bpe_merges(docs, n_merges=12)
     assert got == _ref_train(CORPUS, 12)
+    dist = train_bpe_merges(docs, n_merges=12, strategy="distributed")
+    assert dist == got
 
 
 def test_apply_bpe_consistent_with_training(spark):

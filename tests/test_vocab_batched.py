@@ -33,13 +33,19 @@ def _docs(spark, lines):
 
 
 def test_bpe_batched_equals_classic_fixture_64_merges(spark):
-    got = train_bpe_merges(_docs(spark, CORPUS), n_merges=64, batch_size=8)
+    got = train_bpe_merges(
+        _docs(spark, CORPUS), n_merges=64, batch_size=8,
+        strategy="distributed",
+    )
     assert got == _bpe_ref(CORPUS, 64)
 
 
 def test_wordpiece_batched_equals_classic_fixture(spark):
     lines = ["hugging huggable hug bug rugged", "hug hug hugging jazz"]
-    got = train_wordpiece_vocab(_docs(spark, lines), n_merges=24, batch_size=8)
+    got = train_wordpiece_vocab(
+        _docs(spark, lines), n_merges=24, batch_size=8,
+        strategy="distributed",
+    )
     freqs = Counter(w for t in lines for w in t.split())
     assert got == _wp_ref(dict(freqs), n_merges=24)
 
@@ -62,7 +68,10 @@ words_st = st.lists(
 @given(words=words_st, batch=st.integers(min_value=2, max_value=6))
 def test_bpe_batched_equals_classic_property(spark, words, batch):
     lines = [" ".join(words)]
-    got = train_bpe_merges(_docs(spark, lines), n_merges=12, batch_size=batch)
+    got = train_bpe_merges(
+        _docs(spark, lines), n_merges=12, batch_size=batch,
+        strategy="distributed",
+    )
     assert got == _bpe_ref(lines, 12)
 
 
@@ -78,7 +87,8 @@ def test_bpe_batched_equals_classic_property(spark, words, batch):
 def test_wordpiece_batched_equals_classic_property(spark, words, batch):
     lines = [" ".join(words)]
     got = train_wordpiece_vocab(
-        _docs(spark, lines), n_merges=10, batch_size=batch
+        _docs(spark, lines), n_merges=10, batch_size=batch,
+        strategy="distributed",
     )
     freqs = Counter(w for t in lines for w in t.split())
     assert got == _wp_ref(dict(freqs), n_merges=10)

@@ -89,6 +89,8 @@ def test_training_matches_reference(spark):
     freqs = Counter(w for _, t in rows for w in t.split())
     want = _ref_train(dict(freqs), n_merges=8)
     assert got == want
+    # distributed round loop learns the identical vocabulary
+    assert train_wordpiece_vocab(docs, n_merges=8, strategy="distributed") == want
 
 
 def test_greedy_segment_matches_reference(spark):
