@@ -130,7 +130,18 @@ def lsh_bands(
     documents: DataFrame, k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
 ) -> DataFrame:
     """(doc_id, band, sig): one row per document per LSH band — the banded
-    minhash signature. Per-row expressions only, zero shuffle."""
+    minhash signature. Per-row expressions only, zero shuffle.
+
+    ``sig`` is the 8-byte :func:`hash64` of the band's minhash tuple, not
+    the tuple's ~40-byte ``concat_ws`` string (r8): every downstream
+    shuffle/window/index keys on sig, so at 10^11 docs × 8 bands the
+    narrow key saves multi-TB of shuffle volume and shrinks the persisted
+    band index ~4×. Hash collisions are harmless for cross-engine
+    checking — the oracle applies the IDENTICAL md5-based hash
+    (functions/hashing.hash64_sql), so any collision merges the same
+    buckets on both engines — and semantically a 60-bit collision merges
+    two buckets, which can only ADD a candidate pair (LSH candidates are
+    verified or drop-on-candidate by policy anyway) at ~2^-60 rate."""
     sigs = minhash_signatures(documents, k)
     n_bands = k // band_rows
     return sigs.select(
@@ -140,12 +151,16 @@ def lsh_bands(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"h{b * band_rows + r}").cast("string")
-                                for r in range(band_rows)
-                            ],
+                        hash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * band_rows + r}").cast(
+                                        "string"
+                                    )
+                                    for r in range(band_rows)
+                                ],
+                            )
                         ).alias("sig"),
                     )
                     for b in range(n_bands)

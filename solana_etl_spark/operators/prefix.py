@@ -33,22 +33,46 @@ from pyspark.sql.window import Window
 
 N_RANGE_BUCKETS = 64
 
+# Split estimation samples 1-in-SPLIT_SAMPLE_MOD key values (by
+# xxhash64 of the key): splits affect ONLY load balance, never results
+# (all ties of a key land in one bucket and buckets are monotone — the
+# range_bucket contract), so an estimate from a hash sample is safe by
+# construction, and the hash predicate pushes down the key's lineage so
+# the extra action computes ~1/MOD of the upstream plan instead of all
+# of it. Tiny inputs usually sample to zero splits and fall back to the
+# full pass (which is then cheap by the same token).
+SPLIT_SAMPLE_MOD = 64
+
 
 def quantile_splits(
     df: DataFrame,
     col: str,
     n_buckets: int = N_RANGE_BUCKETS,
     relative_error: float | None = None,
+    sample_mod: int | None = SPLIT_SAMPLE_MOD,
 ) -> list[float]:
     """Range split points for ``col`` balancing ROW mass across
-    ``n_buckets`` buckets: one approxQuantile pass, deduped or empty.
-    Non-numeric / empty inputs degrade to ``[]`` (single bucket) — the
-    caller's plan shape is unchanged, only its parallelism."""
+    ``n_buckets`` buckets: one approxQuantile pass over a deterministic
+    1/``sample_mod`` hash sample of the key (``sample_mod=None`` or
+    ``1`` forces the full pass), deduped or empty. Non-numeric / empty
+    inputs degrade to ``[]`` (single bucket) — the caller's plan shape
+    is unchanged, only its parallelism."""
     if n_buckets <= 1:
         return []
     if relative_error is None:
         relative_error = 1.0 / (4 * n_buckets)
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    if sample_mod and sample_mod > 1:
+        try:
+            qs = df.filter(
+                F.pmod(F.xxhash64(F.col(col)), F.lit(sample_mod)) == 0
+            ).approxQuantile(col, probs, relative_error)
+            out = sorted({float(q) for q in qs})
+            if out:
+                return out
+            # empty sample (tiny input): fall through to the full pass
+        except Exception:
+            pass  # same degrade contract as below
     try:
         qs = df.approxQuantile(col, probs, relative_error)
     except Exception:
@@ -168,8 +192,9 @@ def two_phase_row_number(
     count of rows in preceding buckets. ``descending`` flips both the
     bucket accumulation and the expected direction of ``order_cols``
     (the caller still supplies the actual Column ordering). The quantile
-    pass runs ``df``'s plan once extra — persist upstream if it is
-    expensive."""
+    pass runs ``df``'s plan once extra on a 1/``SPLIT_SAMPLE_MOD`` hash
+    sample of the key (pushdown-reduced) — persist upstream if even the
+    sampled pass is expensive."""
     splits = quantile_splits(df, primary, n_buckets)
     bucketed = df.withColumn(
         "_bkt", range_bucket(F.col(primary), splits)

@@ -1236,7 +1236,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_bands_cte(k: int, band_rows: int) -> str:
     """sigs/bands CTE bodies — the shared prefix of every minhash-LSH
     oracle. Star-edge/bucket-min oracles use this ALONE (no quadratic
-    pair expansion — the very thing the star-edge operator avoids)."""
+    pair expansion — the very thing the star-edge operator avoids).
+    ``sig`` mirrors the Spark side's 8-byte hash64 of the band tuple
+    (operators/dedup.py lsh_bands r8) — identical md5 recipe, so any
+    hash collision merges the same buckets on both engines."""
     n_bands = k // band_rows
     sig_cols = ",\n               ".join(
         f"{minhash_sql(_SHINGLES_SQL, i)} AS h{i}" for i in range(k)
@@ -1244,8 +1247,11 @@ def _lsh_bands_cte(k: int, band_rows: int) -> str:
     band_rows_sql = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
             b=b,
-            sig=" || ',' || ".join(
-                f"CAST(h{b * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+            sig=hash64_sql(
+                " || ',' || ".join(
+                    f"CAST(h{b * band_rows + r} AS VARCHAR)"
+                    for r in range(band_rows)
+                )
             ),
         )
         for b in range(n_bands)
@@ -1728,8 +1734,11 @@ def _clean_corpus_ctes(src: str) -> str:
     band_rows_sql = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
             b=b,
-            sig=" || ',' || ".join(
-                f"CAST(h{b * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+            sig=hash64_sql(
+                " || ',' || ".join(
+                    f"CAST(h{b * band_rows + r} AS VARCHAR)"
+                    for r in range(band_rows)
+                )
             ),
         )
         for b in range(n_bands)

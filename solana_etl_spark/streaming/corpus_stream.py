@@ -99,12 +99,21 @@ def start_streaming_corpus_pipeline(
     survivors_dir: str,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """documents stream → cleaned corpus + updated dedup index,
     exactly-once (per-batch subdirectory overwrites keyed by batch_id;
     the index loader excludes the in-flight batch_id, so at-least-once
     retries and kill/restart runs converge — same contract as
-    ``start_streaming_corpus_ingest``)."""
+    ``start_streaming_corpus_ingest``). ``compact_every`` folds committed
+    index partitions every N batches (bounded partition/file count;
+    index_compact.DEFAULT_COMPACT_EVERY when None)."""
+    from solana_etl_spark.streaming.index_compact import (
+        DEFAULT_COMPACT_EVERY,
+        maybe_compact_indexes,
+    )
+
+    cadence = DEFAULT_COMPACT_EVERY if compact_every is None else compact_every
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # One materialization feeds both writes (persist, not re-read):
@@ -126,6 +135,12 @@ def start_streaming_corpus_pipeline(
             ).parquet(os.path.join(survivors_dir, f"batch={batch_id}"))
         finally:
             deduped.unpersist()
+        maybe_compact_indexes(
+            spark,
+            [os.path.join(index_dir, "exact"), os.path.join(index_dir, "bands")],
+            batch_id,
+            cadence,
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -97,7 +97,7 @@ def dedup_batch_against_index(
     band_idx = _read_index(
         spark,
         os.path.join(index_dir, "bands"),
-        "band int, sig string",
+        "band int, sig long",
         exclude_batch,
     )
     return incremental_dedup(in_batch_unique, exact_idx, band_idx)
@@ -109,14 +109,25 @@ def start_streaming_corpus_ingest(
     survivors_dir: str,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """documents stream → deduped corpus + updated index, exactly-once.
 
     Idempotence: every write lands in ``.../batch={batch_id}`` with
     overwrite and the index loader excludes the in-flight batch_id, so
     Structured Streaming's at-least-once foreachBatch retries converge;
-    readers glob the parent directory.
+    readers glob the parent directory. ``compact_every`` folds committed
+    index partitions every N batches
+    (streaming/index_compact.compact_index) — bounds the partition/file
+    count under long streams; default follows
+    index_compact.DEFAULT_COMPACT_EVERY when None.
     """
+    from solana_etl_spark.streaming.index_compact import (
+        DEFAULT_COMPACT_EVERY,
+        maybe_compact_indexes,
+    )
+
+    cadence = DEFAULT_COMPACT_EVERY if compact_every is None else compact_every
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         survivors = dedup_batch_against_index(
@@ -134,6 +145,12 @@ def start_streaming_corpus_ingest(
         )
         new_bands.write.mode("overwrite").parquet(
             os.path.join(index_dir, "bands", f"batch={batch_id}")
+        )
+        maybe_compact_indexes(
+            spark,
+            [os.path.join(index_dir, "exact"), os.path.join(index_dir, "bands")],
+            batch_id,
+            cadence,
         )
 
     return (

@@ -135,12 +135,21 @@ def start_streaming_media_dedup(
     survivors_dir: str,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """media stream → deduped (media_id, afp) survivors + fingerprint
     index, exactly-once (per-batch subdirectory overwrites; the index
     loader excludes the in-flight batch_id — the
     start_streaming_corpus_ingest contract). The index records EVERY
-    batch clip (survivor or not): dominance is over all seen clips."""
+    batch clip (survivor or not): dominance is over all seen clips.
+    ``compact_every`` folds committed index partitions every N batches
+    (bounded partition/file count; DEFAULT_COMPACT_EVERY when None)."""
+    from solana_etl_spark.streaming.index_compact import (
+        DEFAULT_COMPACT_EVERY,
+        maybe_compact_indexes,
+    )
+
+    cadence = DEFAULT_COMPACT_EVERY if compact_every is None else compact_every
 
     def process_batch(batch_media: DataFrame, batch_id: int) -> None:
         # decode ONCE: the checkpointed signatures feed the survivor
@@ -155,6 +164,9 @@ def start_streaming_media_dedup(
         )
         _band_rows(sigs).write.mode("overwrite").parquet(
             os.path.join(index_dir, "fps", f"batch={batch_id}")
+        )
+        maybe_compact_indexes(
+            spark, [os.path.join(index_dir, "fps")], batch_id, cadence
         )
 
     return (

@@ -119,12 +119,21 @@ def start_streaming_web_pipeline(
     survivors_dir: str,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """pages stream → curated crawl + updated URL/span indexes,
     exactly-once (per-batch subdirectory overwrites keyed by batch_id;
     the index loaders exclude the in-flight batch_id, so at-least-once
     retries and kill/restart runs converge — the
-    ``start_streaming_corpus_ingest`` contract)."""
+    ``start_streaming_corpus_ingest`` contract). ``compact_every`` folds
+    committed index partitions every N batches (bounded partition/file
+    count; index_compact.DEFAULT_COMPACT_EVERY when None)."""
+    from solana_etl_spark.streaming.index_compact import (
+        DEFAULT_COMPACT_EVERY,
+        maybe_compact_indexes,
+    )
+
+    cadence = DEFAULT_COMPACT_EVERY if compact_every is None else compact_every
 
     def process_batch(batch_pages: DataFrame, batch_id: int) -> None:
         survivors, cleaned = web_clean_batch(
@@ -142,6 +151,12 @@ def start_streaming_web_pipeline(
         )
         span_hashes(cleaned).write.mode("overwrite").parquet(
             os.path.join(index_dir, "spans", f"batch={batch_id}")
+        )
+        maybe_compact_indexes(
+            spark,
+            [os.path.join(index_dir, "urls"), os.path.join(index_dir, "spans")],
+            batch_id,
+            cadence,
         )
 
     return (
