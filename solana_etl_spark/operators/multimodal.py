@@ -103,11 +103,12 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 
 def _pil_image():
     """PIL's Image module when importable, else the vendored pure-Python
-    PNG decoder (functions/png.py, same ``open``/``width``/``height``/
-    ``resize``/``tobytes`` subset) — PNG payloads ALWAYS have a real
-    decode path now. The vendored module declares which mimes it really
-    decodes (``CAN_DECODE``); the gate routes only those to it, so a
-    valid JPEG in a Pillow-less deployment keeps the deterministic stub
+    decoders (functions/png.py + functions/jpeg.py, same ``open``/
+    ``width``/``height``/``resize``/``tobytes`` subset) — PNG and
+    baseline-JPEG payloads ALWAYS have a real decode path. A vendored
+    module declares which mimes it really decodes (``CAN_DECODE``); the
+    gate routes only those to it, so an image format with no real
+    decoder in a Pillow-less deployment keeps the deterministic stub
     instead of crashing on a signature check. A corrupt payload of a
     decodable mime raises ValueError from the real decoder — pipeline
     error isolation must see it, not fake dimensions."""
@@ -116,25 +117,28 @@ def _pil_image():
 
         return Image
     except ImportError:
-        from solana_etl_spark.functions import png
+        from solana_etl_spark.functions import jpeg, png
 
-        return png
+        return (png, jpeg)
 
 
 _PIL_IMAGE = _pil_image()
 
 
 def _decoder_for(pil, mime: str):
-    """The real decoder for ``mime`` under module ``pil``, or None if this
-    mime should take the stub. Real PIL (no CAN_DECODE attr) handles all
-    image/*; a partial decoder (the vendored PNG module, or an injected
-    fake declaring CAN_DECODE) handles only the mimes it lists."""
+    """The real decoder for ``mime`` under ``pil`` (a module or a tuple
+    of partial-codec modules), or None if this mime should take the
+    stub. Real PIL (no CAN_DECODE attr) handles all image/*; a partial
+    decoder (the vendored PNG/JPEG modules, or an injected fake
+    declaring CAN_DECODE) handles only the mimes it lists."""
     if pil is None or mime is None or not mime.startswith("image/"):
         return None
-    can = getattr(pil, "CAN_DECODE", None)
-    if can is not None and mime not in can:
-        return None
-    return pil
+    mods = pil if isinstance(pil, tuple) else (pil,)
+    for mod in mods:
+        can = getattr(mod, "CAN_DECODE", None)
+        if can is None or mime in can:
+            return mod
+    return None
 
 
 def decode_dims(payload: bytes, mime: str, pil_image=None) -> tuple[int, int]:
@@ -403,16 +407,31 @@ def _dhash_from_gray(width: int, height: int, gray: bytes) -> int:
     return int((bits.reshape(-1).astype(np.uint64) << idx).sum())
 
 
+def _sniff_codec(payload: bytes):
+    """Vendored codec by payload SIGNATURE (PNG magic / JPEG SOI) — a
+    mixed image table needs no mime column on the hash path, and a
+    payload that is neither raises ValueError into error isolation."""
+    from solana_etl_spark.functions import jpeg, png
+
+    # a 4-byte PNG prefix routes to the PNG codec even when the rest of
+    # the magic is corrupt: its own signature check raises the detailed
+    # "png: bad signature" the error-isolation tests pin
+    if payload[:4] == b"\x89PNG":
+        return png
+    if payload[:2] == b"\xff\xd8":
+        return jpeg
+    raise ValueError("image: neither png nor jpeg payload signature")
+
+
 def dhash_images(media: DataFrame) -> DataFrame:
     """(media_id, dhash): Arrow-batched ``mapInPandas`` kernel decoding
-    each PNG payload with the vendored codec (the REAL decode path — a
-    corrupt payload raises ValueError into pipeline error isolation) and
-    reducing it to the 60-bit gradient signature. RGB payloads reduce to
-    integer-exact luma via the plain channel sum (deterministic, no
-    float weights). Input needs (media_id, payload) columns."""
+    each payload with the vendored codec for its sniffed signature (PNG
+    or baseline JPEG — the REAL decode paths; a corrupt payload raises
+    ValueError into pipeline error isolation) and reducing it to the
+    60-bit gradient signature. RGB payloads reduce to integer-exact luma
+    via the plain channel sum (deterministic, no float weights). Input
+    needs (media_id, payload) columns."""
     import io
-
-    from solana_etl_spark.functions import png
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -420,7 +439,9 @@ def dhash_images(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
-                with png.open(io.BytesIO(bytes(payload))) as im:
+                payload = bytes(payload)
+                codec = _sniff_codec(payload)
+                with codec.open(io.BytesIO(payload)) as im:
                     buf = im.tobytes()
                     if im.channels > 1:
                         a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)

@@ -3629,6 +3629,80 @@ def _phash_oracle() -> str:
     """
 
 
+def _image_dims_oracle() -> str:
+    from solana_etl_spark.sources.synth import (
+        IMAGES_VERSION,
+        N_IMAGES,
+        _tables_root,
+    )
+
+    d = f"{_tables_root()}/img_v{IMAGES_VERSION}_{N_IMAGES}"
+    # mime by construction: the v3 table is N_IMAGES PNG rows followed by
+    # the JPEG section (this DuckDB build cannot slice BLOBs to sniff)
+    return f"""
+    SELECT img_id AS media_id,
+           CASE WHEN img_id < {N_IMAGES}
+                THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CAST(width AS BIGINT) AS src_width,
+           CAST(height AS BIGINT) AS src_height
+    FROM read_parquet('{d}/images.parquet')
+    """
+
+
+@_register("mm_image_dims", _image_dims_oracle(), local_only=True)
+def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode certified on dimensions: every payload of the
+    mixed PNG + baseline-JPEG fixture table goes through the vendored
+    decoders (operators/multimodal.py decode_dims — functions/png.py for
+    PNG, functions/jpeg.py for JPEG, the r8 real-decode path for the
+    format that dominates web crawls), and the decoded width/height must
+    equal the table's ground-truth columns. The mime is sniffed from the
+    payload signature, exactly as the oracle's CASE does. local_only:
+    driver cap."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from solana_etl_spark.operators.multimodal import decode_dims
+    from solana_etl_spark.sources.synth import ensure_images_table
+
+    d = ensure_images_table()
+    media = spark.read.parquet(f"{d}/images.parquet").select(
+        F.col("img_id").alias("media_id"), "payload"
+    )
+
+    def dims_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, dims = [], []
+            for p in pdf["payload"]:
+                p = bytes(p)
+                mime = (
+                    "image/png"
+                    if p.startswith(b"\x89PNG")
+                    else "image/jpeg"
+                )
+                mimes.append(mime)
+                dims.append(decode_dims(p, mime))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": mimes,
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "src_width": [d0 for d0, _ in dims],
+                    "src_height": [d1 for _, d1 in dims],
+                }
+            )
+
+    return media.mapInPandas(
+        dims_batches,
+        schema=(
+            "media_id long, mime string, n_bytes long,"
+            " src_width long, src_height long"
+        ),
+    )
+
+
 @_register("mm_phash_dedup", _phash_oracle(), local_only=True)
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup over REAL decoded pixels: the synthetic

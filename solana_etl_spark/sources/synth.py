@@ -550,11 +550,14 @@ def ensure_sf_tables(
 # Synthetic image fixtures (real PNG payloads + ground-truth pixel arrays)
 # ---------------------------------------------------------------------------
 
-IMAGES_VERSION = 2
+IMAGES_VERSION = 3
 N_IMAGES = 400
 # dims are free-form for the dHash operator (cell comparisons are exact
 # cross-multiplied rational means); varied here to exercise that path
 _IMG_DIMS = [(22, 12), (33, 18), (44, 24), (30, 20)]
+# JPEG section appended after the PNG rows (v3): 1 JPEG per 4 PNGs
+_N_JPEGS_PER = 4
+_JPG_DIMS = [(24, 16), (19, 13), (32, 24), (21, 18)]
 
 
 def _synth_image(img_id: int, prev: tuple | None):
@@ -585,18 +588,191 @@ def _synth_image(img_id: int, prev: tuple | None):
     return w, h, px
 
 
+_COS = None  # [(u, x)] cosine table for the reference IDCT
+
+
+def _ref_cos():
+    global _COS
+    if _COS is None:
+        import math
+
+        _COS = [
+            [
+                (0.5 * math.sqrt(0.5) if u == 0 else 0.5)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    return _COS
+
+
+def _ref_jpeg_plane(blocks, bw, bh, qtable):
+    """Quantized blocks → sample plane (bh·8 × bw·8): dequant + separable
+    float64 cosine IDCT + round-half-up + clamp + level shift — an
+    INDEPENDENT pure-Python implementation of the pinned decode formulas
+    in functions/jpeg.py (the generator self-checks the real decoder
+    against these pixels at build time, so any divergence fails loudly
+    instead of shipping wrong ground truth)."""
+    import math
+
+    cos = _ref_cos()
+    plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+    for bi, blk in enumerate(blocks):
+        by, bx = divmod(bi, bw)
+        deq = [
+            [blk[v * 8 + u] * qtable[v * 8 + u] for u in range(8)]
+            for v in range(8)
+        ]
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for v in range(8):
+                    cv = cos[v][y]
+                    if cv == 0.0:
+                        continue
+                    row = deq[v]
+                    acc += cv * sum(
+                        cos[u][x] * row[u] for u in range(8) if row[u]
+                    )
+                # pinned op order: (+128.0) then (+0.5) then floor —
+                # matches functions/jpeg.py's _idct_block_pixels exactly
+                plane[by * 8 + y][bx * 8 + x] = max(
+                    0, min(255, int(math.floor((acc + 128.0) + 0.5)))
+                )
+    return plane
+
+
+def _synth_jpeg(j: int, prev: tuple | None):
+    """Deterministic JPEG fixture j → (payload, luma_pixels, w, h).
+
+    Coefficient-first construction: quantized DCT blocks are drawn
+    directly (entropy coding is lossless on them), the payload comes from
+    functions/jpeg's encoder, and ground-truth pixels from the reference
+    IDCT above. Mostly grayscale; every 7th is color 4:4:4 and the next a
+    color 4:2:0 (pixels column = exact channel-sum luma r+g+b, matching
+    dhash_images' integer luma). Every 10th gray is a one-AC
+    perturbation of the previous (near-dup pairs for the dHash family);
+    every 25th an exact copy."""
+    import random
+
+    from solana_etl_spark.functions import jpeg
+
+    rng = random.Random(f"jpg-{IMAGES_VERSION}-{j}")
+
+    def blocks(n, dc, ac_n=3, ac_mag=6):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            blk[0] = rng.randint(-dc, dc)
+            for _ in range(ac_n):
+                blk[rng.randint(1, 9)] = rng.randint(-ac_mag, ac_mag)
+            out.append(blk)
+        return out
+
+    if j % 25 == 24 and prev is not None:
+        return prev  # exact duplicate
+    if j % 10 == 9 and prev is not None and len(prev) == 4:
+        payload, px, w, h = prev
+        # regenerate with the same seed recipe is impossible (prev may be
+        # color); perturb only when prev was GRAY — detect via decode of
+        # our own record: gray fixtures carry px values ≤ 255
+        if max(px) <= 255:
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            # re-draw prev's blocks deterministically and nudge one AC
+            prng = random.Random(f"jpg-{IMAGES_VERSION}-{j - 1}")
+            blks = []
+            for _ in range(bw * bh):
+                blk = [0] * 64
+                blk[0] = prng.randint(-50, 50)
+                for _ in range(3):
+                    blk[prng.randint(1, 9)] = prng.randint(-6, 6)
+                blks.append(blk)
+            blks[rng.randrange(len(blks))][1] += rng.choice((-1, 1))
+            pay = jpeg.encode_gray_coeffs(blks, w, h)
+            plane = _ref_jpeg_plane(blks, bw, bh, jpeg.STD_LUMA_QUANT)
+            pix = [plane[y][x] for y in range(h) for x in range(w)]
+            return pay, pix, w, h
+    w, h = _JPG_DIMS[j % len(_JPG_DIMS)]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    if j % 7 == 5:  # color 4:4:4
+        yb = blocks(bw * bh, 50)
+        cbb = blocks(bw * bh, 20, 1, 3)
+        crb = blocks(bw * bh, 20, 1, 3)
+        pay = jpeg.encode_color_coeffs(yb, cbb, crb, w, h)
+        pix = _ref_color_luma(yb, cbb, crb, w, h, subsample=False)
+        return pay, pix, w, h
+    if j % 7 == 6:  # color 4:2:0
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        yb = blocks(mcux * 2 * mcuy * 2, 50)
+        cbb = blocks(mcux * mcuy, 20, 1, 3)
+        crb = blocks(mcux * mcuy, 20, 1, 3)
+        pay = jpeg.encode_color_coeffs(yb, cbb, crb, w, h, subsample=True)
+        pix = _ref_color_luma(yb, cbb, crb, w, h, subsample=True)
+        return pay, pix, w, h
+    blks = blocks(bw * bh, 50)
+    pay = jpeg.encode_gray_coeffs(blks, w, h)
+    plane = _ref_jpeg_plane(blks, bw, bh, jpeg.STD_LUMA_QUANT)
+    pix = [plane[y][x] for y in range(h) for x in range(w)]
+    return pay, pix, w, h
+
+
+def _ref_color_luma(yb, cbb, crb, w, h, subsample: bool):
+    """Channel-sum luma (r+g+b per pixel) of the reference color decode —
+    the integer the dHash kernel reduces RGB to."""
+    import math
+
+    from solana_etl_spark.functions import jpeg
+
+    if subsample:
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        yp = _ref_jpeg_plane(yb, mcux * 2, mcuy * 2, jpeg.STD_LUMA_QUANT)
+        cbp = _ref_jpeg_plane(cbb, mcux, mcuy, jpeg.STD_CHROMA_QUANT)
+        crp = _ref_jpeg_plane(crb, mcux, mcuy, jpeg.STD_CHROMA_QUANT)
+        sub = 2
+    else:
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        yp = _ref_jpeg_plane(yb, bw, bh, jpeg.STD_LUMA_QUANT)
+        cbp = _ref_jpeg_plane(cbb, bw, bh, jpeg.STD_CHROMA_QUANT)
+        crp = _ref_jpeg_plane(crb, bw, bh, jpeg.STD_CHROMA_QUANT)
+        sub = 1
+
+    def rhu(x):
+        return max(0, min(255, int(math.floor(x + 0.5))))
+
+    out = []
+    for y in range(h):
+        for x in range(w):
+            Y = yp[y][x]
+            cb = cbp[y // sub][x // sub] - 128.0
+            cr = crp[y // sub][x // sub] - 128.0
+            out.append(
+                rhu(Y + 1.402 * cr)
+                + rhu(Y - 0.344136 * cb - 0.714136 * cr)
+                + rhu(Y + 1.772 * cb)
+            )
+    return out
+
+
 def ensure_images_table(
     n_images: int = N_IMAGES, root: str | None = None
 ) -> str:
-    """Generate images.parquet — (img_id, payload REAL PNG bytes, pixels
-    ground-truth grayscale array, width, height) — if absent; atomic +
-    idempotent like :func:`ensure_sf_tables`. The payload/pixels pairing
-    is what lets the dHash gate row cross-check the REAL decode path:
-    Spark hashes from the payload (vendored PNG decode), the DuckDB
-    oracle from the pixel array."""
+    """Generate images.parquet — (img_id, payload REAL PNG or baseline
+    JPEG bytes, pixels ground-truth luma array, width, height) — if
+    absent; atomic + idempotent like :func:`ensure_sf_tables`. The
+    payload/pixels pairing is what lets the dHash gate row cross-check
+    the REAL decode paths: Spark hashes from the payload (vendored
+    PNG/JPEG decode, signature-sniffed), the DuckDB oracle from the
+    pixel array. v3 appends ``n_images // _N_JPEGS_PER`` JPEG rows —
+    gray, color 4:4:4, and color 4:2:0 — whose expected pixels come from
+    an independent reference implementation of the pinned decode
+    formulas, self-checked against the real decoder at build time."""
+    import io
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from solana_etl_spark.functions import jpeg as jpeg_mod
     from solana_etl_spark.functions.png import encode_gray
 
     root = root or _tables_root()
@@ -612,6 +788,26 @@ def ensure_images_table(
         w, h, px = _synth_image(img_id, prev)
         prev = (w, h, px)
         rows.append((img_id, encode_gray(w, h, bytes(px)), px, w, h))
+    jprev = None
+    for j in range(n_images // _N_JPEGS_PER):
+        pay, pix, w, h = _synth_jpeg(j, jprev)
+        jprev = (pay, pix, w, h)
+        # build-time self-check: the REAL decoder must reproduce the
+        # reference pixels exactly, or the fixture fails loudly here
+        with jpeg_mod.open(io.BytesIO(pay)) as im:
+            got = im.tobytes()
+            if im.channels == 1:
+                dec = list(got)
+            else:
+                dec = [
+                    got[3 * i] + got[3 * i + 1] + got[3 * i + 2]
+                    for i in range(w * h)
+                ]
+        if dec != pix or (im.width, im.height) != (w, h):
+            raise AssertionError(
+                f"jpeg fixture {j}: decoder disagrees with reference"
+            )
+        rows.append((n_images + j, pay, pix, w, h))
     pq.write_table(
         pa.table(
             {

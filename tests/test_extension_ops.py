@@ -229,12 +229,17 @@ def test_multimodal_codec_capability_gate():
     # ...while non-image mimes keep the deterministic stub
     assert decode_dims(png, "text/plain") == _decode_stub(png)
     assert resize_payload(png, "text/plain", 4, 2) == _resize_stub(png, 4, 2)
-    # image mimes the vendored decoder does NOT handle keep the stub too —
-    # a valid JPEG in a Pillow-less deployment must not crash on a PNG
-    # signature check (reviewed bug)
+    # image/jpeg now has its OWN vendored real decoder (r8,
+    # functions/jpeg.py) — a corrupt JPEG raises into error isolation,
+    # exactly like a corrupt PNG
     jpeg = b"\xff\xd8\xff\xe0 fake jpeg bytes"
-    assert decode_dims(jpeg, "image/jpeg") == _decode_stub(jpeg)
-    assert resize_payload(jpeg, "image/jpeg", 4, 2) == _resize_stub(jpeg, 4, 2)
+    with pytest.raises(ValueError):
+        decode_dims(jpeg, "image/jpeg")
+    # image mimes with NO vendored decoder keep the stub — a valid webp in
+    # a Pillow-less deployment must not crash on a signature check
+    webp = b"RIFF....WEBP fake bytes"
+    assert decode_dims(webp, "image/webp") == _decode_stub(webp)
+    assert resize_payload(webp, "image/webp", 4, 2) == _resize_stub(webp, 4, 2)
     # ...but WITH Pillow present (no CAN_DECODE restriction), image/jpeg
     # takes the REAL path — the documented deployment contract: PNG is the
     # reference codec of the vendored fallback, every other image format
