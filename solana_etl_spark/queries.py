@@ -10368,6 +10368,122 @@ def _wp_pack_oracle() -> str:
     """
 
 
+def _wp_strip_sql(e: str) -> str:
+    return f"CASE WHEN {e} LIKE '##%' THEN substr({e}, 3) ELSE {e} END"
+
+
+def _wp_train_oracle(n_merges: int) -> str:
+    """Classic WordPiece TRAINING unrolled as DuckDB CTE stages — the
+    likelihood-score sibling of _bpe_train_oracle: per stage, symbol
+    counts + pair counts over the sentinel streams, candidate filter on
+    ##-stripped content length (operators/wordpiece.py's
+    encoder-reachability bound), argmax of cnt/(cnt_a·cnt_b) in float64
+    with (a, b) lexical ties, one stream replace. Output = alphabet
+    (binary-sorted distinct initial symbols) + merged pieces in merge
+    order, positions 0..n — exactly train_wordpiece_vocab's artifact."""
+    from solana_etl_spark.operators.wordpiece import MAX_PIECE_LEN
+
+    parts = [
+        """
+    s0 AS MATERIALIZED (
+        SELECT chr(31) || substr(word, 1, 1) || chr(31) ||
+               COALESCE(regexp_replace(substr(word, 2), '(.)',
+                        chr(31) || '##\\1' || chr(31), 'gs'), '') AS stream,
+               CAST(freq AS BIGINT) AS freq
+        FROM (
+            SELECT w AS word, COUNT(*) AS freq FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ) GROUP BY w
+        )
+    ),
+    alpha AS MATERIALIZED (
+        SELECT DISTINCT unnest(list_filter(string_split(stream, chr(31)),
+                                           x -> x <> '')) AS s
+        FROM s0
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""
+    sy{i} AS MATERIALIZED (
+        SELECT s, CAST(SUM(freq) AS BIGINT) AS scnt FROM (
+            SELECT unnest(list_filter(string_split(stream, chr(31)),
+                                      x -> x <> '')) AS s, freq
+            FROM s{i}
+        ) GROUP BY s
+    ),
+    p{i} AS (
+        SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT syms[i] AS a, syms[i+1] AS b, freq FROM (
+                SELECT syms, freq,
+                       unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM (
+                    SELECT list_filter(string_split(stream, chr(31)),
+                                       x -> x <> '') AS syms, freq
+                    FROM s{i}
+                )
+            )
+        ) GROUP BY a, b
+    ),
+    b{i} AS MATERIALIZED (
+        SELECT p.a AS a, p.b AS b,
+               p.a || {_wp_strip_sql('p.b')} AS merged
+        FROM p{i} p
+        JOIN sy{i} sa ON sa.s = p.a
+        JOIN sy{i} sb ON sb.s = p.b
+        WHERE length({_wp_strip_sql('p.a')})
+              + length({_wp_strip_sql('p.b')}) <= {MAX_PIECE_LEN}
+        ORDER BY CAST(p.cnt AS DOUBLE)
+                 / CAST(sa.scnt * sb.scnt AS DOUBLE) DESC, p.a, p.b
+        LIMIT 1
+    ),
+    s{i + 1} AS MATERIALIZED (
+        SELECT replace(stream,
+                       chr(31) || a || chr(31) || chr(31) || b || chr(31),
+                       chr(31) || merged || chr(31)) AS stream, freq
+        FROM s{i}, b{i}
+    )"""
+        )
+    sel = (
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY s) - 1 AS BIGINT) AS pos,"
+        " s AS piece FROM alpha"
+        + "".join(
+            f"\nUNION ALL SELECT (SELECT COUNT(*) FROM alpha) + {i},"
+            f" merged FROM b{i}"
+            for i in range(n_merges)
+        )
+    )
+    return "WITH " + ",".join(parts) + "\n" + sel
+
+
+_WP_TRAIN_N_MERGES = 12
+
+
+@_register(
+    "text_wordpiece_vocab_train",
+    _wp_train_oracle(_WP_TRAIN_N_MERGES),
+    local_only=True,
+)
+def text_wordpiece_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece vocabulary TRAINING certified end-to-end, the
+    text_bpe_vocab_train sibling: the hybrid trainer
+    (operators/wordpiece.py train_wordpiece_vocab — distributed word
+    table, likelihood-score greedy merges on the driver via
+    operators/vocab_driver.py) learns alphabet + merges on THIS sf's
+    documents, and DuckDB independently re-learns them with the merge
+    loop unrolled as SQL stages. local_only: driver cap."""
+    from solana_etl_spark.operators.wordpiece import train_wordpiece_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_wordpiece_vocab(docs, n_merges=_WP_TRAIN_N_MERGES)
+    return spark.createDataFrame(
+        [(i, p) for i, p in enumerate(vocab)], "pos long, piece string"
+    )
+
+
 @_register("pipeline_wordpiece_pack", _wp_pack_oracle(), local_only=True)
 def pipeline_wordpiece_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer->packing composite on the WordPiece family: encode the
