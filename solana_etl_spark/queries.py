@@ -7487,6 +7487,52 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_bpe_vocab", _bpe_train_oracle(_BPE_TRAIN_N_MERGES), local_only=True
+)
+def stream_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tokenizer training (streaming/vocab_stream.py): the
+    documents stream through as two DISJOINT micro-batches maintaining
+    the versioned (word, freq) state, then the driver-side hybrid
+    trainer learns the merge list from the state — which equals batch
+    training exactly (word counts are additive), so the oracle is the
+    SAME unrolled classic merge loop as text_bpe_vocab_train. Eleventh
+    stream-equals-batch gate family, and the streaming completion of
+    the r8 hybrid trainer. local_only: streaming state dirs are
+    per-run temp."""
+    import tempfile
+
+    from solana_etl_spark.streaming.vocab_stream import (
+        start_streaming_word_counts,
+        train_bpe_from_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="gate_stream_vocab_")
+    for p in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == p).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{work}/src/{p}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src/*/*.parquet")
+    )
+    q = start_streaming_word_counts(
+        spark,
+        stream,
+        state_dir=f"{work}/state",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    merges = train_bpe_from_state(spark, f"{work}/state", _BPE_TRAIN_N_MERGES)
+    out = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx long, a string, b string",
+    )
+    return _materialize_and_clean(out, work)
+
+
 def _bpe_fertility_oracle() -> str:
     stream = _bpe_stream_sql()
     return f"""
