@@ -510,6 +510,10 @@ def main() -> None:
         "dq_drift_ks_exact", "a23_exact_corr", "a24_gini_concentration",
         "dq_drift_chi2", "a25_weighted_median", "sketch_hll_distinct",
         "text_chunk_token_windows", "s4_quantile_bins",
+        # r8: oracle-certified training rows (hybrid driver path) + the
+        # mixed-codec real-decode dims row
+        "text_bpe_vocab_train", "text_wordpiece_vocab_train",
+        "mm_image_dims",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
