@@ -88,32 +88,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # per operator family, rotated each round toward the newest unguarded
 # surface.
 #
-# r8 rotation (VERDICT r7 tasks 2 + 3) — IN: the r7 surface that only
-# the local gate had certified (a25_weighted_median, dq_drift_chi2,
-# sketch_hll_distinct, stream_hll_distinct, text_chunk_token_windows)
-# plus text_bpe_vocab_train, the NEW r8 gate row certifying tokenizer
-# TRAINING end-to-end (the hybrid driver-path merge sequence vs a
-# DuckDB-unrolled classic merge loop — the one family with zero oracle
-# coverage in r7). st_rfm and a24_gini_concentration stay IN despite r7
-# certification because r8 changed their plans (st_rfm persist release;
-# null-safe offset joins). OUT, each r7-certified and shadowed by a
-# surviving family row, all still under the 200+-row local gate:
-# text_token_stats (text_quality), ts_rolling (w5_rank_family),
-# dq_impute_median + a22_grouping_sets + a23_exact_corr (r7-certified
-# one-shot agg/window shapes; a12_rollup + w5_rank_family + st_rfm keep
-# the families), dq_drift_ks_exact (dq_drift_chi2 certifies the drift
-# family; the two-phase KS machinery is also exercised by
-# a24_gini_concentration which stays). Earlier rotations: git history
-# of this block.
+# r9 rotation (VERDICT r8 task 1) — IN: the r8 surface that only the
+# local gate had certified: text_wordpiece_vocab_train (the WordPiece
+# sibling of the hybrid driver trainer, DuckDB re-learns the merge
+# sequence), stream_bpe_vocab (streaming vocabulary state,
+# stream≡batch), mm_image_dims (the JPEG real-decode certification —
+# mixed PNG+JPEG dims vs ground-truth). OUT, each r8-certified and
+# shadowed by a surviving family row, all still under the 200+-row
+# local gate: a12_rollup (a15_pivot keeps the multi-grouping family),
+# dedup_star_edges (dedup_lsh_jaccard + dedup_clusters keep the banded
+# LSH family), stream_hll_distinct (sketch_hll_distinct keeps HLL;
+# stream_corpus_pipeline + stream_reservoir_sample + stream_bpe_vocab
+# keep the stream≡batch gates). r8 rotation: IN a25_weighted_median,
+# dq_drift_chi2, sketch_hll_distinct, stream_hll_distinct,
+# text_chunk_token_windows, text_bpe_vocab_train; OUT text_token_stats,
+# ts_rolling, dq_impute_median, a22_grouping_sets, a23_exact_corr,
+# dq_drift_ks_exact. Earlier rotations: git history of this block.
 DRIVER_ROWS: tuple[str, ...] = (
     "q1_pricing_summary", "q5_revenue_by_nation",
     "q6_forecast_revenue", "f1_filter_project", "f4_exists_semijoin",
     "a9_conditional_rollup", "m1_balance_modes",
     "j2_full_outer_coalesce", "j6_asof_join", "j7_range_join",
-    "m8_bucket_rollup", "w1_topk_per_group", "set_ops", "a12_rollup",
+    "m8_bucket_rollup", "w1_topk_per_group", "set_ops",
     "j11_bloom_prefilter_join", "x1_semantic_extract",
     "mine_bitext_margin", "dedup_exact", "dedup_clusters",
-    "dedup_ngram_jaccard", "dedup_lsh_jaccard", "dedup_star_edges",
+    "dedup_ngram_jaccard", "dedup_lsh_jaccard",
     "dedup_url_keep_best",
     "pipeline_web_clean", "pipeline_pretrain_e2e",
     "sim_cosine_topk", "ann_sq8_topk", "ann_rp_topk",
@@ -126,8 +125,9 @@ DRIVER_ROWS: tuple[str, ...] = (
     "mm_phash_dedup", "st_sessionize", "solana_e2e",
     "stream_corpus_pipeline",
     "a25_weighted_median", "dq_drift_chi2",
-    "sketch_hll_distinct", "stream_hll_distinct",
+    "sketch_hll_distinct",
     "text_chunk_token_windows", "text_bpe_vocab_train",
+    "text_wordpiece_vocab_train", "stream_bpe_vocab", "mm_image_dims",
 )
 
 

@@ -41,17 +41,68 @@ from solana_etl_spark.operators.dedup import (
 )
 
 
+#: Marker file recording the schema an index table was persisted with.
+#: The schema string IS the format version: any column/type change (e.g.
+#: the r8 band-signature ``sig string`` → ``sig long`` narrowing) makes
+#: the reader's expected schema mismatch the marker, and the read fails
+#: loudly instead of silently mixing parquet schemas across the upgrade
+#: boundary of a long-lived index (which would admit near-duplicates).
+_FORMAT_MARKER = "_index_schema"
+
+
+def _check_index_format(path: str, schema: str) -> None:
+    """Fail loudly on a persisted index whose format predates ``schema``.
+
+    Three states: marker matches → proceed; marker differs OR committed
+    data exists without a marker (pre-versioning index) → raise with a
+    rewrite instruction; no marker and no data (fresh index) → stamp the
+    marker now, BEFORE the first batch write, so a crash between the
+    first write and any later stamp can never produce the unversioned
+    state. The marker lives beside the ``batch=`` dirs with a leading
+    underscore, so Spark readers and compaction both ignore it.
+    """
+    marker = os.path.join(path, _FORMAT_MARKER)
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            found = fh.read().strip()
+        if found != schema:
+            raise ValueError(
+                f"persisted index at {path} was written with schema "
+                f"'{found}' but this engine expects '{schema}'; rebuild "
+                "the index (re-run dedup_index over the survivors, or "
+                "drop the index dir to re-bootstrap) — refusing to mix "
+                "formats, which would silently admit duplicates"
+            )
+        return
+    if os.path.isdir(path) and any(
+        n.startswith("batch=") for n in os.listdir(path)
+    ):
+        raise ValueError(
+            f"persisted index at {path} has no {_FORMAT_MARKER} marker "
+            f"(written by a pre-versioning engine); expected schema "
+            f"'{schema}'. Rebuild the index rather than risking a "
+            "mixed-schema read that silently admits duplicates"
+        )
+    os.makedirs(path, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(schema + "\n")
+    os.rename(tmp, marker)
+
+
 def _read_index(
     spark: SparkSession, path: str, schema: str, exclude_batch: int | None
 ) -> DataFrame:
     """Read an index table; tolerate ONLY its nonexistence (first batch).
 
-    Any other failure (storage error, corrupt footer) must raise: silently
-    deduping against an empty index would admit duplicates and permanently
-    pollute the corpus. ``exclude_batch`` drops the current batch_id's own
-    partition so a foreachBatch retry never reads its first attempt's
-    output (see module docstring).
+    Any other failure (storage error, corrupt footer, or a format-marker
+    mismatch — see ``_check_index_format``) must raise: silently deduping
+    against an empty or mis-typed index would admit duplicates and
+    permanently pollute the corpus. ``exclude_batch`` drops the current
+    batch_id's own partition so a foreachBatch retry never reads its
+    first attempt's output (see module docstring).
     """
+    _check_index_format(path, schema)
     try:
         df = spark.read.option("basePath", path).parquet(path)
     except AnalysisException as e:

@@ -20,9 +20,12 @@ into one compacted generation. Safety rests on two facts:
 * A retrying batch k excludes only ``batch == k`` (the
   ``_read_index`` contract), and compaction covers batches STRICTLY
   below the in-flight id — batches whose checkpoint has committed and
-  can never retry. Compacted generations use the reserved ids −1/−2
-  (alternating, so a re-compaction never overwrites the generation it
-  is reading), which no exclusion filter ever matches.
+  can never retry. Each compacted generation gets a GUARANTEED-FRESH
+  negative id (``min(existing ids, 0) − 1``), so a compaction never
+  renames onto — let alone overwrites — any directory that exists,
+  including a stale generation left by a crash mid-compaction; and no
+  exclusion filter (always ``batch == k`` with k ≥ 0) ever matches a
+  negative id.
 
 At 100 TB this is the difference between an index load that lists tens
 of directories and one that lists hundreds of thousands.
@@ -60,25 +63,29 @@ def compact_index(
 ) -> int:
     """Fold every committed partition with id < ``before_batch``
     (including prior compacted generations — their ids are negative) into
-    one single-file generation ``batch=-(before_batch)-1``. Returns the
-    number of partitions folded (0 = nothing to do). Never touches
-    ``batch >= before_batch`` — those may still retry.
+    one single-file generation whose id is ``min(existing ids, 0) − 1``
+    — fresh by construction, so the rename target can NEVER pre-exist,
+    even when a crash between the rename and the covered-dir deletes
+    leaves a stale generation behind and the micro-batch retries the
+    same compaction. (The previous ``-(before_batch)-1`` scheme wedged
+    exactly there: the retry recomputed the same id and ``os.rename``
+    onto the surviving non-empty dir raised ENOTEMPTY on every retry.)
+    Returns the number of partitions folded (0 = nothing to do). Never
+    touches ``batch >= before_batch`` — those may still retry.
 
     Crash-safe ordering: (1) write to a Spark-invisible ``_compact_tmp``
-    dir, (2) rename it into the fresh generation (the generation id is
-    unique per compaction, so the rename target never pre-exists),
-    (3) delete the covered dirs. A crash after (2) leaves BOTH the new
-    generation and the old dirs visible — duplicate index rows, which
-    semi/anti-join readers tolerate and the next compaction folds; a
-    crash before (2) changes nothing readers see. There is no window
-    where committed rows are unreadable. (The rename is atomic on a
-    real filesystem; on an object store, substitute its commit
-    protocol.)"""
+    dir, (2) rename it into the fresh generation, (3) delete the covered
+    dirs. A crash after (2) leaves BOTH the new generation and the old
+    dirs visible — duplicate index rows, which semi/anti-join readers
+    tolerate and the next compaction folds; a crash before (2) changes
+    nothing readers see. There is no window where committed rows are
+    unreadable. (The rename is atomic on a real filesystem; on an
+    object store, substitute its commit protocol.)"""
     dirs = _batch_dirs(path)
     covered = {b: d for b, d in dirs.items() if b < before_batch}
     if len(covered) < min_partitions:
         return 0
-    target = -before_batch - 1
+    target = min(0, min(dirs)) - 1
     tmp = os.path.join(path, "_compact_tmp")
     src = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, d) for d in covered.values()]
