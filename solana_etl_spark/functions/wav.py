@@ -26,7 +26,8 @@ import struct
 _MAX_SAMPLES = 256 * 1024 * 1024  # 512 MiB of 16-bit PCM
 
 # mimes this module can really decode — the multimodal capability gate
-# routes ONLY these here; other audio containers (mp3, ogg, flac) keep
+# routes ONLY these here; flac has its own vendored decoder
+# (functions/flac.py), while lossy compressed audio (mp3, ogg) keeps
 # the deterministic stub rather than mis-parsing a compressed stream.
 CAN_DECODE = ("audio/wav", "audio/x-wav", "audio/wave")
 

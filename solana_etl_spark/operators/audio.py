@@ -1,13 +1,15 @@
-"""Audio-modality kernels: real WAV/PCM decode, clip-level signal
+"""Audio-modality kernels: real WAV and FLAC decode, clip-level signal
 features, and perceptual fingerprint dedup.
 
 Completes the multimodal surface (charter: image/audio/video as opaque
 binary columns) the way ``operators/multimodal.py`` did for images: the
 payload is an opaque ``binary`` column, the ONLY Python stage is one
-Arrow-batched ``mapInPandas`` decode kernel (``functions/wav.py``, the
-vendored RIFF parser — no audio library in this container), and
-everything downstream of the kernel — fingerprint pair mining, dedup —
-stays JVM-side codegen via the shared banded Hamming-LSH.
+Arrow-batched ``mapInPandas`` decode kernel routed by payload signature
+(``functions/wav.py`` for RIFF, ``functions/flac.py`` for fLaC — both
+vendored, no audio library in this container, sharing the
+``(rate, samples)`` contract), and everything downstream of the kernel
+— fingerprint pair mining, dedup — stays JVM-side codegen via the
+shared banded Hamming-LSH.
 
 Every number a kernel emits is integer-exact (sums of squares, peak
 magnitudes, cross-multiplied rational mean comparisons — no floats), so
@@ -47,6 +49,23 @@ DECODE_REPORT_SCHEMA = (
 )
 
 
+def _sniff_audio_codec(payload: bytes):
+    """Vendored audio codec by payload SIGNATURE (RIFF magic / fLaC
+    magic) — the audio analogue of multimodal._sniff_codec: a mixed
+    WAV+FLAC table needs no mime column on the decode path, both
+    decoders share the ``(rate, samples)`` contract, and a payload that
+    is neither raises ValueError into error isolation. A 4-byte RIFF or
+    fLaC prefix routes to that codec even when the rest is corrupt: its
+    own validation raises the detailed error the isolation tests pin."""
+    from solana_etl_spark.functions import flac, wav
+
+    if payload[:4] == b"RIFF":
+        return wav
+    if payload[:4] == b"fLaC":
+        return flac
+    raise ValueError("audio: neither wav nor flac payload signature")
+
+
 def _clip_stats(rate: int, samples) -> tuple:
     """Integer clip features from a decoded PCM array: exact duration
     (floor microseconds), peak magnitude, energy (sum of squares), and
@@ -65,17 +84,19 @@ def _clip_stats(rate: int, samples) -> tuple:
 def audio_decode_report(media: DataFrame) -> DataFrame:
     """(media_id, sample_rate, n_samples, duration_us, peak_abs, sum_sq,
     zero_crossings): one Arrow-batched ``mapInPandas`` pass decoding each
-    WAV payload with the vendored RIFF parser. A corrupt payload raises
+    payload with the vendored codec for its sniffed signature (WAV or
+    FLAC). A corrupt payload raises
     ValueError out of the kernel — pipeline error isolation owns it, the
     report never fakes a decode. Input needs (media_id, payload)."""
-    from solana_etl_spark.functions import wav
-
     def report_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _clip_stats(*wav.decode(bytes(p))) for p in pdf["payload"]
+                _clip_stats(
+                    *_sniff_audio_codec(bytes(p)).decode(bytes(p))
+                )
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -131,17 +152,18 @@ def _afp_from_samples(samples) -> int:
 
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:
-    """(media_id, afp): Arrow-batched kernel — real WAV decode, then the
-    60-bit energy-gradient reduction. Corrupt payloads raise into error
-    isolation. Input needs (media_id, payload)."""
-    from solana_etl_spark.functions import wav
-
+    """(media_id, afp): Arrow-batched kernel — real WAV/FLAC decode by
+    payload signature, then the 60-bit energy-gradient reduction.
+    Corrupt payloads raise into error isolation. Input needs
+    (media_id, payload)."""
     def fp_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                _afp_from_samples(wav.decode(bytes(p))[1])
+                _afp_from_samples(
+                    _sniff_audio_codec(bytes(p)).decode(bytes(p))[1]
+                )
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

@@ -325,6 +325,51 @@ def ensure_e2e_corpus(root: str | None = None, n_blocks: int = N_BLOCKS) -> str:
     return out
 
 
+def ensure_solana_replicated_corpus(
+    n_copies: int, root: str | None = None
+) -> str:
+    """Replicate the two reference mainnet fixture blocks ``n_copies``
+    times each into the extract sink's ``{bucket}/{slot}.json.gz`` layout
+    (reference: src/extract/ExtractBatch.py:16-23).
+
+    The ``scaling_solana`` bench decade needs MANY gzip files of REAL
+    mainnet width: gzip is non-splittable (read parallelism == file
+    count) and wide-JSON parse dominates the whole-block path — the one
+    SURVEY §4 hot spot the synthetic corpus (narrow blocks) cannot
+    exercise. Raw ``.gz`` bytes are copied verbatim (byte-stable, no
+    recompression); slots renumber consecutively so the layout matches a
+    real extract run. Atomic tmp-dir + rename, idempotent, safe under
+    concurrent callers."""
+    import glob as _glob
+    import shutil as _sh
+
+    root = root or _default_root()
+    out = os.path.join(root, f"solana_x{n_copies}")
+    if os.path.isdir(out):
+        return out
+    fixtures = sorted(
+        _glob.glob("/root/reference/test/resources/blocks/*/*.json.gz")
+    )
+    if not fixtures:
+        raise FileNotFoundError("reference fixture blocks not found")
+    tmp = f"{out}.tmp.{os.getpid()}"
+    slot = BASE_SLOT
+    for _ in range(n_copies):
+        for src in fixtures:
+            bucket = slot // SLOTS_PER_DIR * SLOTS_PER_DIR
+            d = os.path.join(tmp, str(bucket))
+            os.makedirs(d, exist_ok=True)
+            _sh.copyfile(src, os.path.join(d, f"{slot}.json.gz"))
+            slot += 1
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):  # genuine failure, not a concurrent winner
+            raise
+        _sh.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Synthetic documents/embeddings tables ABOVE the driver's largest fixture —
 # the sf1 scaling decade for the heavy dedup/similarity/pipeline family.
@@ -1059,7 +1104,13 @@ def ensure_web_table(n_pages: int = N_PAGES, root: str | None = None) -> str:
 # Synthetic audio fixtures (real WAV payloads + ground-truth PCM arrays)
 # ---------------------------------------------------------------------------
 
-AUDIO_VERSION = 1
+# v2: every clip_id % 3 == 2 carries a FLAC payload (functions/flac.py)
+# instead of WAV — the mixed-codec corpus certifies the compressed
+# real-decode path through the same fingerprint/dedup gate rows. The
+# re-serve clips (% 9 == 8, which are % 3 == 2) become byte-different
+# FLAC re-encodings (verbatim subframes + a PADDING block) of identical
+# PCM — colliding only if the decoder reconstructs SAMPLES, not bytes.
+AUDIO_VERSION = 2
 N_CLIPS = 400
 _AUDIO_RATE = 8000
 
@@ -1117,15 +1168,20 @@ def _synth_clip(clip_id: int, prev: list | None) -> tuple[list, tuple]:
 
 
 def ensure_audio_table(n_clips: int = N_CLIPS, root: str | None = None) -> str:
-    """Generate audio.parquet — (clip_id, payload REAL WAV bytes, samples
-    ground-truth PCM array, sample_rate, n_samples) — if absent; atomic +
-    idempotent like :func:`ensure_images_table`. The payload/samples
-    pairing is what lets the fingerprint gate rows cross-check the REAL
-    decode path: Spark decodes the RIFF payload (functions/wav.py), the
-    DuckDB oracle recomputes from the sample array."""
+    """Generate audio.parquet — (clip_id, payload REAL WAV-or-FLAC bytes,
+    samples ground-truth PCM array, sample_rate, n_samples) — if absent;
+    atomic + idempotent like :func:`ensure_images_table`. The
+    payload/samples pairing is what lets the fingerprint gate rows
+    cross-check the REAL decode path: Spark decodes the RIFF or fLaC
+    payload (functions/wav.py, functions/flac.py, routed by signature),
+    the DuckDB oracle recomputes from the sample array. Every 3rd clip
+    is FLAC (see AUDIO_VERSION note above)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from solana_etl_spark.functions.flac import (
+        encode_pcm16 as encode_flac,
+    )
     from solana_etl_spark.functions.wav import encode_pcm16
 
     root = root or _tables_root()
@@ -1140,9 +1196,19 @@ def ensure_audio_table(n_clips: int = N_CLIPS, root: str | None = None) -> str:
     for clip_id in range(n_clips):
         samples, extra = _synth_clip(clip_id, prev)
         prev = samples
-        rows.append(
-            (clip_id, encode_pcm16(_AUDIO_RATE, samples, extra), samples)
-        )
+        if clip_id % 3 == 2:
+            # the re-serve case (`extra` non-empty) maps to the FLAC
+            # analogue of the LIST chunk: a byte-different re-encoding
+            # (verbatim subframes + PADDING) of the identical PCM
+            payload = encode_flac(
+                _AUDIO_RATE,
+                samples,
+                force_verbatim=bool(extra),
+                padding=32 if extra else 0,
+            )
+        else:
+            payload = encode_pcm16(_AUDIO_RATE, samples, extra)
+        rows.append((clip_id, payload, samples))
     pq.write_table(
         pa.table(
             {

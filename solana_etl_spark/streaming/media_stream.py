@@ -4,7 +4,8 @@ family (text: dedup_stream, corpus chain: corpus_stream, crawl chain:
 web_stream).
 
 Per micro-batch of (media_id, payload): the Arrow-batched REAL decode
-(operators/audio.py — vendored RIFF parser) reduces each clip to its
+(operators/audio.py — vendored RIFF/FLAC parsers, routed by payload
+signature) reduces each clip to its
 60-bit energy-gradient fingerprint; everything after that row is
 codegen. Dedup is DOMINANCE semantics, chosen because it is the one
 near-dup rule an append-only stream can honor exactly:
