@@ -11,11 +11,14 @@ payloads here when real PIL is unavailable. Undecodable payloads raise
 ValueError — corrupt bytes must surface to pipeline error isolation,
 never produce fake dimensions.
 
-Scope (ITU-T T.81 baseline sequential DCT, the format that dominates
-web crawls): 8-bit samples, Huffman entropy coding, 1 or 3 components,
-sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart intervals,
-8/16-bit quantization tables. Progressive (SOF2), arithmetic coding,
-and 12-bit precision raise ValueError with a named reason.
+Scope (ITU-T T.81, the formats that dominate web crawls): baseline
+sequential DCT (SOF0/1) and progressive DCT (SOF2 — spectral-selection
+band scans and successive-approximation refinement scans, DC and AC,
+including EOB runs and per-scan Huffman redefinition) with 8-bit
+samples, Huffman entropy coding, 1 or 3 components, sampling factors
+1-2 (4:4:4, 4:2:2, 4:2:0), restart intervals, 8/16-bit quantization
+tables. Arithmetic coding, hierarchical/lossless frames, and 12-bit
+precision raise ValueError with a named reason.
 
 Determinism contract (JPEG's spec allows IDCT tolerance, so a decoder
 must pin one): the IDCT is the naive separable float64 cosine transform
@@ -30,7 +33,9 @@ end-to-end in tests and by the mm gate oracles.
 ``encode_gray_coeffs`` / ``encode_color_coeffs`` write spec-conformant
 baseline files from QUANTIZED COEFFICIENT blocks (entropy encoding is
 lossless on coefficients, unlike a forward DCT), which is what lets the
-fixtures carry exact expected pixels.
+fixtures carry exact expected pixels; the ``encode_progressive_*``
+twins write the same blocks as an SOF2 scan script, so a progressive
+re-encode decodes bit-identically to its baseline sibling.
 """
 
 from __future__ import annotations
@@ -202,13 +207,23 @@ def _round_half_up_clamp(arr):
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    unstuffing; RST markers are consumed by ``restart()``."""
+    unstuffing; RST markers are consumed by ``restart()``.
+
+    A fill that runs into a real marker (RST or otherwise) serves AT
+    MOST one 0xFF padding byte — a conforming stream never needs more
+    (the encoder's final partial byte is padded in-stream with 1-bits,
+    and this decoder reads Huffman codes bit-exactly, never looking
+    ahead). A second padding request means the entropy data was
+    truncated mid-scan, and completing the decode with synthesized bits
+    would hand garbage pixels to a pipeline whose contract is a loud
+    ValueError into error isolation."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.buf = 0
         self.nbits = 0
+        self.padded = False
 
     def _fill(self) -> None:
         d = self.data
@@ -222,12 +237,12 @@ class _BitReader:
             nxt = d[self.pos]
             if nxt == 0x00:
                 self.pos += 1
-            elif 0xD0 <= nxt <= 0xD7:
-                # restart marker reached by over-read padding at segment
-                # end: back up, feed padding bits
-                self.pos -= 1
-                b = 0xFF  # actually unreachable as data; treat as pad 1s
             else:
+                # a real marker (RST or scan-terminating): serve one
+                # byte of 1-padding, then fail loudly (see class doc)
+                if self.padded:
+                    raise ValueError("jpeg: truncated entropy data")
+                self.padded = True
                 self.pos -= 1
                 b = 0xFF
         self.buf = (self.buf << 8) | b
@@ -245,6 +260,7 @@ class _BitReader:
         """Byte-align and consume an RSTn marker."""
         self.buf = 0
         self.nbits = 0
+        self.padded = False
         d = self.data
         while self.pos + 1 < len(d) and not (
             d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
@@ -301,9 +317,54 @@ def open(fp) -> _RawImage:  # noqa: A001 - mirrors PIL.Image.open
         ) from e
 
 
-def _open(fp) -> _RawImage:
-    import numpy as np
+def _parse_dqt(body, qtables) -> None:
+    p = 0
+    while p < len(body):
+        pq, tq = body[p] >> 4, body[p] & 15
+        p += 1
+        if pq == 0:
+            vals = list(body[p : p + 64])
+            p += 64
+        else:
+            vals = [
+                struct.unpack(">H", body[p + 2 * i : p + 2 * i + 2])[0]
+                for i in range(64)
+            ]
+            p += 128
+        if len(vals) < 64:
+            raise ValueError("jpeg: truncated DQT")
+        nat = [0] * 64
+        for i, z in enumerate(ZIGZAG):
+            nat[z] = vals[i]
+        qtables[tq] = nat
 
+
+def _parse_dht(body, huff) -> None:
+    p = 0
+    while p < len(body):
+        tc, th = body[p] >> 4, body[p] & 15
+        bits = list(body[p + 1 : p + 17])
+        n = sum(bits)
+        huffval = list(body[p + 17 : p + 17 + n])
+        huff[(tc, th)] = _build_huffman(bits, huffval)
+        p += 17 + n
+
+
+def _parse_sos(body):
+    """SOS body → (scan_comps, Ss, Se, Ah, Al)."""
+    ns = body[0]
+    scan_comps = []
+    for i in range(ns):
+        cs = body[1 + 2 * i]
+        td_ta = body[2 + 2 * i]
+        scan_comps.append((cs, td_ta >> 4, td_ta & 15))
+    ss = body[1 + 2 * ns]
+    se = body[2 + 2 * ns]
+    ah_al = body[3 + 2 * ns]
+    return (scan_comps, ss, se, ah_al >> 4, ah_al & 15)
+
+
+def _open(fp) -> _RawImage:
     data = fp.read()
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("jpeg: bad signature")
@@ -311,6 +372,7 @@ def _open(fp) -> _RawImage:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None  # (width, height, components)
+    progressive = False
     restart_interval = 0
     scan = None
 
@@ -326,35 +388,11 @@ def _open(fp) -> _RawImage:
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 15
-                p += 1
-                if pq == 0:
-                    vals = list(body[p : p + 64])
-                    p += 64
-                else:
-                    vals = [
-                        struct.unpack(">H", body[p + 2 * i : p + 2 * i + 2])[0]
-                        for i in range(64)
-                    ]
-                    p += 128
-                if len(vals) < 64:
-                    raise ValueError("jpeg: truncated DQT")
-                nat = [0] * 64
-                for i, z in enumerate(ZIGZAG):
-                    nat[z] = vals[i]
-                qtables[tq] = nat
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                tc, th = body[p] >> 4, body[p] & 15
-                bits = list(body[p + 1 : p + 17])
-                n = sum(bits)
-                huffval = list(body[p + 17 : p + 17 + n])
-                huff[(tc, th)] = _build_huffman(bits, huffval)
-                p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _parse_dht(body, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"jpeg: unsupported precision {precision}")
@@ -374,19 +412,16 @@ def _open(fp) -> _RawImage:
                     )
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline (SOF0/1) is supported")
+            raise ValueError(
+                "jpeg: only baseline (SOF0/1) and progressive (SOF2) "
+                "are supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan_comps = []
-            for i in range(ns):
-                cs = body[1 + 2 * i]
-                td_ta = body[2 + 2 * i]
-                scan_comps.append((cs, td_ta >> 4, td_ta & 15))
-            scan = scan_comps
+            scan = _parse_sos(body)
             pos += seglen
             break  # entropy data follows
         pos += seglen
@@ -401,10 +436,35 @@ def _open(fp) -> _RawImage:
     vmax = max(c["v"] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-
     by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        c["pw"] = mcux * 8 * c["h"]
+        c["ph"] = mcuy * 8 * c["v"]
+        c["pred"] = 0
+
+    if progressive:
+        _decode_progressive(
+            data, pos, width, height, comps, by_id, qtables, huff,
+            restart_interval, scan, mcux, mcuy, hmax, vmax,
+        )
+    else:
+        _decode_baseline(
+            data, pos, comps, by_id, qtables, huff, restart_interval,
+            scan, mcux, mcuy,
+        )
+    return _assemble(width, height, comps, hmax, vmax)
+
+
+def _decode_baseline(
+    data, pos, comps, by_id, qtables, huff, restart_interval, scan,
+    mcux, mcuy,
+) -> None:
+    """Sequential DCT: one interleaved scan, IDCT inline per block."""
+    import numpy as np
+
+    scan_comps, _ss, _se, _ah, _al = scan
     order = []
-    for cs, td, ta in scan:
+    for cs, td, ta in scan_comps:
         c = by_id.get(cs)
         if c is None:
             raise ValueError("jpeg: scan references unknown component")
@@ -416,14 +476,10 @@ def _open(fp) -> _RawImage:
             raise ValueError("jpeg: missing quantization table")
         order.append(c)
     if len(order) != len(comps):
-        raise ValueError("jpeg: non-interleaved scans unsupported")
+        raise ValueError("jpeg: non-interleaved baseline scans unsupported")
 
-    # per-component sample planes at the component's own resolution
     for c in comps:
-        c["pw"] = mcux * 8 * c["h"]
-        c["ph"] = mcuy * 8 * c["v"]
         c["plane"] = np.zeros((c["ph"], c["pw"]), dtype=np.uint8)
-        c["pred"] = 0
 
     reader = _BitReader(data, pos)
     mcu_count = 0
@@ -468,7 +524,12 @@ def _open(fp) -> _RawImage:
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample (pixel replication) + crop to frame dims
+
+def _assemble(width, height, comps, hmax, vmax) -> _RawImage:
+    """Upsample (pixel replication), crop, and color-convert the decoded
+    planes — shared by the baseline and progressive paths."""
+    import numpy as np
+
     planes = []
     ys = np.arange(height, dtype=np.int64)
     xs = np.arange(width, dtype=np.int64)
@@ -491,6 +552,260 @@ def _open(fp) -> _RawImage:
     rgb = np.stack([r, g, b], axis=-1)
     rows = [bytearray(rgb[yy].tobytes()) for yy in range(height)]
     return _RawImage(width, height, 3, rows)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) decode: scans carry spectral BANDS (Ss..Se) at
+# successive approximations (Ah/Al bit precision). Coefficients
+# accumulate QUANTIZED across scans per block; dequant + IDCT run once
+# at the end. Algorithms follow T.81 Annex G.2 (the same logic public
+# decoders implement): DC first/refine, AC first with EOB runs, AC
+# refinement with correction bits.
+# --------------------------------------------------------------------------
+
+
+def _ac_first_block(reader, tab, coef, ss, se, al, eobrun) -> int:
+    """First (Ah=0) AC scan for one block; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # this block consumes one
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            coef[ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, tab, coef, ss, se, al, eobrun) -> int:
+    """Refinement (Ah=Al+1) AC scan for one block: newly-significant
+    coefficients arrive as ±2^Al, already-significant ones receive one
+    correction bit each; returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad AC refinement symbol")
+                val = p1 if reader.bits(1) else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    if reader.bits(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if reader.bits(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker (0xFF + non-stuffing, non-RST
+    byte) at or after ``pos``."""
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    raise ValueError("jpeg: missing end of scan")
+
+
+def _decode_progressive(
+    data, pos, width, height, comps, by_id, qtables, huff,
+    restart_interval, scan, mcux, mcuy, hmax, vmax,
+) -> None:
+    import numpy as np
+
+    for c in comps:
+        c["bw_pad"] = c["pw"] // 8
+        c["bh_pad"] = c["ph"] // 8
+        cw = -(-width * c["h"] // hmax)  # component sample dims (ceil)
+        ch = -(-height * c["v"] // vmax)
+        c["bwc"] = -(-cw // 8)  # non-interleaved scans cover this grid
+        c["bhc"] = -(-ch // 8)
+        c["coefs"] = [
+            [0] * 64 for _ in range(c["bw_pad"] * c["bh_pad"])
+        ]
+
+    while scan is not None:
+        scan_comps, ss, se, ah, al = scan
+        sel = []
+        for cs, td, ta in scan_comps:
+            c = by_id.get(cs)
+            if c is None:
+                raise ValueError("jpeg: scan references unknown component")
+            sel.append((c, td, ta))
+        reader = _BitReader(data, pos)
+        eobrun = 0
+        if ss == 0:
+            if se != 0:
+                raise ValueError("jpeg: DC scan with nonzero Se")
+            dc_tabs = {}
+            for c, td, _ta in sel:
+                if ah == 0:
+                    tab = huff.get((0, td))
+                    if tab is None:
+                        raise ValueError(
+                            "jpeg: scan references missing Huffman table"
+                        )
+                    dc_tabs[c["id"]] = tab
+                c["pred"] = 0
+
+            def dc_block(c, coef, td):
+                if ah == 0:
+                    t = _decode_symbol(reader, dc_tabs[c["id"]])
+                    diff = _extend(reader.bits(t), t) if t else 0
+                    c["pred"] += diff
+                    coef[0] = c["pred"] << al
+                elif reader.bits(1):
+                    coef[0] |= 1 << al
+
+            if len(sel) == 1:
+                c, td, _ta = sel[0]
+                count = 0
+                for by in range(c["bhc"]):
+                    for bx in range(c["bwc"]):
+                        if (
+                            restart_interval
+                            and count
+                            and count % restart_interval == 0
+                        ):
+                            reader.restart()
+                            c["pred"] = 0
+                        dc_block(c, c["coefs"][by * c["bw_pad"] + bx], td)
+                        count += 1
+            else:
+                mcu_count = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            reader.restart()
+                            for c, _td, _ta in sel:
+                                c["pred"] = 0
+                        for c, td, _ta in sel:
+                            for bv in range(c["v"]):
+                                for bh in range(c["h"]):
+                                    bx = mx * c["h"] + bh
+                                    by = my * c["v"] + bv
+                                    dc_block(
+                                        c,
+                                        c["coefs"][by * c["bw_pad"] + bx],
+                                        td,
+                                    )
+                        mcu_count += 1
+        else:
+            if len(sel) != 1:
+                raise ValueError("jpeg: interleaved AC scan")
+            if se > 63 or ss > se:
+                raise ValueError("jpeg: bad spectral band")
+            c, _td, ta = sel[0]
+            tab = huff.get((1, ta))
+            if tab is None:
+                raise ValueError("jpeg: scan references missing Huffman table")
+            count = 0
+            for by in range(c["bhc"]):
+                for bx in range(c["bwc"]):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        reader.restart()
+                        eobrun = 0
+                    coef = c["coefs"][by * c["bw_pad"] + bx]
+                    if ah == 0:
+                        eobrun = _ac_first_block(
+                            reader, tab, coef, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine_block(
+                            reader, tab, coef, ss, se, al, eobrun
+                        )
+                    count += 1
+
+        # parse markers between scans (DHT/DQT/DRI/..., next SOS, EOI)
+        pos = _next_marker(data, reader.pos)
+        scan = None
+        while pos + 2 <= len(data):
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            body = data[pos + 2 : pos + seglen]
+            if marker == 0xC4:
+                _parse_dht(body, huff)
+            elif marker == 0xDB:
+                _parse_dqt(body, qtables)
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                scan = _parse_sos(body)
+                pos += seglen
+                break
+            pos += seglen
+
+    # all scans consumed: dequantize + IDCT every stored block
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("jpeg: missing quantization table")
+        plane = np.zeros((c["ph"], c["pw"]), dtype=np.uint8)
+        for by in range(c["bh_pad"]):
+            for bx in range(c["bw_pad"]):
+                coef = c["coefs"][by * c["bw_pad"] + bx]
+                deq = [
+                    [coef[v * 8 + u] * q[v * 8 + u] for u in range(8)]
+                    for v in range(8)
+                ]
+                block = _idct_block_pixels(deq)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        c["plane"] = plane
 
 
 # --------------------------------------------------------------------------
@@ -705,3 +1020,235 @@ def encode_color_coeffs(
         + bytes(w.out)
         + b"\xff\xd9"
     )
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder: the same coefficient-block inputs as the baseline
+# encoders, written as an SOF2 scan script exercising BOTH progressive
+# mechanisms — spectral selection (split AC bands) and successive
+# approximation (coefficients sent at Al=1, refined to full precision by
+# a correction-bit scan). EOB runs are kept at 1 (plain EOB symbols), so
+# the Annex K tables suffice; the decoder handles general EOBn runs.
+# --------------------------------------------------------------------------
+
+
+def _enc_dc_first(w: _BitWriter, dc_tab, dc: int, pred: int, al: int) -> int:
+    """DC first-scan value (point-transformed, DPCM); returns new pred."""
+    v = dc >> al  # arithmetic shift per T.81 DC point transform
+    diff = v - pred
+    s = _category(diff)
+    code, length = dc_tab[s]
+    w.write(code, length)
+    if s:
+        w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _enc_ac_first(w: _BitWriter, ac_tab, coef, ss: int, se: int, al: int):
+    """First AC scan of one block over band ss..se at approximation al."""
+    run = 0
+    for k in range(ss, se + 1):
+        v0 = int(coef[ZIGZAG[k]])
+        v = abs(v0) >> al
+        if v0 < 0:
+            v = -v
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            w.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        w.write(code, length)
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]
+        w.write(code, length)  # EOB (run of exactly 1)
+
+
+def _enc_ac_refine(w: _BitWriter, ac_tab, coef, ss: int, se: int, al: int):
+    """Refinement AC scan of one block (T.81 G.1.2.3 / the structure
+    public encoders use): newly-significant coefficients (magnitude 1 at
+    this approximation) emit (run<<4)|1 + sign; already-significant ones
+    buffer one correction bit, flushed after the next symbol so the
+    decoder reads bits in positional order."""
+    vals = [abs(int(coef[ZIGZAG[k]])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index just past the LAST newly-significant coefficient
+    for i, t in enumerate(vals):
+        if t == 1:
+            eob = i + 1
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(vals):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i < eob:
+            code, length = ac_tab[0xF0]
+            w.write(code, length)
+            run -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        code, length = ac_tab[(run << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(coef[ZIGZAG[ss + i]]) > 0 else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        code, length = ac_tab[0x00]
+        w.write(code, length)  # EOB covering the band tail
+        for b in br:
+            w.write(b, 1)
+
+
+def _sos_progressive(scan_comps, ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cs, td, ta in scan_comps:
+        body += bytes([cs, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _segment(0xDA, body)
+
+
+def encode_progressive_gray_coeffs(
+    blocks, width: int, height: int, qtable=STD_LUMA_QUANT
+) -> bytes:
+    """Progressive (SOF2) grayscale JPEG from the same quantized
+    coefficient blocks as :func:`encode_gray_coeffs`. Scan script: DC at
+    Al=1, DC refinement, AC bands 1-5 and 6-63 at Al=1 (spectral
+    selection), then their Al=0 refinements (successive approximation).
+    Decoded output is bit-identical to the baseline encoding of the same
+    blocks — entropy layout changes, coefficients do not."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    if len(blocks) != bw * bh:
+        raise ValueError(f"jpeg: expected {bw * bh} blocks, got {len(blocks)}")
+    dc_tab = _encode_table(*STD_DC_LUMA)
+    ac_tab = _encode_table(*STD_AC_LUMA)
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(0xDB, _dqt_body(0, qtable))
+    out += _segment(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += _segment(0xC4, _dht_body(0, 0, STD_DC_LUMA))
+    out += _segment(0xC4, _dht_body(1, 0, STD_AC_LUMA))
+
+    w = _BitWriter()
+    pred = 0
+    for blk in blocks:
+        pred = _enc_dc_first(w, dc_tab, int(blk[0]), pred, 1)
+    w.flush()
+    out += _sos_progressive([(1, 0, 0)], 0, 0, 0, 1) + bytes(w.out)
+
+    w = _BitWriter()
+    for blk in blocks:
+        w.write(int(blk[0]) & 1, 1)
+    w.flush()
+    out += _sos_progressive([(1, 0, 0)], 0, 0, 1, 0) + bytes(w.out)
+
+    for ss, se in ((1, 5), (6, 63)):
+        w = _BitWriter()
+        for blk in blocks:
+            _enc_ac_first(w, ac_tab, blk, ss, se, 1)
+        w.flush()
+        out += _sos_progressive([(1, 0, 0)], ss, se, 0, 1) + bytes(w.out)
+    for ss, se in ((1, 5), (6, 63)):
+        w = _BitWriter()
+        for blk in blocks:
+            _enc_ac_refine(w, ac_tab, blk, ss, se, 0)
+        w.flush()
+        out += _sos_progressive([(1, 0, 0)], ss, se, 1, 0) + bytes(w.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_progressive_color_coeffs(
+    y_blocks,
+    cb_blocks,
+    cr_blocks,
+    width: int,
+    height: int,
+    luma_q=STD_LUMA_QUANT,
+    chroma_q=STD_CHROMA_QUANT,
+) -> bytes:
+    """Progressive (SOF2) 4:4:4 YCbCr JPEG from the same coefficient
+    blocks as :func:`encode_color_coeffs` (``subsample`` unsupported in
+    the progressive writer). Scans: interleaved DC at Al=1 + refinement,
+    then per component the two AC band scans at Al=1 and their
+    refinements — the layout common progressive web encoders emit."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    for name, blks in (
+        ("luma", y_blocks), ("cb", cb_blocks), ("cr", cr_blocks)
+    ):
+        if len(blks) != bw * bh:
+            raise ValueError(f"jpeg: expected {bw * bh} {name} blocks")
+    dc_l = _encode_table(*STD_DC_LUMA)
+    dc_c = _encode_table(*STD_DC_CHROMA)
+    ac_l = _encode_table(*STD_AC_LUMA)
+    ac_c = _encode_table(*STD_AC_CHROMA)
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(0xDB, _dqt_body(0, luma_q))
+    out += _segment(0xDB, _dqt_body(1, chroma_q))
+    out += _segment(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _segment(0xC4, _dht_body(0, 0, STD_DC_LUMA))
+    out += _segment(0xC4, _dht_body(1, 0, STD_AC_LUMA))
+    out += _segment(0xC4, _dht_body(0, 1, STD_DC_CHROMA))
+    out += _segment(0xC4, _dht_body(1, 1, STD_AC_CHROMA))
+
+    planes = (y_blocks, cb_blocks, cr_blocks)
+    # interleaved DC first scan (1x1 sampling: MCU order == raster order)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for i in range(bw * bh):
+        for ci, blks in enumerate(planes):
+            preds[ci] = _enc_dc_first(
+                w, dc_l if ci == 0 else dc_c, int(blks[i][0]), preds[ci], 1
+            )
+    w.flush()
+    out += _sos_progressive(
+        [(1, 0, 0), (2, 1, 1), (3, 1, 1)], 0, 0, 0, 1
+    ) + bytes(w.out)
+    # interleaved DC refinement
+    w = _BitWriter()
+    for i in range(bw * bh):
+        for blks in planes:
+            w.write(int(blks[i][0]) & 1, 1)
+    w.flush()
+    out += _sos_progressive(
+        [(1, 0, 0), (2, 1, 1), (3, 1, 1)], 0, 0, 1, 0
+    ) + bytes(w.out)
+    # per-component AC band scans + refinements
+    for ci, blks in enumerate(planes):
+        cs = ci + 1
+        ac_tab = ac_l if ci == 0 else ac_c
+        ta = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            w = _BitWriter()
+            for blk in blks:
+                _enc_ac_first(w, ac_tab, blk, ss, se, 1)
+            w.flush()
+            out += _sos_progressive([(cs, 0, ta)], ss, se, 0, 1) + bytes(w.out)
+        for ss, se in ((1, 5), (6, 63)):
+            w = _BitWriter()
+            for blk in blks:
+                _enc_ac_refine(w, ac_tab, blk, ss, se, 0)
+            w.flush()
+            out += _sos_progressive([(cs, 0, ta)], ss, se, 1, 0) + bytes(w.out)
+    out += b"\xff\xd9"
+    return bytes(out)

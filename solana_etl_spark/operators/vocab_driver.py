@@ -41,7 +41,11 @@ CONT = "##"
 # Cap on collected (word, freq) rows for the driver path — the
 # train_cap / BROADCAST_CANDIDATE_CAP discipline: count first (the
 # collect is LIMIT cap+1, so an over-cap table never materializes on
-# the driver), fall back to the distributed rounds past it.
+# the driver), fall back to the distributed rounds past it. Measured
+# driver-index footprint (tracemalloc over a Zipf-shaped 50k-word
+# table, tests/test_vocab_driver.py memory-budget test): ~771 B/word
+# BPE, ~1053 B/word WordPiece → ~0.7-1.0 GiB at this cap, well inside
+# the 16g driver session.get_spark provisions.
 DRIVER_WORD_TABLE_CAP = 1_000_000
 
 
@@ -220,6 +224,17 @@ def wordpiece_vocab_from_word_freqs(
             if pair_counts.get(q, 0) <= 0:
                 pair_counts.pop(q, None)
                 pair_words.pop(q, None)
+                # prune the per-symbol reverse index too: a dead pair
+                # left in sym_pairs would be re-pushed by every later
+                # merge touching its symbols (skipped on pop, but heap
+                # and set growth would track all-pairs-ever, not live
+                # pairs)
+                for s in (q[0], q[1]):
+                    ps = sym_pairs.get(s)
+                    if ps is not None:
+                        ps.discard(q)
+                        if not ps:
+                            sym_pairs.pop(s, None)
                 continue
             if (
                 _wp_content_len(q[0]) + _wp_content_len(q[1])

@@ -595,7 +595,10 @@ def ensure_sf_tables(
 # Synthetic image fixtures (real PNG payloads + ground-truth pixel arrays)
 # ---------------------------------------------------------------------------
 
-IMAGES_VERSION = 3
+# v4: progressive (SOF2) JPEG fixtures join the mix — j % 7 == 3 gray
+# and every other color 4:4:4 — decoded against the same independent
+# reference pixels as their baseline siblings
+IMAGES_VERSION = 4
 N_IMAGES = 400
 # dims are free-form for the dHash operator (cell comparisons are exact
 # cross-multiplied rational means); varied here to exercise that path
@@ -698,7 +701,11 @@ def _synth_jpeg(j: int, prev: tuple | None):
     color 4:2:0 (pixels column = exact channel-sum luma r+g+b, matching
     dhash_images' integer luma). Every 10th gray is a one-AC
     perturbation of the previous (near-dup pairs for the dHash family);
-    every 25th an exact copy."""
+    every 25th an exact copy. v4: fixtures with j % 7 == 3 are
+    PROGRESSIVE (SOF2) grayscale and every other color 4:4:4 is
+    progressive — ~10% of web JPEGs are progressive, and the mm gate
+    rows must certify that decode path against the same reference
+    pixels as the baseline encodings."""
     import random
 
     from solana_etl_spark.functions import jpeg
@@ -740,11 +747,14 @@ def _synth_jpeg(j: int, prev: tuple | None):
             return pay, pix, w, h
     w, h = _JPG_DIMS[j % len(_JPG_DIMS)]
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    if j % 7 == 5:  # color 4:4:4
+    if j % 7 == 5:  # color 4:4:4 — alternating baseline / progressive
         yb = blocks(bw * bh, 50)
         cbb = blocks(bw * bh, 20, 1, 3)
         crb = blocks(bw * bh, 20, 1, 3)
-        pay = jpeg.encode_color_coeffs(yb, cbb, crb, w, h)
+        if (j // 7) % 2:
+            pay = jpeg.encode_progressive_color_coeffs(yb, cbb, crb, w, h)
+        else:
+            pay = jpeg.encode_color_coeffs(yb, cbb, crb, w, h)
         pix = _ref_color_luma(yb, cbb, crb, w, h, subsample=False)
         return pay, pix, w, h
     if j % 7 == 6:  # color 4:2:0
@@ -756,7 +766,10 @@ def _synth_jpeg(j: int, prev: tuple | None):
         pix = _ref_color_luma(yb, cbb, crb, w, h, subsample=True)
         return pay, pix, w, h
     blks = blocks(bw * bh, 50)
-    pay = jpeg.encode_gray_coeffs(blks, w, h)
+    if j % 7 == 3:  # progressive grayscale (same reference pixels)
+        pay = jpeg.encode_progressive_gray_coeffs(blks, w, h)
+    else:
+        pay = jpeg.encode_gray_coeffs(blks, w, h)
     plane = _ref_jpeg_plane(blks, bw, bh, jpeg.STD_LUMA_QUANT)
     pix = [plane[y][x] for y in range(h) for x in range(w)]
     return pay, pix, w, h
@@ -808,10 +821,11 @@ def ensure_images_table(
     payload/pixels pairing is what lets the dHash gate row cross-check
     the REAL decode paths: Spark hashes from the payload (vendored
     PNG/JPEG decode, signature-sniffed), the DuckDB oracle from the
-    pixel array. v3 appends ``n_images // _N_JPEGS_PER`` JPEG rows —
+    pixel array. v3 appended ``n_images // _N_JPEGS_PER`` JPEG rows —
     gray, color 4:4:4, and color 4:2:0 — whose expected pixels come from
     an independent reference implementation of the pinned decode
-    formulas, self-checked against the real decoder at build time."""
+    formulas, self-checked against the real decoder at build time; v4
+    makes a share of them progressive (SOF2), checked the same way."""
     import io
 
     import pyarrow as pa

@@ -193,11 +193,66 @@ def test_undecodable_payloads_raise_valueerror():
         assert bad == good[:-10]
 
 
-def test_progressive_rejected_by_name():
+@pytest.mark.parametrize("dims", [(8, 8), (16, 24), (13, 9), (21, 17)])
+def test_progressive_gray_matches_baseline(dims):
+    """Progressive re-encode of the same coefficient blocks decodes
+    bit-identically to the baseline encoding — the entropy layout
+    changes (spectral bands + successive approximation), the
+    coefficients do not."""
+    w, h = dims
+    rng = np.random.default_rng(w * 100 + h)
+    blocks = _blocks(rng, ((w + 7) // 8) * ((h + 7) // 8))
+    prog = jpeg.encode_progressive_gray_coeffs(blocks, w, h)
+    assert prog != jpeg.encode_gray_coeffs(blocks, w, h)
+    with jpeg.open(io.BytesIO(prog)) as im:
+        assert (im.width, im.height, im.channels) == (w, h, 1)
+        assert im.tobytes() == _ref_gray(blocks, w, h)
+
+
+def test_progressive_color_matches_baseline():
+    w, h = 19, 14
+    rng = np.random.default_rng(4)
+    n = ((w + 7) // 8) * ((h + 7) // 8)
+    yb, cbb, crb = _blocks(rng, n), _blocks(rng, n, 20, 2), _blocks(rng, n, 20, 2)
+    prog = jpeg.encode_progressive_color_coeffs(yb, cbb, crb, w, h)
+    with jpeg.open(io.BytesIO(prog)) as im:
+        assert (im.width, im.height, im.channels) == (w, h, 3)
+        assert im.tobytes() == _ref_color444(yb, cbb, crb, w, h)
+
+
+def test_progressive_refinement_stress():
+    """Large coefficients, magnitude-1 coefficients (newly significant in
+    the refinement scan), long zero runs (ZRL + buffered correction
+    bits) — the full G.2 AC refinement machinery must round-trip."""
+    rng = np.random.default_rng(11)
+    blocks = []
+    for _ in range(9):
+        blk = [0] * 64
+        blk[0] = int(rng.integers(-500, 501))
+        for pos in rng.choice(np.arange(1, 64), size=12, replace=False):
+            blk[int(pos)] = int(rng.integers(-80, 81))
+        for pos in rng.choice(np.arange(1, 64), size=6, replace=False):
+            blk[int(pos)] = int(rng.choice([-1, 1]))
+        blocks.append(blk)
+    prog = jpeg.encode_progressive_gray_coeffs(blocks, 24, 24)
+    with jpeg.open(io.BytesIO(prog)) as im:
+        assert im.tobytes() == _ref_gray(blocks, 24, 24)
+
+
+def test_progressive_truncation_raises():
+    rng = np.random.default_rng(5)
+    blocks = _blocks(rng, 4)
+    prog = jpeg.encode_progressive_gray_coeffs(blocks, 16, 16)
+    with pytest.raises(ValueError, match="jpeg"):
+        with jpeg.open(io.BytesIO(prog[: len(prog) // 2])) as im:
+            im.tobytes()
+
+
+def test_unsupported_frames_still_rejected_by_name():
     rng = np.random.default_rng(5)
     good = bytearray(jpeg.encode_gray_coeffs(_blocks(rng, 1), 8, 8))
     sof = good.find(b"\xff\xc0")
-    good[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    good[sof + 1] = 0xC3  # SOF3 lossless sequential
     with pytest.raises(ValueError, match="baseline"):
         jpeg.open(io.BytesIO(bytes(good)))
 
