@@ -17,15 +17,14 @@ in the wild for speech-sized mono material (format layout follows the
 public FLAC specification, RFC 9639 / xiph.org):
 
 * mono, 16-bit streams (the same contract as ``wav.py``)
-* CONSTANT, VERBATIM and FIXED-prediction (order 0-4) subframes with
-  rice/rice2 residual partitions including the escaped-raw form
+* CONSTANT, VERBATIM, FIXED-prediction (order 0-4) and LPC subframes —
+  LPC is what real-world encoders emit almost exclusively, and its
+  integer dot-product + arithmetic-shift prediction is exact in Python
+  ints, so it fits the bit-determinism contract — with rice/rice2
+  residual partitions including the escaped-raw form
 * wasted-bits decode, metadata-block skip (PADDING etc.), CRC-8 frame
   headers, CRC-16 frame footers, and the STREAMINFO MD5 of the decoded
   stream (verified when present — the lossless proof)
-
-LPC subframes raise a fail-loud ValueError (same posture as progressive
-JPEG in ``functions/jpeg.py``): decoding them wrongly would corrupt
-samples silently, which the error-isolation contract forbids.
 
 Nothing here depends on any audio library: parsing is pure ``int``
 bit-twiddling + ``numpy`` for the sample arrays.
@@ -213,10 +212,52 @@ def _best_rice_k(us: list[int]) -> int:
     return best_k
 
 
-def _encode_subframe(bw: _BitWriter, block: list[int], force_verbatim: bool):
+def _encode_subframe(
+    bw: _BitWriter,
+    block: list[int],
+    force_verbatim: bool,
+    lpc: tuple | None = None,
+):
     """One mono 16-bit subframe: CONSTANT when flat, else the best FIXED
-    order in {0,1,2} rice-coded (single partition), else VERBATIM."""
+    order in {0,1,2} rice-coded (single partition), else VERBATIM.
+    ``lpc=(coefs, shift)`` forces an LPC subframe with those quantized
+    predictor coefficients (residuals computed forward — any
+    coefficients are valid, compression just varies), used by fixtures
+    to exercise the decode path real-world encoders emit."""
     n = len(block)
+    if lpc is not None and n > len(lpc[0]):
+        coefs, shift = lpc
+        order = len(coefs)
+        precision = max(2, max(abs(c).bit_length() for c in coefs) + 1)
+        if precision > 15 or not (0 <= shift < 16):
+            raise ValueError("flac: LPC parameters out of range")
+        res = [
+            block[i]
+            - (
+                sum(c * block[i - 1 - j] for j, c in enumerate(coefs))
+                >> shift
+            )
+            for i in range(order, n)
+        ]
+        us = [(r << 1) if r >= 0 else ((-r << 1) - 1) for r in res]
+        k = _best_rice_k(us)
+        bw.write(0, 1)
+        bw.write(32 + order - 1, 6)  # LPC, order
+        bw.write(0, 1)  # no wasted bits
+        for s in block[:order]:  # warm-up
+            bw.write(s & 0xFFFF, 16)
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(c & ((1 << precision) - 1), precision)
+        bw.write(0, 2)  # residual method: rice
+        bw.write(0, 4)  # partition order 0
+        bw.write(k, 4)
+        for u in us:
+            bw.write_unary(u >> k)
+            if k:
+                bw.write(u & ((1 << k) - 1), k)
+        return
     if not force_verbatim and n and all(s == block[0] for s in block):
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
@@ -263,6 +304,7 @@ def encode_pcm16(
     block_size: int = 4096,
     force_verbatim: bool = False,
     padding: int = 0,
+    lpc: tuple | None = None,
 ) -> bytes:
     """Canonical mono 16-bit FLAC bytes for an int sample sequence.
 
@@ -270,7 +312,9 @@ def encode_pcm16(
     identical PCM — the synthetic corpus's re-serve case, proving the
     decoder reconstructs samples instead of hashing bytes). ``padding``
     adds a PADDING metadata block of that many zero bytes (the FLAC
-    analogue of wav.py's ``extra_chunks``)."""
+    analogue of wav.py's ``extra_chunks``). ``lpc=(coefs, shift)``
+    writes LPC subframes with those quantized predictor coefficients —
+    the subframe type real-world encoders emit almost exclusively."""
     samples = [int(s) for s in samples]
     if any(s > 32767 or s < -32768 for s in samples):
         raise ValueError("flac: sample out of int16 range")
@@ -297,7 +341,7 @@ def encode_pcm16(
         bw.align()
         header = bw.bytes()
         bw.write(_crc8(header), 8)
-        _encode_subframe(bw, block, force_verbatim)
+        _encode_subframe(bw, block, force_verbatim, lpc=lpc)
         bw.align()
         body = bw.bytes()
         frames += body + struct.pack(">H", _crc16(body))
@@ -351,8 +395,27 @@ def _decode_subframe(br: _BitReader, blocksize: int) -> list[int]:
         coefs = _FIXED_COEFS[order]
         for i in range(order, blocksize):
             out[i] += sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
-    elif sf_type >= 32:
-        raise ValueError("flac: LPC subframe unsupported")
+    elif sf_type >= 32:  # LPC, order = (type & 31) + 1
+        order = (sf_type & 31) + 1
+        if order > blocksize:
+            raise ValueError("flac: predictor order exceeds blocksize")
+        out = [br.read_signed(bps) for _ in range(order)]
+        out += [0] * (blocksize - order)
+        precision = br.read(4)
+        if precision == 15:
+            raise ValueError("flac: invalid LPC precision")
+        precision += 1
+        shift = br.read(5)
+        if shift & 0x10:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        _decode_residual(br, blocksize, order, out)
+        # prediction is an integer dot product arithmetic-shifted right —
+        # exact in Python ints, so LPC decode stays bit-deterministic
+        for i in range(order, blocksize):
+            out[i] += (
+                sum(c * out[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+            )
     else:
         raise ValueError(f"flac: reserved subframe type {sf_type}")
     if wasted:

@@ -1124,7 +1124,10 @@ def ensure_web_table(n_pages: int = N_PAGES, root: str | None = None) -> str:
 # re-serve clips (% 9 == 8, which are % 3 == 2) become byte-different
 # FLAC re-encodings (verbatim subframes + a PADDING block) of identical
 # PCM — colliding only if the decoder reconstructs SAMPLES, not bytes.
-AUDIO_VERSION = 2
+# v3: FLAC clips with clip_id % 9 == 2 use LPC subframes (the type
+# real-world encoders emit almost exclusively) instead of
+# fixed-prediction, so the oracle gate certifies that decode path too.
+AUDIO_VERSION = 3
 N_CLIPS = 400
 _AUDIO_RATE = 8000
 
@@ -1213,12 +1216,16 @@ def ensure_audio_table(n_clips: int = N_CLIPS, root: str | None = None) -> str:
         if clip_id % 3 == 2:
             # the re-serve case (`extra` non-empty) maps to the FLAC
             # analogue of the LIST chunk: a byte-different re-encoding
-            # (verbatim subframes + PADDING) of the identical PCM
+            # (verbatim subframes + PADDING) of the identical PCM;
+            # % 9 == 2 clips take LPC subframes (v3)
             payload = encode_flac(
                 _AUDIO_RATE,
                 samples,
                 force_verbatim=bool(extra),
                 padding=32 if extra else 0,
+                lpc=([3, -3, 1], 1)
+                if clip_id % 9 == 2 and not extra
+                else None,
             )
         else:
             payload = encode_pcm16(_AUDIO_RATE, samples, extra)

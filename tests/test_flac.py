@@ -4,8 +4,6 @@ mixed-codec audio kernels (operators/audio.py signature routing)."""
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -116,21 +114,31 @@ def test_stereo_and_wide_streams_rejected():
         flac.decode(bytes(pl))
 
 
-def test_lpc_subframe_fails_loudly():
-    """An LPC-typed subframe must raise, not silently mis-decode."""
-    s = _sine(300)
-    pl = bytearray(flac.encode_pcm16(8000, s, force_verbatim=True))
-    # frame starts right after metadata: magic(4) + header(4) + info(34)
-    frame_start = 4 + 4 + 34
-    # frame header: 4 fixed bytes + 1 coded-number byte + 2 blocksize
-    # bytes + 1 crc8 byte -> subframe header is the next byte
-    sub_off = frame_start + 8
-    pl[sub_off] = 0b0_100000_0 | (pl[sub_off] & 1)  # type 32 = LPC order 1
-    # fix the header CRC8 path: subframe byte is AFTER the crc8, so only
-    # the frame CRC16 needs recomputation for the parser to reach it
-    body = bytes(pl[frame_start:-2])
-    pl[-2:] = struct.pack(">H", flac._crc16(body))
-    with pytest.raises(ValueError, match="LPC subframe unsupported"):
+@pytest.mark.parametrize(
+    "coefs,shift",
+    [
+        ([1], 0),  # order-1 trivial predictor
+        ([3, -3, 1], 1),  # order-3 with shift
+        ([1103, -879, 321, -47], 10),  # realistic quantized magnitudes
+    ],
+)
+def test_lpc_roundtrip_exact(coefs, shift):
+    """LPC subframes — the type real-world encoders emit almost
+    exclusively — reconstruct losslessly; prediction is an exact
+    integer dot product + arithmetic shift."""
+    for samples in (_sine(3000), _sine(9000, amp=12000, period=7.0)):
+        pl = flac.encode_pcm16(8000, samples, lpc=(coefs, shift))
+        rate, out = flac.decode(pl)
+        assert rate == 8000
+        assert out.tolist() == samples
+        # byte-different from the fixed-prediction encoding, same PCM
+        assert pl != flac.encode_pcm16(8000, samples)
+
+
+def test_lpc_corrupt_frame_raises():
+    pl = bytearray(flac.encode_pcm16(8000, _sine(3000), lpc=([3, -3, 1], 1)))
+    pl[len(pl) - 20] ^= 0xFF
+    with pytest.raises(ValueError, match="flac"):
         flac.decode(bytes(pl))
 
 
