@@ -1178,21 +1178,38 @@ def encode_progressive_color_coeffs(
     cr_blocks,
     width: int,
     height: int,
+    subsample: bool = False,
     luma_q=STD_LUMA_QUANT,
     chroma_q=STD_CHROMA_QUANT,
 ) -> bytes:
-    """Progressive (SOF2) 4:4:4 YCbCr JPEG from the same coefficient
-    blocks as :func:`encode_color_coeffs` (``subsample`` unsupported in
-    the progressive writer). Scans: interleaved DC at Al=1 + refinement,
-    then per component the two AC band scans at Al=1 and their
-    refinements — the layout common progressive web encoders emit."""
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    for name, blks in (
-        ("luma", y_blocks), ("cb", cb_blocks), ("cr", cr_blocks)
-    ):
-        if len(blks) != bw * bh:
-            raise ValueError(f"jpeg: expected {bw * bh} {name} blocks")
+    """Progressive (SOF2) YCbCr JPEG from the same coefficient blocks as
+    :func:`encode_color_coeffs` — 4:4:4, or 4:2:0 when ``subsample``
+    (the chroma layout progressive web encoders emit most). Scans:
+    interleaved DC at Al=1 + refinement (MCU order, covering the padded
+    luma grid under 4:2:0), then per component the two AC band scans at
+    Al=1 and their refinements — AC scans are NON-interleaved per T.81,
+    so under 4:2:0 they traverse only the component's own
+    ``ceil(cw/8) × ceil(ch/8)`` block grid (MCU padding blocks stay
+    DC-only; they are invisible after crop)."""
+    if subsample:
+        mcux = (width + 15) // 16
+        mcuy = (height + 15) // 16
+        ybw, ybh = mcux * 2, mcuy * 2
+        cbw, cbh = mcux, mcuy
+        y_hv = 0x22
+        # non-interleaved AC grids: component sample dims / 8, ceil
+        y_bwc, y_bhc = (width + 7) // 8, (height + 7) // 8
+    else:
+        mcux = (width + 7) // 8
+        mcuy = (height + 7) // 8
+        ybw, ybh = mcux, mcuy
+        cbw, cbh = mcux, mcuy
+        y_hv = 0x11
+        y_bwc, y_bhc = ybw, ybh
+    if len(y_blocks) != ybw * ybh:
+        raise ValueError(f"jpeg: expected {ybw * ybh} luma blocks")
+    if len(cb_blocks) != cbw * cbh or len(cr_blocks) != cbw * cbh:
+        raise ValueError(f"jpeg: expected {cbw * cbh} chroma blocks")
     dc_l = _encode_table(*STD_DC_LUMA)
     dc_c = _encode_table(*STD_DC_CHROMA)
     ac_l = _encode_table(*STD_AC_LUMA)
@@ -1204,51 +1221,72 @@ def encode_progressive_color_coeffs(
     out += _segment(
         0xC2,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     out += _segment(0xC4, _dht_body(0, 0, STD_DC_LUMA))
     out += _segment(0xC4, _dht_body(1, 0, STD_AC_LUMA))
     out += _segment(0xC4, _dht_body(0, 1, STD_DC_CHROMA))
     out += _segment(0xC4, _dht_body(1, 1, STD_AC_CHROMA))
 
-    planes = (y_blocks, cb_blocks, cr_blocks)
-    # interleaved DC first scan (1x1 sampling: MCU order == raster order)
+    def mcu_luma_indices(my: int, mx: int):
+        if subsample:
+            return [
+                (my * 2 + bv) * ybw + (mx * 2 + bhh)
+                for bv in range(2)
+                for bhh in range(2)
+            ]
+        return [my * ybw + mx]
+
+    # interleaved DC first scan, MCU order
     w = _BitWriter()
     preds = [0, 0, 0]
-    for i in range(bw * bh):
-        for ci, blks in enumerate(planes):
-            preds[ci] = _enc_dc_first(
-                w, dc_l if ci == 0 else dc_c, int(blks[i][0]), preds[ci], 1
-            )
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for idx in mcu_luma_indices(my, mx):
+                preds[0] = _enc_dc_first(
+                    w, dc_l, int(y_blocks[idx][0]), preds[0], 1
+                )
+            ci = my * cbw + mx
+            preds[1] = _enc_dc_first(w, dc_c, int(cb_blocks[ci][0]), preds[1], 1)
+            preds[2] = _enc_dc_first(w, dc_c, int(cr_blocks[ci][0]), preds[2], 1)
     w.flush()
     out += _sos_progressive(
         [(1, 0, 0), (2, 1, 1), (3, 1, 1)], 0, 0, 0, 1
     ) + bytes(w.out)
     # interleaved DC refinement
     w = _BitWriter()
-    for i in range(bw * bh):
-        for blks in planes:
-            w.write(int(blks[i][0]) & 1, 1)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for idx in mcu_luma_indices(my, mx):
+                w.write(int(y_blocks[idx][0]) & 1, 1)
+            ci = my * cbw + mx
+            w.write(int(cb_blocks[ci][0]) & 1, 1)
+            w.write(int(cr_blocks[ci][0]) & 1, 1)
     w.flush()
     out += _sos_progressive(
         [(1, 0, 0), (2, 1, 1), (3, 1, 1)], 0, 0, 1, 0
     ) + bytes(w.out)
-    # per-component AC band scans + refinements
-    for ci, blks in enumerate(planes):
-        cs = ci + 1
-        ac_tab = ac_l if ci == 0 else ac_c
-        ta = 0 if ci == 0 else 1
-        for ss, se in ((1, 5), (6, 63)):
-            w = _BitWriter()
-            for blk in blks:
-                _enc_ac_first(w, ac_tab, blk, ss, se, 1)
-            w.flush()
-            out += _sos_progressive([(cs, 0, ta)], ss, se, 0, 1) + bytes(w.out)
-        for ss, se in ((1, 5), (6, 63)):
-            w = _BitWriter()
-            for blk in blks:
-                _enc_ac_refine(w, ac_tab, blk, ss, se, 0)
-            w.flush()
-            out += _sos_progressive([(cs, 0, ta)], ss, se, 1, 0) + bytes(w.out)
+    # per-component AC band scans + refinements (non-interleaved: the
+    # component's own block grid, row stride = its padded grid width)
+    comp_grids = (
+        (1, y_blocks, ac_l, 0, y_bwc, y_bhc, ybw),
+        (2, cb_blocks, ac_c, 1, cbw, cbh, cbw),
+        (3, cr_blocks, ac_c, 1, cbw, cbh, cbw),
+    )
+    for phase in ("first", "refine"):
+        for cs, blks, ac_tab, ta, bwc, bhc, stride in comp_grids:
+            for ss, se in ((1, 5), (6, 63)):
+                w = _BitWriter()
+                for by in range(bhc):
+                    for bx in range(bwc):
+                        blk = blks[by * stride + bx]
+                        if phase == "first":
+                            _enc_ac_first(w, ac_tab, blk, ss, se, 1)
+                        else:
+                            _enc_ac_refine(w, ac_tab, blk, ss, se, 0)
+                w.flush()
+                ah, al = (0, 1) if phase == "first" else (1, 0)
+                out += _sos_progressive([(cs, 0, ta)], ss, se, ah, al)
+                out += bytes(w.out)
     out += b"\xff\xd9"
     return bytes(out)

@@ -597,8 +597,10 @@ def ensure_sf_tables(
 
 # v4: progressive (SOF2) JPEG fixtures join the mix — j % 7 == 3 gray
 # and every other color 4:4:4 — decoded against the same independent
-# reference pixels as their baseline siblings
-IMAGES_VERSION = 4
+# reference pixels as their baseline siblings; v5 alternates the color
+# 4:2:0 fixtures too (the chroma layout progressive web encoders emit
+# most — non-interleaved AC scans over the component grids)
+IMAGES_VERSION = 5
 N_IMAGES = 400
 # dims are free-form for the dHash operator (cell comparisons are exact
 # cross-multiplied rational means); varied here to exercise that path
@@ -757,12 +759,17 @@ def _synth_jpeg(j: int, prev: tuple | None):
             pay = jpeg.encode_color_coeffs(yb, cbb, crb, w, h)
         pix = _ref_color_luma(yb, cbb, crb, w, h, subsample=False)
         return pay, pix, w, h
-    if j % 7 == 6:  # color 4:2:0
+    if j % 7 == 6:  # color 4:2:0 — alternating baseline / progressive
         mcux, mcuy = (w + 15) // 16, (h + 15) // 16
         yb = blocks(mcux * 2 * mcuy * 2, 50)
         cbb = blocks(mcux * mcuy, 20, 1, 3)
         crb = blocks(mcux * mcuy, 20, 1, 3)
-        pay = jpeg.encode_color_coeffs(yb, cbb, crb, w, h, subsample=True)
+        if (j // 7) % 2:
+            pay = jpeg.encode_progressive_color_coeffs(
+                yb, cbb, crb, w, h, subsample=True
+            )
+        else:
+            pay = jpeg.encode_color_coeffs(yb, cbb, crb, w, h, subsample=True)
         pix = _ref_color_luma(yb, cbb, crb, w, h, subsample=True)
         return pay, pix, w, h
     blks = blocks(bw * bh, 50)

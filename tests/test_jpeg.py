@@ -220,6 +220,25 @@ def test_progressive_color_matches_baseline():
         assert im.tobytes() == _ref_color444(yb, cbb, crb, w, h)
 
 
+def test_progressive_color_420_matches_baseline():
+    """Progressive 4:2:0 — non-interleaved AC scans traverse only each
+    component's own block grid while the interleaved DC scans cover the
+    MCU-padded luma grid; visible pixels must equal the baseline
+    encoding of the same blocks."""
+    w, h = 23, 18
+    rng = np.random.default_rng(20)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    yb = _blocks(rng, mcux * 2 * mcuy * 2)
+    cbb = _blocks(rng, mcux * mcuy, 20, 2)
+    crb = _blocks(rng, mcux * mcuy, 20, 2)
+    prog = jpeg.encode_progressive_color_coeffs(
+        yb, cbb, crb, w, h, subsample=True
+    )
+    with jpeg.open(io.BytesIO(prog)) as im:
+        assert (im.width, im.height, im.channels) == (w, h, 3)
+        assert im.tobytes() == _ref_color420(yb, cbb, crb, w, h)
+
+
 def test_progressive_refinement_stress():
     """Large coefficients, magnitude-1 coefficients (newly significant in
     the refinement scan), long zero runs (ZRL + buffered correction
