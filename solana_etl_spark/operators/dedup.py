@@ -74,12 +74,20 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def word_shingles(text_col: str = "text") -> Column:
-    """Distinct 2-word shingles (SQL-expressed for non-literal indexing)."""
+    """Distinct 2-word shingles (SQL-expressed for non-literal indexing).
+
+    The token array is bound ONCE per row via a one-element
+    ``transform(array(w), v -> ...)`` wrapper: HOFs are interpreted, so the
+    naive form re-runs the whole ``split(lower(trim(text)))`` for every
+    shingle position (three times per element) — O(len·words) per document.
+    Binding leaves one split plus O(words) array lookups (r9)."""
     w = f"split(lower(trim({text_col})), '\\\\s+')"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size({w}) - 1, 1) ),"
-            f" i -> concat_ws(' ', element_at({w}, i), element_at({w}, least(i + 1, size({w})))))"
+            f"element_at(transform(array({w}), _ws_w ->"
+            " transform(sequence(1, greatest(size(_ws_w) - 1, 1)),"
+            " i -> concat_ws(' ', element_at(_ws_w, i),"
+            " element_at(_ws_w, least(i + 1, size(_ws_w)))))), 1)"
         )
     )
 
@@ -180,7 +188,15 @@ def minhash_lsh_pairs(
     bucket's sorted doc list into its pairs per-row, distinct. This computes
     the (md5-per-shingle) signatures once; the previous salted self-join
     formulation computed them twice (once per join side) and shuffled three
-    times — measured 2.5× slower at sf0.1. Bucket pair expansion is
+    times — measured 2.5× slower at sf0.1. A first-colliding-band emission
+    variant (each posting row carrying the full n_bands×8-byte sig array so
+    "no earlier band collides" is a per-pair filter, dropping the distinct)
+    was tried in r9 and measured 2.3× SLOWER here (count 1.56→3.59 s at
+    sf0.1): with 16 bands the per-posting sig payload is 16× wider than the
+    doc_id, so the bucket shuffle grows far more than the (cheap, well
+    map-side-combined) distinct over the few candidate pairs saves. The
+    hamming-LSH family keeps first-band emission (`banded_hamming_pairs`)
+    because its sig is ONE long, not an array. Bucket pair expansion is
     inherently quadratic in bucket size for ANY formulation that emits all
     pairs; for dedup at scale use :func:`lsh_duplicate_ids`, which is linear.
     """
@@ -429,13 +445,16 @@ def simhash_pairs(
     qualifying pair — the result is EXACTLY the quadratic all-pairs answer
     (the oracle is the brute-force definition), at bucket-join cost.
 
-    Spark shape: a self-join of the (band_idx, band_bits) explosion on the
-    band key — 2^(bits/bands) distinct values per band, so buckets shrink as
-    the corpus grows. The join stays inside whole-stage codegen end-to-end
-    (an earlier collect_list + flatten/transform bucket-expansion form ran
-    through interpreted higher-order lambdas and measured 2.7× slower at
-    sf0.1 on dup-heavy data, and risked a single giant array per hot bucket;
-    the join streams hot buckets instead).
+    Spark shape (r9): ONE signature pass + ONE bucket shuffle via
+    :func:`banded_hamming_pairs` — band rows group by (band, band_val) and
+    each bucket's sorted (id, sig) members expand through the codegen
+    posexplode+slice pair kernel. The previous band-key self-join evaluated
+    the md5-per-token signature accumulator once per join side (twice
+    total) and at corpus scale either broadcast the full band explosion or
+    shuffled both sides; the r1 collect_list + flatten/transform form that
+    measured 2.7× slower expanded pairs through one interpreted quadratic
+    lambda per bucket — the posexplode+slice kernel keeps the expansion in
+    codegen.
     """
     s = simhash(documents, bits)
     return banded_hamming_pairs(
@@ -459,8 +478,20 @@ def banded_hamming_pairs(
     hamming ≤ max_hamming) pairs over ANY integer-signature column
     (simhash, image dHash, …) via multi-band hamming-LSH with exact
     ``bit_count(xor)`` verification. Exactly the all-pairs answer when
-    ``max_hamming < bands`` (pigeonhole); codegen band-key self-join,
-    first-colliding-band emission — no distinct() over the pair stream."""
+    ``max_hamming < bands`` (pigeonhole); first-colliding-band emission —
+    no distinct() over the pair stream.
+
+    Plan shape (r9): ONE signature pass + ONE bucket shuffle. Band rows
+    group by (band, band_val); each bucket's sorted (id, sig) members
+    expand into ordered pairs via the shared posexplode+slice kernel (same
+    as :func:`expand_sorted_pairs`, widened to carry sig). The previous
+    band-key SELF-JOIN evaluated the upstream signature expression once
+    per side — for simhash that is the md5-per-token accumulator twice,
+    and for image/audio callers the whole decode+fingerprint kernel twice
+    — and at scale it either broadcasts the full band explosion of the
+    corpus or shuffles both sides (guide §2.4/§3.1). The bucket arrays add
+    O(bucket) task memory, bounded by the same quadratic pair output any
+    emitter pays (2^band_bits values per band keep buckets small)."""
     assert max_hamming < bands, "banded hamming-LSH is exact only if bands > max_hamming"
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
@@ -468,41 +499,67 @@ def banded_hamming_pairs(
         F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
     )
 
-    def _side(doc: str, sim: str) -> DataFrame:
-        return s.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftright("_sig", i * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for i in range(bands)
-                    ]
+    rows = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("_sig", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+        "_id",
+        "_sig",
+    ).select("bb.band", "bb.band_val", "_id", "_sig")
+    buckets = (
+        rows.groupBy("band", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_id").alias("id"), F.col("_sig").alias("sig"))
                 )
-            ).alias("bb"),
-            F.col("_id").alias(doc),
-            F.col("_sig").alias(sim),
-        ).select("bb.band", "bb.band_val", doc, sim)
-
-    joined = _side("id_a", "sim_a").join(
-        _side("id_b", "sim_b"), ["band", "band_val"]
-    ).filter(F.col("id_a") < F.col("id_b"))
+            ).alias("_mem")
+        )
+        .filter(F.size("_mem") > 1)
+    )
+    joined = (
+        buckets.select(
+            "band", F.posexplode("_mem").alias("i", "_a"), "_mem"
+        )
+        .select(
+            "band",
+            F.col("_a.id").alias("id_a"),
+            F.col("_a.sig").alias("sim_a"),
+            F.explode(
+                F.slice(F.col("_mem"), F.col("i") + 2, F.size("_mem"))
+            ).alias("_b"),
+        )
+        .select(
+            "band",
+            "id_a",
+            "sim_a",
+            F.col("_b.id").alias("id_b"),
+            F.col("_b.sig").alias("sim_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     hamming = F.bit_count(xor)
     # emit each pair only from its FIRST colliding band (every earlier band
     # must differ) — exactly-once without a distinct() shuffle over the
     # expanded pair stream (pair volume is quadratic in cluster size, so at
     # dup-heavy corpora that distinct dominates the whole query)
-    first_band_only = None
+    first_band_only = F.lit(True)  # single band: every pair is first-band
     for j in range(bands - 1):
         differs_j = (
             F.shiftright(xor, j * band_bits).bitwiseAND(F.lit(mask)) != 0
         )
-        cond = (F.col("band") <= j) | differs_j
-        first_band_only = cond if first_band_only is None else first_band_only & cond
+        first_band_only = first_band_only & ((F.col("band") <= j) | differs_j)
     return joined.filter(first_band_only & (hamming <= max_hamming)).select(
         "id_a", "id_b", hamming.alias("hamming")
     )

@@ -36,12 +36,21 @@ def tokens(text: Column) -> Column:
 def char_ngrams(text_col: str, n: int = NGRAM_N) -> Column:
     """Distinct character n-grams of lowercased, trimmed text. Expressed as a
     SQL string because ``substring``'s position must be an expression (the
-    DataFrame API only accepts literals)."""
+    DataFrame API only accepts literals).
+
+    The normalized string is bound ONCE per row via a one-element
+    ``transform(array(s), v -> ...)`` wrapper: higher-order functions are
+    interpreted (no codegen, no common-subexpression elimination inside the
+    lambda body), so the naive form re-evaluates ``lower(trim(text))`` at
+    every gram position — O(len²) characters per document. Binding drops it
+    to one normalization pass plus O(len) substrings (r9, guide §1.2 "make
+    the code inside each stage fast")."""
     s = f"lower(trim({text_col}))"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length({s}) - {n - 1}, 0)),"
-            f" i -> substring({s}, i, {n}))"
+            f"element_at(transform(array({s}), _cg_s ->"
+            f" transform(sequence(1, greatest(length(_cg_s) - {n - 1}, 0)),"
+            f" i -> substring(_cg_s, i, {n}))), 1)"
         )
     )
 
@@ -170,10 +179,13 @@ def winnow_fingerprint(documents: DataFrame) -> DataFrame:
     plagiarism/near-dup sketch."""
     s = "lower(trim(text))"
     a, b = MINHASH_PERMS[1]
+    # normalized text bound once per row (see char_ngrams): the naive form
+    # re-normalizes the whole document for every k-gram position
     hashes = (
-        f"transform(sequence(1, greatest(length({s}) - {WINNOW_K - 1}, 1)),"
-        f" i -> (cast(conv(substring(md5(substring({s}, i, {WINNOW_K})), 1, 8), 16, 10) as bigint)"
-        f" * {a}L + {b}L) % 4294967291L)"
+        f"element_at(transform(array({s}), _wf_s ->"
+        f" transform(sequence(1, greatest(length(_wf_s) - {WINNOW_K - 1}, 1)),"
+        f" i -> (cast(conv(substring(md5(substring(_wf_s, i, {WINNOW_K})), 1, 8), 16, 10) as bigint)"
+        f" * {a}L + {b}L) % 4294967291L)), 1)"
     )
     # materialize the hash sequence once (`_hs` referenced twice below keeps
     # the projection boundary — otherwise the md5 chain re-evaluates per
@@ -196,13 +208,9 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     """k-min-sketch document fingerprint: the FINGERPRINT_K smallest distinct
     char-ngram hashes, comma-joined (stable, order-insensitive to text
     permutation-free edits)."""
-    s = F.lower(F.trim(F.col("text")))
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length(lower(trim(text))) - {NGRAM_N - 1}, 0)),"
-            f" i -> substring(lower(trim(text)), i, {NGRAM_N}))"
-        )
-    )
+    # same single-binding trick as char_ngrams (the naive form re-normalizes
+    # the text at every gram position — HOF lambdas are interpreted)
+    grams = char_ngrams("text", NGRAM_N)
     a, b = MINHASH_PERMS[0]
     hashes = F.transform(grams, lambda g: perm_hash(hash32(g), a, b))
     kmin = F.slice(F.array_sort(hashes), 1, FINGERPRINT_K)
@@ -271,11 +279,14 @@ def _ngram_expr(n: int, col: str = "text") -> str:
     not empty). ``col`` is the text column the grams read (interpolated
     into the expression — callers pass identifiers, not user input)."""
     toks = _toks_expr(col)
+    # bind the token array once per row (HOFs are interpreted; the naive
+    # form re-runs the split for every gram position — see char_ngrams)
     return (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
-        "ELSE array() END"
+        f"element_at(transform(array({toks}), _ng_t -> "
+        f"CASE WHEN size(_ng_t) >= {n} THEN "
+        f"transform(sequence(1, size(_ng_t) - {n - 1}), "
+        f"i -> array_join(slice(_ng_t, i, {n}), ' ')) "
+        "ELSE array() END), 1)"
     )
 
 

@@ -42,14 +42,27 @@ def _json_int_map(txs: DataFrame, mode_expr) -> Column:
     del txs  # documentation-only parameter
 
     def per_mint(m: Column) -> Column:
-        changes_m = F.filter(F.col("token_changes"), lambda c: c["mint"] == m)
-        total = F.aggregate(
-            changes_m,
-            F.lit(0).cast("decimal(38,0)"),
-            lambda acc, c: acc + mode_expr(c["change"]),
+        # bind the filtered per-mint change list ONCE (r9): it is used by
+        # both the sum and the scale lookup, and HOF lambdas are
+        # interpreted, so an unbound reference re-runs the filter per use
+        def _entry(cm: Column) -> Column:
+            total = F.aggregate(
+                cm,
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, c: acc + mode_expr(c["change"]),
+            )
+            scale = F.element_at(cm, 1)["scale"]
+            return F.struct(
+                m.alias("key"), (total / F.pow(F.lit(10.0), scale)).alias("value")
+            )
+
+        return F.element_at(
+            F.transform(
+                F.array(F.filter(F.col("token_changes"), lambda c: c["mint"] == m)),
+                _entry,
+            ),
+            1,
         )
-        scale = F.element_at(changes_m, 1)["scale"]
-        return F.struct(m.alias("key"), (total / F.pow(F.lit(10.0), scale)).alias("value"))
 
     return F.to_json(F.map_from_entries(F.transform(F.col("mints"), per_mint)))
 

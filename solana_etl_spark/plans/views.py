@@ -189,38 +189,48 @@ def transactions_view(blocks_raw: DataFrame) -> DataFrame:
             ins["data"].alias("data"),
         )
 
-    instructions_flat = F.flatten(
-        F.transform(
-            F.col("outer_instructions"),
-            lambda ins, i: F.concat(
-                F.array(
-                    _node(ins, i.cast("string"), F.lit(None).cast("string"), i, F.lit(None))
-                ),
-                F.transform(
-                    F.coalesce(
-                        F.element_at(F.col("_inner_map"), i.cast("int")),
-                        F.array().cast(ArrayType(INSTRUCTION_TYPE)),
+    # The inner-instruction map is bound ONCE per row by a one-element
+    # transform (r9): a plain `_inner_map` projection column is referenced
+    # only once here, so CollapseProject inlines the map_from_entries back
+    # into the lambda body — and HOF lambdas are interpreted, so the map
+    # would be rebuilt for EVERY outer instruction. The explicit lambda
+    # binding is immune to inlining.
+    def _flatten_with_map(m: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                F.col("outer_instructions"),
+                lambda ins, i: F.concat(
+                    F.array(
+                        _node(ins, i.cast("string"), F.lit(None).cast("string"), i, F.lit(None))
                     ),
-                    lambda inr, j: _node(
-                        inr,
-                        F.concat_ws(".", i.cast("string"), j.cast("string")),
-                        i.cast("string"),
-                        i,
-                        j,
+                    F.transform(
+                        F.coalesce(
+                            F.element_at(m, i.cast("int")),
+                            F.array().cast(ArrayType(INSTRUCTION_TYPE)),
+                        ),
+                        lambda inr, j: _node(
+                            inr,
+                            F.concat_ws(".", i.cast("string"), j.cast("string")),
+                            i.cast("string"),
+                            i,
+                            j,
+                        ),
                     ),
                 ),
-            ),
+            )
         )
+
+    instructions_flat = F.element_at(
+        F.transform(F.array(inner_map), _flatten_with_map), 1
     )
 
     txs = (
         txs.withColumn("_pre_map", pre_map)
         .withColumn("_post_map", post_map)
-        .withColumn("_inner_map", inner_map)
         .withColumn("balance_changes", balance_changes)
         .withColumn("token_changes", F.transform(indices, _token_change))
         .withColumn("instructions", instructions_flat)
-        .drop("_pre_map", "_post_map", "_inner_map")
+        .drop("_pre_map", "_post_map")
     )
 
     # -- per-tx scalars / sets ---------------------------------------------
