@@ -88,6 +88,8 @@ def audio_decode_report(media: DataFrame) -> DataFrame:
     FLAC). A corrupt payload raises
     ValueError out of the kernel — pipeline error isolation owns it, the
     report never fakes a decode. Input needs (media_id, payload)."""
+    media = media.select("media_id", "payload")  # guide §4.1
+
     def report_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -156,6 +158,8 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     payload signature, then the 60-bit energy-gradient reduction.
     Corrupt payloads raise into error isolation. Input needs
     (media_id, payload)."""
+    media = media.select("media_id", "payload")  # guide §4.1
+
     def fp_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:

