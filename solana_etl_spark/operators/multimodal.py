@@ -522,8 +522,7 @@ def frame_signatures(
     view of the payload (guide §4.2: hand whole batches to vectorized
     native code) — bit-identical to the former pure-Python
     ``sum(payload[i*fs:(i+1)*fs])`` loop (integer sums of uint8 values in
-    an int64 accumulator cannot round), measured ~6× less kernel CPU on
-    the fixture corpus."""
+    an int64 accumulator cannot round)."""
     media = media.select("media_id", "payload")  # guide §4.1
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
