@@ -466,6 +466,17 @@ def simhash_pairs(
     )
 
 
+#: Triangle-block edge for hot-bucket pair expansion: buckets larger than
+#: this are split into ceil(n/chunk) chunks and the k(k+1)/2 chunk-pair
+#: rows are hash-spread across tasks, so one skewed (band, band_val)
+#: bucket no longer expands its whole C(n,2) pair stream in a single task
+#: (guide §2.5 "split hot keys"). 256 bounds per-row expansion at
+#: 256² = 65 536 pairs while keeping the chunk-pair stream ~the size of
+#: the bucket stream for well-distributed corpora (every bucket ≤ 256
+#: stays a single chunk-pair row).
+BANDED_HAMMING_CHUNK = 256
+
+
 def banded_hamming_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -473,6 +484,7 @@ def banded_hamming_pairs(
     bits: int = SIMHASH_BITS,
     bands: int = SIMHASH_BANDS,
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    chunk_size: int = BANDED_HAMMING_CHUNK,
 ) -> DataFrame:
     """The signature-agnostic core of :func:`simhash_pairs`: (id_a, id_b,
     hamming ≤ max_hamming) pairs over ANY integer-signature column
@@ -491,7 +503,23 @@ def banded_hamming_pairs(
     — and at scale it either broadcasts the full band explosion of the
     corpus or shuffles both sides (guide §2.4/§3.1). The bucket arrays add
     O(bucket) task memory, bounded by the same quadratic pair output any
-    emitter pays (2^band_bits values per band keep buckets small)."""
+    emitter pays (2^band_bits values per band keep buckets small).
+
+    Hot-bucket straggler guard (r9, guide §2.5): a skewed bucket of n
+    members would otherwise expand all C(n,2) pairs in the single task
+    holding its row (measured on the audio fingerprint corpus: max bucket
+    3290 members ⇒ ~5.4 M xor/bit_count pair rows in one task, a
+    recurring 22+1/23 straggler stage). Each bucket's sorted member array
+    is therefore split into ceil(n/chunk_size) chunks and the triangle of
+    chunk-pair rows (i ≤ j) is hash-repartitioned before expansion: a
+    same-chunk row expands via the posexplode+slice kernel, a cross-chunk
+    row via a full A×B explode (valid ordered pairs by construction —
+    the array is sorted by id, so every left-chunk id < every right-chunk
+    id). The repartition shuffles only bucket ARRAYS (linear in corpus,
+    ~the bucket stream itself), never the quadratic pair stream, and the
+    pair set it expands is exactly the same triangle. Buckets ≤ chunk_size
+    degenerate to one same-chunk row — identical work to the unchunked
+    form plus the one extra (small) exchange."""
     assert max_hamming < bands, "banded hamming-LSH is exact only if bands > max_hamming"
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
@@ -527,16 +555,64 @@ def banded_hamming_pairs(
         )
         .filter(F.size("_mem") > 1)
     )
-    joined = (
+    # triangle-block the bucket: k = ceil(n / chunk_size) chunks, one row
+    # per (ci ≤ cj) chunk pair, hash-spread so a hot bucket's quadratic
+    # expansion lands on many tasks instead of one
+    n_chunks = F.ceil(F.size("_mem") / F.lit(chunk_size)).cast("int")
+    chunk_pairs = (
         buckets.select(
-            "band", F.posexplode("_mem").alias("i", "_a"), "_mem"
+            "band",
+            "band_val",
+            "_mem",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+        )
+        .select(
+            "band",
+            "band_val",
+            "_mem",
+            "ci",
+            F.slice(
+                "_mem", F.col("ci") * chunk_size + 1, chunk_size
+            ).alias("_left"),
+        )
+        .select(
+            "band",
+            "band_val",
+            "ci",
+            "_left",
+            F.explode(F.sequence(F.col("ci"), n_chunks - 1)).alias("cj"),
+            F.col("_mem"),
+        )
+        .select(
+            "band",
+            "band_val",
+            "ci",
+            "cj",
+            "_left",
+            F.slice(
+                "_mem", F.col("cj") * chunk_size + 1, chunk_size
+            ).alias("_right"),
+        )
+        .repartition("band", "band_val", "ci", "cj")
+    )
+    joined = (
+        chunk_pairs.select(
+            "band",
+            (F.col("ci") == F.col("cj")).alias("_same"),
+            F.posexplode("_left").alias("i", "_a"),
+            "_right",
         )
         .select(
             "band",
             F.col("_a.id").alias("id_a"),
             F.col("_a.sig").alias("sim_a"),
             F.explode(
-                F.slice(F.col("_mem"), F.col("i") + 2, F.size("_mem"))
+                # same-chunk: ordered suffix pairs within the chunk;
+                # cross-chunk: full A×B (already ordered — sorted array)
+                F.when(
+                    F.col("_same"),
+                    F.slice(F.col("_right"), F.col("i") + 2, F.size("_right")),
+                ).otherwise(F.col("_right"))
             ).alias("_b"),
         )
         .select(

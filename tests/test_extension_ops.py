@@ -74,6 +74,53 @@ def test_simhash_hamming_ranks_similarity(docs_df):
     assert ham(s[0], s[2]) < ham(s[0], s[3])
 
 
+def test_banded_hamming_chunked_expansion_exact(spark):
+    """The r9 triangle-blocked hot-bucket expansion must emit EXACTLY the
+    brute-force pair set — same pairs, same hamming, each exactly once
+    (first-band emission survives chunking) — for buckets far larger than
+    chunk_size, including chunk-boundary and cross-chunk pairs."""
+    import random
+
+    from solana_etl_spark.operators.dedup import banded_hamming_pairs
+
+    rng = random.Random(11)
+    base = rng.getrandbits(60)
+    rows = []
+    for i in range(60):
+        sig = base
+        for _ in range(rng.choice([0, 1, 1, 2])):
+            sig ^= 1 << rng.randrange(60)
+        rows.append((f"id{i:03d}", sig))
+    df = spark.createDataFrame(rows, "id string, sig long")
+
+    # chunk_size=7 forces the 60-member hot buckets through ~9 chunks and
+    # 45 chunk-pair rows (same- and cross-chunk paths both exercised)
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in banded_hamming_pairs(df, "id", "sig", chunk_size=7).collect()
+    )
+
+    from itertools import combinations
+
+    mask = (1 << 15) - 1
+    brute = sorted(
+        (a, b, bin(sa ^ sb).count("1"))
+        for (a, sa), (b, sb) in combinations(rows, 2)
+        if any(((sa ^ sb) >> (band * 15)) & mask == 0 for band in range(4))
+        and bin(sa ^ sb).count("1") <= 3
+    )
+    assert got == brute
+    assert len(got) == len(set(got))  # exactly-once emission
+    # degenerate chunking (everything in one chunk) is the same answer
+    one_chunk = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in banded_hamming_pairs(
+            df, "id", "sig", chunk_size=1_000_000
+        ).collect()
+    )
+    assert one_chunk == got
+
+
 def test_ngram_jaccard_scores(docs_df):
     from solana_etl_spark.operators.dedup import ngram_jaccard_pairs
 
