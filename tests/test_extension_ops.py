@@ -74,6 +74,58 @@ def test_simhash_hamming_ranks_similarity(docs_df):
     assert ham(s[0], s[2]) < ham(s[0], s[3])
 
 
+def test_compute_parallelism_guard_row_group_aware(spark, tmp_path):
+    """A big single-row-group parquet scans as MANY byte-range splits but
+    yields every row in ONE task (a split only produces rows when a
+    row-group start falls inside it) — the r9 guard must see through the
+    partition count via the parquet footers and repartition; a scan whose
+    row groups can already fill the cores must pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from solana_etl_spark.functions.parallelism import (
+        ensure_compute_parallelism,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    n = 4000
+    # incompressible payloads so the file really spans many byte splits
+    table = pa.table(
+        {"media_id": list(range(n)), "v": [rng.randbytes(512) for _ in range(n)]}
+    )
+    one_group = str(tmp_path / "one_group.parquet")
+    many_groups = str(tmp_path / "many_groups.parquet")
+    pq.write_table(table, one_group, row_group_size=n)
+    pq.write_table(table, many_groups, row_group_size=64)
+
+    target = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        df1 = spark.read.parquet(one_group)
+        # precondition: byte-splits alone would fool a count-only guard
+        assert df1.rdd.getNumPartitions() >= target
+        populated = (
+            ensure_compute_parallelism(df1)
+            .rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+            .filter(lambda c: c > 0)
+            .count()
+        )
+        assert populated >= target  # rows actually spread across tasks
+
+        df2 = spark.read.parquet(many_groups)
+        if df2.rdd.getNumPartitions() >= target:
+            # enough row groups to fill the cores: guard must not shuffle
+            assert ensure_compute_parallelism(df2) is df2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
 def test_banded_hamming_chunked_expansion_exact(spark):
     """The r9 triangle-blocked hot-bucket expansion must emit EXACTLY the
     brute-force pair set — same pairs, same hamming, each exactly once
