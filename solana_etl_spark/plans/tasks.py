@@ -27,87 +27,79 @@ from pyspark.sql import functions as F
 from solana_etl_spark.plans.views import transactions_view, transfers_view
 
 
+# Expression texts (r9): derived columns are SQL strings parsed JVM-side in
+# one py4j call each — the Column-API construction cost ~2 s of driver time
+# per build / per streaming micro-batch in py4j round trips (see
+# plans/views.py). Row-level output equality over the reference fixtures and
+# the 240-block corpus was asserted against the old construction.
+
+_SOURCE = "element_at(split(path, '/'), -1)"
+
+
 def _source(path_col: Column) -> Column:
     return F.element_at(F.split(path_col, "/"), -1)
 
 
-def _json_int_map(txs: DataFrame, mode_expr) -> Column:
+def _json_int_map_sql(mode_case: str) -> str:
     """Per-mint aggregated token change as a JSON map mint → float.
 
     Mirrors ``total_token_changes`` (reference src/transform/Transaction.py:
     145-155): group the tx's token changes by mint, sum the mode-projected
     change (all changes of one mint share a scale, so the equal-scale
-    invariant of NumberWithScale holds by construction), then scale to float.
+    invariant of NumberWithScale holds by construction), then scale to
+    float. The filtered per-mint change list is bound ONCE via the
+    one-element transform (r9): it is used by both the sum and the scale
+    lookup, and HOF lambdas are interpreted, so an unbound reference would
+    re-run the filter per use. ``mode_case`` is a SQL CASE over
+    ``c.change``.
     """
-    del txs  # documentation-only parameter
+    return f"""
+to_json(map_from_entries(transform(mints, m ->
+  element_at(transform(array(filter(token_changes, c -> c.mint = m)), cm ->
+    named_struct(
+      'key', m,
+      'value', aggregate(cm, CAST(0 AS DECIMAL(38,0)), (acc, c) -> acc + {mode_case})
+               / pow(10.0D, element_at(cm, 1).scale))), 1))))
+"""
 
-    def per_mint(m: Column) -> Column:
-        # bind the filtered per-mint change list ONCE (r9): it is used by
-        # both the sum and the scale lookup, and HOF lambdas are
-        # interpreted, so an unbound reference re-runs the filter per use
-        def _entry(cm: Column) -> Column:
-            total = F.aggregate(
-                cm,
-                F.lit(0).cast("decimal(38,0)"),
-                lambda acc, c: acc + mode_expr(c["change"]),
-            )
-            scale = F.element_at(cm, 1)["scale"]
-            return F.struct(
-                m.alias("key"), (total / F.pow(F.lit(10.0), scale)).alias("value")
-            )
 
-        return F.element_at(
-            F.transform(
-                F.array(F.filter(F.col("token_changes"), lambda c: c["mint"] == m)),
-                _entry,
-            ),
-            1,
-        )
+_OUT_MODE = "CASE WHEN c.change < 0 THEN c.change ELSE 0 END"
+_IN_MODE = "CASE WHEN c.change > 0 THEN c.change ELSE 0 END"
 
-    return F.to_json(F.map_from_entries(F.transform(F.col("mints"), per_mint)))
+_SYSVAR_ACCOUNTS = (
+    "transform(filter(account_types, a -> a.is_sysvar), a -> a.pubkey)"
+)
+_COIN_ACCOUNTS = (
+    "transform(filter(account_types,"
+    " a -> NOT a.is_sysvar AND NOT a.is_program AND NOT a.is_token),"
+    " a -> a.pubkey)"
+)
 
 
 def transactions_task(txs: DataFrame) -> DataFrame:
     """16-column ``transactions`` table (reference block_to_transactions,
     src/load/TransformTask.py:19-52)."""
-    out_mode = lambda v: F.when(v < 0, v).otherwise(F.lit(0))  # noqa: E731
-    in_mode = lambda v: F.when(v > 0, v).otherwise(F.lit(0))  # noqa: E731
-
-    sysvar_accounts = F.transform(
-        F.filter("account_types", lambda a: a["is_sysvar"]), lambda a: a["pubkey"]
-    )
-    coin_accounts = F.transform(
-        F.filter(
-            "account_types",
-            lambda a: ~a["is_sysvar"] & ~a["is_program"] & ~a["is_token"],
-        ),
-        lambda a: a["pubkey"],
-    )
-
-    return txs.filter(F.col("tx_error").isNull()).select(
-        F.col("block_time").alias("time"),
+    return txs.filter("tx_error IS NULL").selectExpr(
+        "block_time AS time",
         "signature",
         "fee",
-        F.col("is_successful").alias("isSuccessful"),
-        F.col("num_instructions").cast("tinyint").alias("numInstructions"),
-        F.to_json("programs").alias("programs"),
-        F.col("num_accounts").cast("tinyint").alias("numAccounts"),
-        F.to_json(
-            F.struct(
-                sysvar_accounts.alias("SYSVAR"),
-                F.col("programs").alias("PROGRAM"),
-                F.col("token_pubkeys").alias("TOKEN"),
-                coin_accounts.alias("COIN"),
-            )
-        ).alias("accountsByType"),
-        F.col("lamports_out").alias("lamportsOut"),
-        F.col("lamports_in").alias("lamportsIn"),
-        F.size("mints").cast("tinyint").alias("numMints"),
-        F.to_json("mints").alias("mints"),
-        _json_int_map(txs, out_mode).alias("tokensOut"),
-        _json_int_map(txs, in_mode).alias("tokensIn"),
+        "is_successful AS isSuccessful",
+        "CAST(num_instructions AS TINYINT) AS numInstructions",
+        "to_json(programs) AS programs",
+        "CAST(num_accounts AS TINYINT) AS numAccounts",
+        f"""to_json(struct(
+            {_SYSVAR_ACCOUNTS} AS SYSVAR,
+            programs AS PROGRAM,
+            token_pubkeys AS TOKEN,
+            {_COIN_ACCOUNTS} AS COIN)) AS accountsByType""",
+        "lamports_out AS lamportsOut",
+        "lamports_in AS lamportsIn",
+        "CAST(size(mints) AS TINYINT) AS numMints",
+        "to_json(mints) AS mints",
+        f"{_json_int_map_sql(_OUT_MODE)} AS tokensOut",
+        f"{_json_int_map_sql(_IN_MODE)} AS tokensIn",
         "blockhash",
-        _source(F.col("path")).alias("path"),
+        f"{_SOURCE} AS path",
     )
 
 
@@ -116,10 +108,10 @@ def transaction_errors(txs: DataFrame) -> DataFrame:
     wraps each transactions-row build in try/except —
     src/load/TransformTask.py:24-50; row shape mirrors
     src/load/FileOutput.py:157-166)."""
-    return txs.filter(F.col("tx_error").isNotNull()).select(
-        F.lit("blocks_to_transactions").alias("name"),
-        _source(F.col("path")).alias("block"),
-        F.col("tx_error").alias("message"),
+    return txs.filter("tx_error IS NOT NULL").selectExpr(
+        "'blocks_to_transactions' AS name",
+        f"{_SOURCE} AS block",
+        "tx_error AS message",
     )
 
 
@@ -127,21 +119,21 @@ def transfers_task(txs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """9-column ``transfers`` table + error rows (reference
     block_to_transfers, src/load/TransformTask.py:55-80)."""
     t = transfers_view(txs)
-    good = t.filter(F.col("error").isNull()).select(
-        F.col("block_time").alias("time"),
+    good = t.filter("error IS NULL").selectExpr(
+        "block_time AS time",
         "source",
         "destination",
         "mint",
         "value",
-        F.col("scale").cast("tinyint").alias("scale"),
-        F.col("signature").alias("transaction"),
+        "CAST(scale AS TINYINT) AS scale",
+        "signature AS transaction",
         "blockhash",
-        _source(F.col("path")).alias("path"),
+        f"{_SOURCE} AS path",
     )
-    errors = t.filter(F.col("error").isNotNull()).select(
-        F.lit("blocks_to_transfers").alias("name"),
-        _source(F.col("path")).alias("block"),
-        F.col("error").alias("message"),
+    errors = t.filter("error IS NOT NULL").selectExpr(
+        "'blocks_to_transfers' AS name",
+        f"{_SOURCE} AS block",
+        "error AS message",
     )
     return good, errors
 
@@ -161,50 +153,47 @@ def blocks_task(txs: DataFrame, blocks_raw: DataFrame) -> DataFrame:
     error row — per-row isolation is strictly more informative, so the
     rollup keeps the block.
     """
-    coin_accounts = F.transform(
-        F.filter(
-            "account_types",
-            lambda a: ~a["is_sysvar"] & ~a["is_program"] & ~a["is_token"],
-        ),
-        lambda a: a["pubkey"],
-    )
-    per_tx = txs.withColumn("coin_pubkeys", coin_accounts)
+    per_tx = txs.withColumn("coin_pubkeys", F.expr(_COIN_ACCOUNTS))
 
-    def partition_aggs(flag: Column, prefix: str, num_name: str) -> list[Column]:
-        cnt = lambda cond: F.coalesce(  # noqa: E731
-            F.count_if(flag & cond), F.lit(0)
-        ).cast("long")
-        distinct_accounts = lambda col: F.size(  # noqa: E731
-            F.array_distinct(
-                F.flatten(F.collect_list(F.when(flag, F.col(col))))
+    def partition_aggs(flag: str, prefix: str, num_name: str) -> list[Column]:
+        def cnt(cond: str, alias: str) -> str:
+            return (
+                f"CAST(coalesce(count_if(({flag}) AND ({cond})), 0) AS BIGINT)"
+                f" AS {alias}"
             )
-        ).cast("long")
+
+        def distinct_accounts(col: str, alias: str) -> str:
+            return (
+                "CAST(size(array_distinct(flatten(collect_list("
+                f"CASE WHEN {flag} THEN {col} END)))) AS BIGINT) AS {alias}"
+            )
+
         return [
-            F.count_if(flag).cast("long").alias(num_name),
-            cnt(F.col("is_vote")).alias(f"{prefix}Votes"),
-            cnt(~F.col("is_only_fee")).alias(f"{prefix}TransactionsMoreThanFee"),
-            cnt(F.col("is_only_fee")).alias(f"{prefix}TransactionsOnlyFee"),
-            F.coalesce(F.sum(F.when(flag, F.col("fee"))), F.lit(0))
-            .cast("long")
-            .alias(f"{prefix}Fees"),
-            F.coalesce(F.sum(F.when(flag, F.col("lamports_out"))), F.lit(0))
-            .cast("long")
-            .alias(f"{prefix}BalanceChange"),
-            distinct_accounts("programs").alias(f"{prefix}ProgramAccounts"),
-            distinct_accounts("coin_pubkeys").alias(f"{prefix}CoinAccounts"),
-            distinct_accounts("token_pubkeys").alias(f"{prefix}TokenAccounts"),
+            F.expr(e)
+            for e in (
+                f"CAST(count_if({flag}) AS BIGINT) AS {num_name}",
+                cnt("is_vote", f"{prefix}Votes"),
+                cnt("NOT is_only_fee", f"{prefix}TransactionsMoreThanFee"),
+                cnt("is_only_fee", f"{prefix}TransactionsOnlyFee"),
+                f"CAST(coalesce(sum(CASE WHEN {flag} THEN fee END), 0)"
+                f" AS BIGINT) AS {prefix}Fees",
+                f"CAST(coalesce(sum(CASE WHEN {flag} THEN lamports_out END), 0)"
+                f" AS BIGINT) AS {prefix}BalanceChange",
+                distinct_accounts("programs", f"{prefix}ProgramAccounts"),
+                distinct_accounts("coin_pubkeys", f"{prefix}CoinAccounts"),
+                distinct_accounts("token_pubkeys", f"{prefix}TokenAccounts"),
+            )
         ]
 
-    ok = F.col("is_successful")
     # group by path ONLY (unique per block): getBlock may return a null
     # blockTime, and null join keys never match — grouping on (path,
     # block_time, blockhash) made such blocks emit a zero-filled row even
     # though their transactions were aggregated. block_time/blockhash come
     # from the roster side.
     agg = per_tx.groupBy("path").agg(
-        F.count(F.lit(1)).cast("long").alias("numTransactions"),
-        *partition_aggs(ok, "successful", "numSuccessful"),
-        *partition_aggs(~ok, "error", "numErrors"),
+        F.expr("CAST(count(1) AS BIGINT) AS numTransactions"),
+        *partition_aggs("is_successful", "successful", "numSuccessful"),
+        *partition_aggs("NOT is_successful", "error", "numErrors"),
     )
 
     # keep empty blocks: left join from the block roster, zero-fill measures
@@ -215,11 +204,11 @@ def blocks_task(txs: DataFrame, blocks_raw: DataFrame) -> DataFrame:
     )
     joined = roster.join(agg, ["path"], "left")
     measures = [c for c in agg.columns if c != "path"]
-    joined = joined.select(
-        F.col("block_time").alias("time"),
-        F.col("blockhash").alias("hash"),
-        _source(F.col("path")).alias("path"),
-        *[F.coalesce(F.col(m), F.lit(0)).alias(m) for m in measures],
+    joined = joined.selectExpr(
+        "block_time AS time",
+        "blockhash AS hash",
+        f"{_SOURCE} AS path",
+        *[f"coalesce({m}, 0) AS {m}" for m in measures],
     )
     return joined
 
@@ -229,12 +218,11 @@ def ingest_errors(blocks_raw: DataFrame) -> DataFrame:
     src/load/FileOutput.py:80-91 ``json_to_blocks`` rows): malformed JSON and
     missing blocks (no ``result`` key → downstream field access raises)."""
     bad = blocks_raw.filter(F.col("missing") | F.col("_corrupt_record").isNotNull())
-    return bad.select(
-        F.lit("json_to_blocks").alias("name"),
-        _source(F.col("path")).alias("block"),
-        F.when(F.col("_corrupt_record").isNotNull(), F.lit("malformed block json"))
-        .otherwise(F.lit("missing block result"))
-        .alias("message"),
+    return bad.selectExpr(
+        "'json_to_blocks' AS name",
+        f"{_SOURCE} AS block",
+        "CASE WHEN _corrupt_record IS NOT NULL THEN 'malformed block json'"
+        " ELSE 'missing block result' END AS message",
     )
 
 

@@ -29,11 +29,146 @@ VOTE_PROGRAM = "vote"
 LAMPORT_SCALE = 9  # reference src/transform/NumberWithScale.py:17-19
 
 
-def _sum_long(arr: Column, value: Column) -> Column:
-    """SUM over an array column without exploding (keeps the row intact)."""
-    return F.aggregate(
-        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.coalesce(value(x), F.lit(0))
-    )
+# --------------------------------------------------------------------------
+# Expression texts (r9): every derived column is ONE SQL string handed to the
+# JVM parser in a single py4j call. The previous Column-API construction made
+# ~4,400 py4j round trips per transactions_view+transactions_task build
+# (~2 s of DRIVER time per query build / per streaming micro-batch, measured
+# with cProfile: 2.6 s in socket recv for solana_e2e); the SQL strings build
+# the identical expression trees JVM-side (~0.2 s). Row-level equality of
+# every task output over the reference fixture blocks AND the 240-block
+# corpus was asserted against the old construction before the swap, plus the
+# registry oracle hashes. The trees keep the r9 one-element-HOF binding
+# shapes (element_at(transform(array(<inv>), v -> <body>), 1)) — HOF lambdas
+# are interpreted, so loop-invariant inputs must be bound once per row.
+# --------------------------------------------------------------------------
+
+_ACCOUNTS_FROM_STRINGS = (
+    "transform(t.transaction.message.accountKeys, k -> named_struct("
+    "'pubkey', k, 'signer', CAST(NULL AS BOOLEAN), 'writable', CAST(NULL AS BOOLEAN)))"
+)
+
+# J1: positional balance zip (scale 9) — reference Transaction.py:84-93
+_BALANCE_CHANGES = """
+transform(accounts, (a, i) -> named_struct(
+  'account_index', CAST(i AS INT),
+  'pubkey', a.pubkey,
+  'pre', element_at(pre_balances, i + 1),
+  'post', element_at(post_balances, i + 1),
+  'change', element_at(post_balances, i + 1) - element_at(pre_balances, i + 1)))
+"""
+
+# J2: token pre/post keyed by accountIndex (map semantics = reference dict,
+# LAST_WIN dedup policy set in session.py)
+_PRE_MAP = (
+    "map_from_entries(transform(pre_token_balances, b -> struct(b.accountIndex, b)))"
+)
+_POST_MAP = (
+    "map_from_entries(transform(post_token_balances, b -> struct(b.accountIndex, b)))"
+)
+
+# J2: full-outer of pre/post on accountIndex; missing side → 0;
+# mint/decimals take the post side when present (the reference's
+# last-assigned `balance` variable, Transaction.py:106-143). Amounts are
+# u64 decimal-strings: DECIMAL(20,0) holds the full u64 range (int64 would
+# overflow); the delta spans ±2^64 so its type is DECIMAL(21,0).
+_TOKEN_CHANGES = """
+transform(
+  array_union(
+    transform(pre_token_balances, b -> b.accountIndex),
+    transform(post_token_balances, b -> b.accountIndex)),
+  idx -> named_struct(
+    'account_index', idx,
+    'pubkey', element_at(accounts, idx + 1).pubkey,
+    'mint', coalesce(element_at(_post_map, idx).mint, element_at(_pre_map, idx).mint),
+    'pre', coalesce(CAST(element_at(_pre_map, idx).uiTokenAmount.amount AS DECIMAL(20,0)),
+                    CAST(0 AS DECIMAL(20,0))),
+    'post', coalesce(CAST(element_at(_post_map, idx).uiTokenAmount.amount AS DECIMAL(20,0)),
+                     CAST(0 AS DECIMAL(20,0))),
+    'change', coalesce(CAST(element_at(_post_map, idx).uiTokenAmount.amount AS DECIMAL(20,0)),
+                       CAST(0 AS DECIMAL(20,0)))
+            - coalesce(CAST(element_at(_pre_map, idx).uiTokenAmount.amount AS DECIMAL(20,0)),
+                       CAST(0 AS DECIMAL(20,0))),
+    'scale', CAST(coalesce(element_at(_post_map, idx).uiTokenAmount.decimals,
+                           element_at(_pre_map, idx).uiTokenAmount.decimals) AS INT)))
+"""
+
+
+def _instructions_flat_sql() -> str:
+    # J3 + T1/T2: flatten outer+inner instructions, preorder gen_ids i / i.j
+    # (reference Instruction.py:253-258,282-288,65-76). The inner-instruction
+    # map is bound ONCE per row by the one-element transform: a plain
+    # projection column would be inlined back into the (interpreted) lambda
+    # by CollapseProject and rebuilt for EVERY outer instruction.
+    empty = f"CAST(array() AS array<{INSTRUCTION_TYPE.simpleString()}>)"
+    return f"""
+element_at(transform(
+  array(map_from_entries(transform(inner_instructions,
+                                   x -> struct(x.index, x.instructions)))),
+  m -> flatten(transform(outer_instructions, (ins, i) -> concat(
+    array(named_struct(
+      'gen_id', CAST(i AS STRING), 'parent_id', CAST(NULL AS STRING),
+      'outer_pos', CAST(i AS INT), 'inner_pos', CAST(NULL AS INT),
+      'program', ins.program, 'program_id', ins.programId,
+      'parsed', ins.parsed, 'accounts', ins.accounts, 'data', ins.data)),
+    transform(coalesce(element_at(m, CAST(i AS INT)), {empty}),
+              (inr, j) -> named_struct(
+      'gen_id', concat_ws('.', CAST(i AS STRING), CAST(j AS STRING)),
+      'parent_id', CAST(i AS STRING),
+      'outer_pos', CAST(i AS INT), 'inner_pos', CAST(j AS INT),
+      'program', inr.program, 'program_id', inr.programId,
+      'parsed', inr.parsed, 'accounts', inr.accounts, 'data', inr.data))))))
+, 1)
+"""
+
+
+# per-tx scalars / sets; aggregate() = SUM over an array column without
+# exploding (keeps the row intact)
+_TX_SCALARS = {
+    "num_accounts": "size(accounts)",
+    "net_balance_change": (
+        "aggregate(balance_changes, CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + coalesce(x.change, 0))"
+    ),
+    "lamports_in": (
+        "aggregate(balance_changes, CAST(0 AS BIGINT), (acc, x) -> acc +"
+        " coalesce(CASE WHEN x.change > 0 THEN x.change ELSE 0 END, 0))"
+    ),
+    "lamports_out": (
+        "aggregate(balance_changes, CAST(0 AS BIGINT), (acc, x) -> acc +"
+        " coalesce(CASE WHEN x.change < 0 THEN x.change ELSE 0 END, 0))"
+    ),
+    "num_instructions": "size(instructions)",
+    "programs": "array_distinct(transform(instructions, x -> x.program_id))",
+    # is_vote checks OUTER instructions only (has_instruction_of iterates
+    # the outer list, not descendants) — Transaction.py:181-187
+    "is_vote": "exists(outer_instructions, x -> x.program = 'vote')",
+    "token_pubkeys": "array_distinct(transform(token_changes, x -> x.pubkey))",
+    "mints": "array_distinct(transform(token_changes, x -> x.mint))",
+}
+
+# account classification: SYSVAR test first, PROGRAM = recursive program set,
+# TOKEN = token-balance accounts, COIN = the rest — Transaction.py:162-179
+_ACCOUNT_TYPES = """
+transform(accounts, a -> named_struct(
+  'pubkey', a.pubkey,
+  'is_sysvar', startswith(lower(a.pubkey), 'sysvar'),
+  'is_program', array_contains(programs, a.pubkey),
+  'is_token', array_contains(token_pubkeys, a.pubkey)))
+"""
+
+# per-row validity (reference wraps EVERY row build in try/except —
+# src/load/TransformTask.py:24-50; a malformed tx becomes an error row,
+# never a null-poisoned output row). Each branch mirrors the exception the
+# reference would raise while building the row.
+_TX_ERROR = """
+CASE
+  WHEN signature IS NULL THEN 'transaction has no signatures'
+  WHEN fee IS NULL THEN 'transaction has no meta fee'
+  WHEN accounts IS NULL OR exists(accounts, a -> a.pubkey IS NULL)
+    THEN 'transaction has malformed account keys'
+END
+"""
 
 
 def transactions_view(blocks_raw: DataFrame) -> DataFrame:
@@ -75,232 +210,45 @@ def transactions_view(blocks_raw: DataFrame) -> DataFrame:
         "path", "block_time", "blockhash", F.explode("_txs").alias("t")
     )
 
-    raw_keys = F.col("t.transaction.message.accountKeys")
-    if keys_are_strings:
-        accounts = F.transform(
-            raw_keys,
-            lambda k: F.struct(
-                k.alias("pubkey"),
-                F.lit(None).cast("boolean").alias("signer"),
-                F.lit(None).cast("boolean").alias("writable"),
-            ),
-        )
-    else:
-        accounts = raw_keys
-
-    txs = txs.select(
+    accounts_sql = (
+        _ACCOUNTS_FROM_STRINGS
+        if keys_are_strings
+        else "t.transaction.message.accountKeys"
+    )
+    txs = txs.selectExpr(
         "path",
         "block_time",
         "blockhash",
-        F.element_at("t.transaction.signatures", 1).alias("signature"),
-        F.col("t.transaction.signatures").alias("signatures"),
-        F.col("t.meta.fee").alias("fee"),
-        F.col("t.meta.err").alias("err"),
-        F.col("t.meta.err").isNull().alias("is_successful"),
-        accounts.alias("accounts"),
-        F.col("t.meta.preBalances").alias("pre_balances"),
-        F.col("t.meta.postBalances").alias("post_balances"),
-        F.col("t.meta.preTokenBalances").alias("pre_token_balances"),
-        F.col("t.meta.postTokenBalances").alias("post_token_balances"),
-        F.col("t.meta.innerInstructions").alias("inner_instructions"),
-        F.col("t.transaction.message.instructions").alias("outer_instructions"),
-    )
-
-    # -- J1: positional balance zip (scale 9) ------------------------------
-    balance_changes = F.transform(
-        F.col("accounts"),
-        lambda a, i: F.struct(
-            i.cast("int").alias("account_index"),
-            a["pubkey"].alias("pubkey"),
-            F.element_at(F.col("pre_balances"), i + 1).alias("pre"),
-            F.element_at(F.col("post_balances"), i + 1).alias("post"),
-            (
-                F.element_at(F.col("post_balances"), i + 1)
-                - F.element_at(F.col("pre_balances"), i + 1)
-            ).alias("change"),
-        ),
-    )
-
-    # -- J2: token pre/post full-outer on accountIndex, post-precedence ----
-    pre_map = F.map_from_entries(
-        F.transform(
-            F.col("pre_token_balances"), lambda b: F.struct(b["accountIndex"], b)
-        )
-    )
-    post_map = F.map_from_entries(
-        F.transform(
-            F.col("post_token_balances"), lambda b: F.struct(b["accountIndex"], b)
-        )
-    )
-    indices = F.array_union(
-        F.transform(F.col("pre_token_balances"), lambda b: b["accountIndex"]),
-        F.transform(F.col("post_token_balances"), lambda b: b["accountIndex"]),
-    )
-
-    def _token_change(idx: Column) -> Column:
-        pre_b = F.element_at(F.col("_pre_map"), idx)
-        post_b = F.element_at(F.col("_post_map"), idx)
-        # amounts are u64 decimal-strings; decimal(20,0) holds the full u64
-        # range (int64 would overflow — the reference's Python ints are
-        # unbounded, SURVEY §7.5). Deltas are cast back to long.
-        pre_amt = F.coalesce(
-            pre_b["uiTokenAmount"]["amount"].cast("decimal(20,0)"),
-            F.lit(0).cast("decimal(20,0)"),
-        )
-        post_amt = F.coalesce(
-            post_b["uiTokenAmount"]["amount"].cast("decimal(20,0)"),
-            F.lit(0).cast("decimal(20,0)"),
-        )
-        return F.struct(
-            idx.alias("account_index"),
-            F.element_at(F.col("accounts"), idx + 1)["pubkey"].alias("pubkey"),
-            # post-precedence: reference's `balance` var is last assigned from
-            # post when present (Transaction.py:131-141)
-            F.coalesce(post_b["mint"], pre_b["mint"]).alias("mint"),
-            pre_amt.alias("pre"),
-            post_amt.alias("post"),
-            # u64 − u64 spans ±2^64: decimal(21,0) keeps it exact (a long
-            # would wrap — found by the hypothesis model-equivalence test)
-            (post_amt - pre_amt).alias("change"),
-            F.coalesce(
-                post_b["uiTokenAmount"]["decimals"], pre_b["uiTokenAmount"]["decimals"]
-            )
-            .cast("int")
-            .alias("scale"),
-        )
-
-    # -- J3 + T1/T2: flatten outer+inner instructions, preorder gen_ids ----
-    inner_map = F.map_from_entries(
-        F.transform(
-            F.col("inner_instructions"), lambda x: F.struct(x["index"], x["instructions"])
-        )
-    )
-
-    def _node(ins: Column, gen_id: Column, parent_id: Column, outer_pos: Column, inner_pos: Column) -> Column:
-        return F.struct(
-            gen_id.alias("gen_id"),
-            parent_id.alias("parent_id"),
-            outer_pos.cast("int").alias("outer_pos"),
-            inner_pos.cast("int").alias("inner_pos"),
-            ins["program"].alias("program"),
-            ins["programId"].alias("program_id"),
-            ins["parsed"].alias("parsed"),
-            ins["accounts"].alias("accounts"),
-            ins["data"].alias("data"),
-        )
-
-    # The inner-instruction map is bound ONCE per row by a one-element
-    # transform (r9): a plain `_inner_map` projection column is referenced
-    # only once here, so CollapseProject inlines the map_from_entries back
-    # into the lambda body — and HOF lambdas are interpreted, so the map
-    # would be rebuilt for EVERY outer instruction. The explicit lambda
-    # binding is immune to inlining.
-    def _flatten_with_map(m: Column) -> Column:
-        return F.flatten(
-            F.transform(
-                F.col("outer_instructions"),
-                lambda ins, i: F.concat(
-                    F.array(
-                        _node(ins, i.cast("string"), F.lit(None).cast("string"), i, F.lit(None))
-                    ),
-                    F.transform(
-                        F.coalesce(
-                            F.element_at(m, i.cast("int")),
-                            F.array().cast(ArrayType(INSTRUCTION_TYPE)),
-                        ),
-                        lambda inr, j: _node(
-                            inr,
-                            F.concat_ws(".", i.cast("string"), j.cast("string")),
-                            i.cast("string"),
-                            i,
-                            j,
-                        ),
-                    ),
-                ),
-            )
-        )
-
-    instructions_flat = F.element_at(
-        F.transform(F.array(inner_map), _flatten_with_map), 1
+        "element_at(t.transaction.signatures, 1) AS signature",
+        "t.transaction.signatures AS signatures",
+        "t.meta.fee AS fee",
+        "t.meta.err AS err",
+        "t.meta.err IS NULL AS is_successful",
+        f"{accounts_sql} AS accounts",
+        "t.meta.preBalances AS pre_balances",
+        "t.meta.postBalances AS post_balances",
+        "t.meta.preTokenBalances AS pre_token_balances",
+        "t.meta.postTokenBalances AS post_token_balances",
+        "t.meta.innerInstructions AS inner_instructions",
+        "t.transaction.message.instructions AS outer_instructions",
     )
 
     txs = (
-        txs.withColumn("_pre_map", pre_map)
-        .withColumn("_post_map", post_map)
-        .withColumn("balance_changes", balance_changes)
-        .withColumn("token_changes", F.transform(indices, _token_change))
-        .withColumn("instructions", instructions_flat)
+        txs.withColumn("_pre_map", F.expr(_PRE_MAP))
+        .withColumn("_post_map", F.expr(_POST_MAP))
+        .withColumn("balance_changes", F.expr(_BALANCE_CHANGES))
+        .withColumn("token_changes", F.expr(_TOKEN_CHANGES))
+        .withColumn("instructions", F.expr(_instructions_flat_sql()))
         .drop("_pre_map", "_post_map")
     )
 
-    # -- per-tx scalars / sets ---------------------------------------------
-    change = lambda x: x["change"]  # noqa: E731
+    for name, sql in _TX_SCALARS.items():
+        txs = txs.withColumn(name, F.expr(sql))
     txs = (
-        txs.withColumn("num_accounts", F.size("accounts"))
-        .withColumn("net_balance_change", _sum_long(F.col("balance_changes"), change))
-        .withColumn(
-            "lamports_in",
-            _sum_long(
-                F.col("balance_changes"),
-                lambda x: F.when(x["change"] > 0, x["change"]).otherwise(F.lit(0)),
-            ),
-        )
-        .withColumn(
-            "lamports_out",
-            _sum_long(
-                F.col("balance_changes"),
-                lambda x: F.when(x["change"] < 0, x["change"]).otherwise(F.lit(0)),
-            ),
-        )
-        .withColumn("num_instructions", F.size("instructions"))
-        .withColumn(
-            "programs",
-            F.array_distinct(F.transform("instructions", lambda x: x["program_id"])),
-        )
-        .withColumn(
-            "is_vote",
-            F.exists("outer_instructions", lambda x: x["program"] == F.lit(VOTE_PROGRAM)),
-        )
-        .withColumn(
-            "token_pubkeys",
-            F.array_distinct(F.transform("token_changes", lambda x: x["pubkey"])),
-        )
-        .withColumn(
-            "mints",
-            F.array_distinct(F.transform("token_changes", lambda x: x["mint"])),
-        )
-        .withColumn(
-            "account_types",
-            F.transform(
-                "accounts",
-                lambda a: F.struct(
-                    a["pubkey"].alias("pubkey"),
-                    F.lower(a["pubkey"]).startswith("sysvar").alias("is_sysvar"),
-                    F.array_contains(F.col("programs"), a["pubkey"]).alias("is_program"),
-                    F.array_contains(F.col("token_pubkeys"), a["pubkey"]).alias(
-                        "is_token"
-                    ),
-                ),
-            ),
-        )
+        txs.withColumn("account_types", F.expr(_ACCOUNT_TYPES))
         # only_fee / more_than_fee (reference src/transform/Transactions.py:63-71)
-        .withColumn("is_only_fee", F.col("net_balance_change") == -F.col("fee"))
-        # per-row validity (reference wraps EVERY row build in try/except —
-        # src/load/TransformTask.py:24-50; a malformed tx becomes an error
-        # row, never a null-poisoned output row). Each branch mirrors the
-        # exception the reference would raise while building the row.
-        .withColumn(
-            "tx_error",
-            F.when(
-                F.col("signature").isNull(),
-                F.lit("transaction has no signatures"),
-            )
-            .when(F.col("fee").isNull(), F.lit("transaction has no meta fee"))
-            .when(
-                F.col("accounts").isNull() | F.exists("accounts", lambda a: a["pubkey"].isNull()),
-                F.lit("transaction has malformed account keys"),
-            ),
-        )
+        .withColumn("is_only_fee", F.expr("net_balance_change = -fee"))
+        .withColumn("tx_error", F.expr(_TX_ERROR))
     )
 
     return txs.drop(
@@ -407,6 +355,84 @@ def instructions_view(txs: DataFrame) -> DataFrame:
     )
 
 
+# per-account (mint, scale) lookup from the tx's token balance changes
+_TOKEN_INFO = """
+map_from_entries(transform(token_changes,
+  c -> struct(c.pubkey, named_struct('mint', c.mint, 'scale', c.scale))))
+"""
+
+
+def _acct_sql(path: str) -> str:
+    """info value resolved as an account key (F12 membership test)."""
+    v = f"get_json_object(i.parsed, '$.info.{path}')"
+    return f"CASE WHEN array_contains(_keys, {v}) THEN {v} END"
+
+
+_IS_COIN = "i.program = 'system'"
+
+# Ordered withColumn chain: later columns reference earlier ones by name.
+# amounts are u64 decimal-strings: parse through decimal(20,0) (full u64
+# range) and only then narrow to the reference's declared int64. A value
+# that parses but exceeds int64 must NOT silently become NULL in the good
+# output (the reference raises and routes to errors). The error CASE: J4
+# failure = token transfer whose source AND destination have no token
+# balance change (reference Transfer.py:55), or an info account arg that is
+# not a known account key (KeyError in reference Transfer.py:29-30,44-45,
+# 57-61); a missing lamports/amount key (Transfer.py:29,69) → error row;
+# non-numeric (decimal cast nulls) OR beyond int64 (non-ANSI decimal→long
+# WRAPS, so detect via decimal != narrowed value) → error row.
+_TRANSFER_COLS = [
+    ("source", _acct_sql("source")),
+    ("destination", _acct_sql("destination")),
+    ("transfer_type", f"CASE WHEN {_IS_COIN} THEN 'coin' ELSE 'token' END"),
+    (
+        "mint",
+        f"CASE WHEN {_IS_COIN} THEN 'sol' ELSE"
+        " coalesce(element_at(_token_info, source).mint,"
+        " element_at(_token_info, destination).mint) END",
+    ),
+    (
+        "_value_raw",
+        f"CASE WHEN {_IS_COIN} THEN get_json_object(i.parsed, '$.info.lamports')"
+        " ELSE get_json_object(i.parsed, '$.info.amount') END",
+    ),
+    ("_value_dec", "CAST(_value_raw AS DECIMAL(20,0))"),
+    ("value", "CAST(_value_dec AS BIGINT)"),
+    (
+        "scale",
+        f"CASE WHEN {_IS_COIN} THEN {LAMPORT_SCALE} ELSE"
+        " coalesce(element_at(_token_info, source).scale,"
+        " element_at(_token_info, destination).scale) END",
+    ),
+    (
+        "authority",
+        f"CASE WHEN NOT ({_IS_COIN}) THEN"
+        f" coalesce({_acct_sql('authority')}, {_acct_sql('multisigAuthority')}) END",
+    ),
+    (
+        "multisig",
+        f"CASE WHEN NOT ({_IS_COIN}) THEN"
+        f" (({_acct_sql('authority')}) IS NULL"
+        f" AND ({_acct_sql('multisigAuthority')}) IS NOT NULL) END",
+    ),
+    (
+        "error",
+        f"""CASE
+          WHEN source IS NULL OR destination IS NULL
+            THEN 'info account not in transaction accounts'
+          WHEN _value_raw IS NULL THEN 'transfer amount missing'
+          WHEN _value_raw IS NOT NULL
+               AND (_value_dec IS NULL OR NOT (_value_dec = value))
+            THEN 'transfer amount not int64-representable'
+          WHEN NOT ({_IS_COIN}) AND mint IS NULL
+            THEN 'no token balance change for source or destination'
+          WHEN NOT ({_IS_COIN}) AND authority IS NULL
+            THEN 'no authority or multisigAuthority account'
+        END""",
+    ),
+]
+
+
 def transfers_view(txs: DataFrame) -> DataFrame:
     """Semantic transfer extraction (X1–X3) + J4/J5 enrichment.
 
@@ -424,117 +450,27 @@ def transfers_view(txs: DataFrame) -> DataFrame:
     Returns transfer rows with an ``error`` column; callers split rows where
     ``error IS NOT NULL`` into the errors side-channel (§7.4).
     """
-    token_info = F.map_from_entries(
-        F.transform(
-            "token_changes",
-            lambda c: F.struct(
-                c["pubkey"], F.struct(c["mint"].alias("mint"), c["scale"].alias("scale"))
-            ),
-        )
-    )
-
     base = (
         txs.filter("is_successful")
-        .withColumn("_token_info", token_info)
+        .withColumn("_token_info", F.expr(_TOKEN_INFO))
         .select(
             "path",
             "block_time",
             "blockhash",
             "signature",
             "_token_info",
-            F.transform("accounts", lambda a: a["pubkey"]).alias("_keys"),
+            F.expr("transform(accounts, a -> a.pubkey)").alias("_keys"),
             F.explode("instructions").alias("i"),
         )
-        .withColumn("_type", F.get_json_object("i.parsed", "$.type"))
-        .filter(
-            (F.col("_type") == TRANSFER_TYPE)
-            & F.col("i.program").isin(SYSTEM_PROGRAM, SPL_TOKEN_PROGRAM)
-        )
+        .withColumn("_type", F.expr("get_json_object(i.parsed, '$.type')"))
+        .filter("_type = 'transfer' AND i.program IN ('system', 'spl-token')")
     )
 
-    def acct(path: str) -> Column:
-        """info value resolved as an account key (F12 membership test)."""
-        v = F.get_json_object("i.parsed", f"$.info.{path}")
-        return F.when(F.array_contains(F.col("_keys"), v), v)
+    out = base
+    for name, sql in _TRANSFER_COLS:
+        out = out.withColumn(name, F.expr(sql))
 
-    is_coin = F.col("i.program") == SYSTEM_PROGRAM
-    source = acct("source")
-    destination = acct("destination")
-    authority = acct("authority")
-    multisig_authority = acct("multisigAuthority")
-
-    src_info = F.element_at(F.col("_token_info"), F.col("source"))
-    dst_info = F.element_at(F.col("_token_info"), F.col("destination"))
-
-    out = (
-        base.withColumn("source", source)
-        .withColumn("destination", destination)
-        .withColumn("transfer_type", F.when(is_coin, "coin").otherwise("token"))
-        .withColumn(
-            "mint",
-            F.when(is_coin, F.lit("sol")).otherwise(
-                F.coalesce(src_info["mint"], dst_info["mint"])
-            ),
-        )
-        # amounts are u64 decimal-strings: parse through decimal(20,0) (full
-        # u64 range) and only then narrow to the reference's declared int64.
-        # A value that parses but exceeds int64 must NOT silently become NULL
-        # in the good output (the reference raises and routes to errors).
-        .withColumn(
-            "_value_raw",
-            F.when(
-                is_coin, F.get_json_object("i.parsed", "$.info.lamports")
-            ).otherwise(F.get_json_object("i.parsed", "$.info.amount")),
-        )
-        .withColumn("_value_dec", F.col("_value_raw").cast("decimal(20,0)"))
-        .withColumn("value", F.col("_value_dec").cast("long"))
-        .withColumn(
-            "scale",
-            F.when(is_coin, F.lit(LAMPORT_SCALE)).otherwise(
-                F.coalesce(src_info["scale"], dst_info["scale"])
-            ),
-        )
-        .withColumn(
-            "authority", F.when(~is_coin, F.coalesce(authority, multisig_authority))
-        )
-        .withColumn(
-            "multisig",
-            F.when(~is_coin, authority.isNull() & multisig_authority.isNotNull()),
-        )
-        .withColumn(
-            "error",
-            # J4 failure: token transfer whose source AND destination have no
-            # token balance change (reference Transfer.py:55) — or an info
-            # account arg that is not a known account key (KeyError in
-            # reference Transfer.py:29-30,44-45,57-61).
-            F.when(
-                F.col("source").isNull() | F.col("destination").isNull(),
-                F.lit("info account not in transaction accounts"),
-            ).when(
-                # reference KeyErrors on a missing lamports/amount key
-                # (Transfer.py:29,69) → error row, never a null-valued output
-                F.col("_value_raw").isNull(),
-                F.lit("transfer amount missing"),
-            ).when(
-                # non-numeric (decimal cast nulls) OR beyond int64 (non-ANSI
-                # decimal→long WRAPS, so detect via decimal != narrowed value)
-                F.col("_value_raw").isNotNull()
-                & (
-                    F.col("_value_dec").isNull()
-                    | (F.col("_value_dec") != F.col("value"))
-                ),
-                F.lit("transfer amount not int64-representable"),
-            ).when(
-                ~is_coin & F.col("mint").isNull(),
-                F.lit("no token balance change for source or destination"),
-            ).when(
-                ~is_coin & F.col("authority").isNull(),
-                F.lit("no authority or multisigAuthority account"),
-            ),
-        )
-    )
-
-    return out.select(
+    return out.selectExpr(
         "path",
         "block_time",
         "blockhash",
@@ -547,6 +483,6 @@ def transfers_view(txs: DataFrame) -> DataFrame:
         "scale",
         "authority",
         "multisig",
-        F.col("i.gen_id").alias("gen_id"),
+        "i.gen_id AS gen_id",
         "error",
     )

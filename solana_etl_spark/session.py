@@ -44,6 +44,18 @@ SCALE_CONFS = {
     # JSON block documents are wide; don't let Spark waste time sampling for
     # inference anywhere (we always pass explicit schemas).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # File listing (r9, measured): the block corpora are hundreds of small
+    # gzip files on LOCAL fs, and the default
+    # parallelPartitionDiscovery.threshold=32 launches a distributed listing
+    # JOB per read — ~0.4 s of job-scheduling overhead for a listing the
+    # driver does in ~40 ms itself (243 files: 0.43 s -> 0.044 s per read).
+    # Driver-side listing is strictly faster on local paths; object-store
+    # deployments listing millions of keys should export
+    # SPARK_GRAFT_LIST_THRESHOLD=32 so listing parallelizes across the
+    # cluster again (parameterized, per the scale-adaptive config rule).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_LIST_THRESHOLD", "10000"
+    ),
 }
 
 
@@ -93,6 +105,10 @@ def apply_semantic_confs(spark: SparkSession) -> SparkSession:
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.optimizer.nestedSchemaPruning.enabled", "true"),
+        (
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            SCALE_CONFS["spark.sql.sources.parallelPartitionDiscovery.threshold"],
+        ),
     ):
         try:
             spark.conf.set(k, v)
