@@ -42,6 +42,13 @@ def hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def hash64_spark_sql(expr: str) -> str:
+    """:func:`hash64` as Spark SQL expression text — for operators that
+    build their expressions as SQL strings (one JVM parse instead of py4j
+    round trips per node; see plans/views.py)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def hash32(col: Column) -> Column:
     """32-bit positive hash (first 8 hex chars of md5) — cheap enough to
     permute in plain int64 arithmetic (Spark side)."""
@@ -50,6 +57,11 @@ def hash32(col: Column) -> Column:
 
 def hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def hash32_spark_sql(expr: str) -> str:
+    """:func:`hash32` as Spark SQL expression text (see hash64_spark_sql)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
 
 
 def perm_hash(h: Column, a: int, b: int) -> Column:

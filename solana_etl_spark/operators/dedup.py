@@ -31,12 +31,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from solana_etl_spark.functions.hashing import (
+    MINHASH_PERMS,
+    PERM32_P,
+    hash32_spark_sql,
     hash64,
-    hashes_expr,
-    minhash_from_hashes,
+    hash64_spark_sql,
 )
 from solana_etl_spark.functions.parallelism import ensure_compute_parallelism
-from solana_etl_spark.operators.text import NGRAM_N, char_ngrams, tokens
+from solana_etl_spark.operators.text import NGRAM_N, _toks_expr, char_ngrams, tokens
 
 MINHASH_K = 8  # signature length
 # rows per band: 4 bands of 2. Bands of a single hash degenerate on
@@ -73,8 +75,8 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def word_shingles(text_col: str = "text") -> Column:
-    """Distinct 2-word shingles (SQL-expressed for non-literal indexing).
+def word_shingles_sql(text_col: str = "text") -> str:
+    """Distinct 2-word shingles as Spark SQL expression text.
 
     The token array is bound ONCE per row via a one-element
     ``transform(array(w), v -> ...)`` wrapper: HOFs are interpreted, so the
@@ -82,14 +84,17 @@ def word_shingles(text_col: str = "text") -> Column:
     shingle position (three times per element) — O(len·words) per document.
     Binding leaves one split plus O(words) array lookups (r9)."""
     w = f"split(lower(trim({text_col})), '\\\\s+')"
-    return F.array_distinct(
-        F.expr(
-            f"element_at(transform(array({w}), _ws_w ->"
-            " transform(sequence(1, greatest(size(_ws_w) - 1, 1)),"
-            " i -> concat_ws(' ', element_at(_ws_w, i),"
-            " element_at(_ws_w, least(i + 1, size(_ws_w)))))), 1)"
-        )
+    return (
+        f"array_distinct(element_at(transform(array({w}), _ws_w ->"
+        " transform(sequence(1, greatest(size(_ws_w) - 1, 1)),"
+        " i -> concat_ws(' ', element_at(_ws_w, i),"
+        " element_at(_ws_w, least(i + 1, size(_ws_w)))))), 1))"
     )
+
+
+def word_shingles(text_col: str = "text") -> Column:
+    """Distinct 2-word shingles (see :func:`word_shingles_sql`)."""
+    return F.expr(word_shingles_sql(text_col))
 
 
 def expand_sorted_pairs(postings: DataFrame, docs_col: str = "_docs") -> DataFrame:
@@ -125,12 +130,20 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     projection (`_hashes` is referenced k times, so CollapseProject keeps the
     boundary); the k permutations are then plain int64 mul/add/mod passes.
     """
-    with_hashes = ensure_compute_parallelism(documents).select(
-        "doc_id", hashes_expr(word_shingles()).alias("_hashes")
+    hashes = (
+        f"transform({word_shingles_sql()},"
+        f" _mh_t -> {hash32_spark_sql('_mh_t')})"
     )
-    return with_hashes.select(
-        "doc_id",
-        *[minhash_from_hashes(F.col("_hashes"), i).alias(f"h{i}") for i in range(k)],
+    with_hashes = ensure_compute_parallelism(documents).selectExpr(
+        "doc_id", f"{hashes} AS _hashes"
+    )
+
+    def perm(i: int) -> str:
+        a, b = MINHASH_PERMS[i]
+        return f"array_min(transform(_hashes, h -> (h * {a} + {b}) % {PERM32_P}))"
+
+    return with_hashes.selectExpr(
+        "doc_id", *[f"{perm(i)} AS h{i}" for i in range(k)]
     )
 
 
@@ -152,30 +165,20 @@ def lsh_bands(
     verified or drop-on-candidate by policy anyway) at ~2^-60 rate."""
     sigs = minhash_signatures(documents, k)
     n_bands = k // band_rows
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * band_rows + r}").cast(
-                                        "string"
-                                    )
-                                    for r in range(band_rows)
-                                ],
-                            )
-                        ).alias("sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.sig")
+
+    def band_sig(b: int) -> str:
+        tup = ", ".join(
+            f"CAST(h{b * band_rows + r} AS STRING)" for r in range(band_rows)
+        )
+        return hash64_spark_sql(f"concat_ws(',', {tup})")
+
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', {band_sig(b)})"
+        for b in range(n_bands)
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("doc_id", "bb.band", "bb.sig")
 
 
 def minhash_lsh_pairs(
@@ -407,27 +410,31 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     projection so the per-bit sign tests reuse it (≥2 references survive
     CollapseProject).
     """
-    toks = F.array_distinct(tokens(F.col("text")))
-    # materialize token hashes once; the single accumulator pass reads them
-    with_hashes = ensure_compute_parallelism(documents).select(
-        "doc_id", F.transform(toks, hash64).alias("_hashes")
+    # materialize token hashes once; the single accumulator pass reads them.
+    # Expressions are SQL strings (r9): the Column-API construction of the
+    # 60 per-bit terms cost ~600 py4j round trips per build (see
+    # plans/views.py for the measurement); the parsed trees are identical.
+    hashes = (
+        f"transform(array_distinct({_toks_expr('text')}),"
+        f" _sh_t -> {hash64_spark_sql('_sh_t')})"
     )
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
-    counts = F.aggregate(
-        F.col("_hashes"),
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc, powers, lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)
-        ),
+    with_hashes = ensure_compute_parallelism(documents).selectExpr(
+        "doc_id", f"{hashes} AS _hashes"
     )
-    with_counts = with_hashes.select("doc_id", counts.alias("_counts"))
-    sim = None
-    for b in range(bits):
-        contrib = F.when(F.element_at("_counts", b + 1) > 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-        sim = contrib if sim is None else sim + contrib
-    return with_counts.select("doc_id", sim.cast("long").alias("simhash"))
+    powers = ", ".join(f"CAST({1 << b} AS BIGINT)" for b in range(bits))
+    counts = (
+        f"aggregate(_hashes, array_repeat(CAST(0 AS BIGINT), {bits}),"
+        f" (acc, h) -> zip_with(acc, array({powers}),"
+        f" (a, p) -> a + CASE WHEN (h & p) != 0 THEN 1 ELSE -1 END))"
+    )
+    with_counts = with_hashes.selectExpr("doc_id", f"{counts} AS _counts")
+    sim = " + ".join(
+        f"CASE WHEN element_at(_counts, {b + 1}) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return with_counts.selectExpr(
+        "doc_id", f"CAST({sim} AS BIGINT) AS simhash"
+    )
 
 
 def simhash_pairs(
@@ -527,118 +534,97 @@ def banded_hamming_pairs(
         F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
     )
 
-    rows = s.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("_sig", i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-        "_id",
-        "_sig",
-    ).select("bb.band", "bb.band_val", "_id", "_sig")
-    buckets = (
-        rows.groupBy("band", "band_val")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("_id").alias("id"), F.col("_sig").alias("sig"))
-                )
-            ).alias("_mem")
-        )
-        .filter(F.size("_mem") > 1)
+    band_structs = ", ".join(
+        f"named_struct('band', {i}, 'band_val',"
+        f" shiftright(_sig, {i * band_bits}) & {mask})"
+        for i in range(bands)
     )
+    rows = s.selectExpr(
+        f"explode(array({band_structs})) AS bb", "_id", "_sig"
+    ).selectExpr("bb.band", "bb.band_val", "_id", "_sig")
+    buckets = rows.groupBy("band", "band_val").agg(
+        F.expr(
+            "array_sort(collect_list(struct(_id AS id, _sig AS sig))) AS _mem"
+        )
+    ).filter("size(_mem) > 1")
     # triangle-block the bucket: k = ceil(n / chunk_size) chunks, one row
     # per (ci ≤ cj) chunk pair, hash-spread so a hot bucket's quadratic
     # expansion lands on many tasks instead of one
-    n_chunks = F.ceil(F.size("_mem") / F.lit(chunk_size)).cast("int")
+    n_chunks = f"CAST(ceil(size(_mem) / {chunk_size}) AS INT)"
     chunk_pairs = (
-        buckets.select(
+        buckets.selectExpr(
             "band",
             "band_val",
             "_mem",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+            f"explode(sequence(0, {n_chunks} - 1)) AS ci",
         )
-        .select(
+        .selectExpr(
             "band",
             "band_val",
             "_mem",
             "ci",
-            F.slice(
-                "_mem", F.col("ci") * chunk_size + 1, chunk_size
-            ).alias("_left"),
+            f"slice(_mem, ci * {chunk_size} + 1, {chunk_size}) AS _left",
         )
-        .select(
+        .selectExpr(
             "band",
             "band_val",
             "ci",
             "_left",
-            F.explode(F.sequence(F.col("ci"), n_chunks - 1)).alias("cj"),
-            F.col("_mem"),
+            f"explode(sequence(ci, {n_chunks} - 1)) AS cj",
+            "_mem",
         )
-        .select(
+        .selectExpr(
             "band",
             "band_val",
             "ci",
             "cj",
             "_left",
-            F.slice(
-                "_mem", F.col("cj") * chunk_size + 1, chunk_size
-            ).alias("_right"),
+            f"slice(_mem, cj * {chunk_size} + 1, {chunk_size}) AS _right",
         )
         .repartition("band", "band_val", "ci", "cj")
     )
     joined = (
-        chunk_pairs.select(
+        chunk_pairs.selectExpr(
             "band",
-            (F.col("ci") == F.col("cj")).alias("_same"),
-            F.posexplode("_left").alias("i", "_a"),
+            "ci = cj AS _same",
+            "posexplode(_left) AS (i, _a)",
             "_right",
         )
-        .select(
+        .selectExpr(
             "band",
-            F.col("_a.id").alias("id_a"),
-            F.col("_a.sig").alias("sim_a"),
-            F.explode(
-                # same-chunk: ordered suffix pairs within the chunk;
-                # cross-chunk: full A×B (already ordered — sorted array)
-                F.when(
-                    F.col("_same"),
-                    F.slice(F.col("_right"), F.col("i") + 2, F.size("_right")),
-                ).otherwise(F.col("_right"))
-            ).alias("_b"),
+            "_a.id AS id_a",
+            "_a.sig AS sim_a",
+            # same-chunk: ordered suffix pairs within the chunk;
+            # cross-chunk: full A×B (already ordered — sorted array)
+            "explode(CASE WHEN _same"
+            " THEN slice(_right, i + 2, size(_right))"
+            " ELSE _right END) AS _b",
         )
-        .select(
+        .selectExpr(
             "band",
             "id_a",
             "sim_a",
-            F.col("_b.id").alias("id_b"),
-            F.col("_b.sig").alias("sim_b"),
+            "_b.id AS id_b",
+            "_b.sig AS sim_b",
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter("id_a < id_b")
     )
-    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    hamming = F.bit_count(xor)
+    hamming = "bit_count(sim_a ^ sim_b)"
     # emit each pair only from its FIRST colliding band (every earlier band
     # must differ) — exactly-once without a distinct() shuffle over the
     # expanded pair stream (pair volume is quadratic in cluster size, so at
     # dup-heavy corpora that distinct dominates the whole query)
-    first_band_only = F.lit(True)  # single band: every pair is first-band
-    for j in range(bands - 1):
-        differs_j = (
-            F.shiftright(xor, j * band_bits).bitwiseAND(F.lit(mask)) != 0
-        )
-        first_band_only = first_band_only & ((F.col("band") <= j) | differs_j)
-    return joined.filter(first_band_only & (hamming <= max_hamming)).select(
-        "id_a", "id_b", hamming.alias("hamming")
+    first_band_only = " AND ".join(
+        ["true"]  # single band: every pair is first-band
+        + [
+            f"(band <= {j} OR"
+            f" (shiftright(sim_a ^ sim_b, {j * band_bits}) & {mask}) != 0)"
+            for j in range(bands - 1)
+        ]
     )
+    return joined.filter(
+        f"({first_band_only}) AND {hamming} <= {max_hamming}"
+    ).selectExpr("id_a", "id_b", f"{hamming} AS hamming")
 
 
 def connected_components(
