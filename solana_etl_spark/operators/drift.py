@@ -346,7 +346,7 @@ def exact_ks(
     hist = (
         union.groupBy("v")
         .agg(F.sum("ca").alias("na_v"), F.sum("cb").alias("nb_v"))
-        .withColumn("_bkt", range_bucket(F.col("v"), splits))
+        .withColumn("_bkt", range_bucket("v", splits))
     )
     w = (
         Window.partitionBy("_bkt")

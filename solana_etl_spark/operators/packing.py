@@ -98,7 +98,7 @@ def pack_sequences(
         )
 
         bucketed = sel.withColumn(
-            "_bkt", range_bucket(F.col(order_col), order_splits)
+            "_bkt", range_bucket(f"`{order_col}`", order_splits)
         )
         offs = exclusive_offsets(
             bucketed, ["n_tokens"], group_cols=tuple(part_cols)

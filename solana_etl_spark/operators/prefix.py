@@ -85,14 +85,34 @@ def quantile_splits(
     return sorted({float(q) for q in qs})
 
 
-def range_bucket(col: Column, splits: list[float]) -> Column:
+def range_bucket_sql(col_expr: str, splits: list[float]) -> str:
+    """:func:`range_bucket` as Spark SQL expression text. The Column-API
+    chain of 63 ``F.when(...).otherwise(...)`` nodes cost ~400 py4j round
+    trips per call (~0.4 s of driver time, ×3 in st_rfm — r9 cProfile);
+    one parsed string builds the identical CASE-chain tree. The ``D``
+    suffix pins each split literal to DOUBLE (a bare ``59.0`` would parse
+    as DECIMAL(3,1) and change the comparison's type promotion vs the
+    Column form's ``F.lit(float)``)."""
+    if not splits:
+        return "0"
+    return " + ".join(
+        f"(CASE WHEN ({col_expr}) > {float(s)!r}D THEN 1 ELSE 0 END)"
+        for s in splits
+    )
+
+
+def range_bucket(col: Column | str, splits: list[float]) -> Column:
     """Bucket id = number of splits strictly below ``col`` — a chained
     sum of comparisons against literal split points (plain codegen
     arithmetic; deliberately NOT an ``F.aggregate`` lambda, whose
     NamedLambdaVariables canonicalize unstably under exchange reuse and
     can fail attribute binding in self-joined plans). Monotone in the
     key and constant across equal keys, so per-bucket order + bucket
-    offsets reproduce the global order exactly."""
+    offsets reproduce the global order exactly. Pass the COLUMN NAME as
+    a string to build the chain as one parsed SQL string (r9 — see
+    :func:`range_bucket_sql`); a Column argument keeps the py4j form."""
+    if isinstance(col, str):
+        return F.expr(range_bucket_sql(col, splits))
     if not splits:
         return F.lit(0)
     out = F.lit(0)
@@ -181,6 +201,7 @@ def two_phase_row_number(
     out_col: str = "_rn",
     n_buckets: int = N_RANGE_BUCKETS,
     descending: bool = False,
+    splits: list[float] | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = the global ROW_NUMBER of each row under
     (``order_cols``) — computed WITHOUT an unpartitioned window.
@@ -194,10 +215,16 @@ def two_phase_row_number(
     (the caller still supplies the actual Column ordering). The quantile
     pass runs ``df``'s plan once extra on a 1/``SPLIT_SAMPLE_MOD`` hash
     sample of the key (pushdown-reduced) — persist upstream if even the
-    sampled pass is expensive."""
-    splits = quantile_splits(df, primary, n_buckets)
+    sampled pass is expensive. A caller ranking SEVERAL metrics of the
+    same frame can pass precomputed ``splits`` (e.g. one multi-column
+    ``approxQuantile`` job instead of one eager job per metric — r9,
+    st_rfm): split values only steer bucket load balance, the produced
+    rank is exact for ANY splits (all ties of ``primary`` share a bucket
+    by construction of ``range_bucket``)."""
+    if splits is None:
+        splits = quantile_splits(df, primary, n_buckets)
     bucketed = df.withColumn(
-        "_bkt", range_bucket(F.col(primary), splits)
+        "_bkt", range_bucket(f"`{primary}`", splits)
     ).withColumn("_one", F.lit(1))
     offs = exclusive_offsets(
         bucketed, ["_one"], group_cols=(), descending=descending

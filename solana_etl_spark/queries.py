@@ -10722,6 +10722,7 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pins against the oracle's real NTILE. Recency stays exact
     integer microseconds — no float time math."""
     from solana_etl_spark.operators.prefix import (
+        N_RANGE_BUCKETS,
         ntile_from_rank,
         two_phase_row_number,
     )
@@ -10743,13 +10744,33 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("now_ts") - F.unix_micros("last_ts")).alias("recency_us"),
         "frequency",
         "monetary",
-    ).persist()  # three quantile passes + the user count read it;
+    ).persist()  # ONE fused quantile pass + the user count read it;
     # unpersisted below once those driver-state actions complete
+
+    # r9: ONE multi-column approxQuantile job computes all three metrics'
+    # range-bucket splits (was three eager jobs, one per
+    # two_phase_row_number call — same driver-state class, 2 fewer job
+    # round trips over the persisted frame). Splits only steer bucket
+    # load balance; ranks — and therefore the output — are exact for any
+    # splits, so the full-frame pass here and quantile_splits' hash-
+    # sampled pass are interchangeable. Degrade contract preserved: any
+    # failure falls back to single-bucket ([]), a parallelism loss only.
+    _metrics = ["recency_us", "frequency", "monetary"]
+    _probs = [i / N_RANGE_BUCKETS for i in range(1, N_RANGE_BUCKETS)]
+    try:
+        _q3 = m.approxQuantile(_metrics, _probs, 1.0 / (4 * N_RANGE_BUCKETS))
+        _splits = {
+            c: sorted({float(v) for v in qs})
+            for c, qs in zip(_metrics, _q3)
+        }
+    except Exception:
+        _splits = {c: [] for c in _metrics}
 
     def rank_table(metric: str, order_cols, desc: bool, out: str):
         sub = m.select("user_id", metric)
         return two_phase_row_number(
-            sub, metric, order_cols, out_col=out, descending=desc
+            sub, metric, order_cols, out_col=out, descending=desc,
+            splits=_splits[metric],
         ).select("user_id", out)
 
     r_rn = rank_table(
@@ -10978,14 +10999,20 @@ def j11_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level filter, for the 100 TB case where the dim is selective but
     too big to broadcast. False positives are re-checked by the join, so
     the result — and the oracle, a PLAIN join — is exactly the unfiltered
-    join's. Driver row since late r6."""
+    join's. fast_hash (JVM xxhash64, r9): the bloom hash is invisible in
+    the result by construction (only the false-positive SET changes, and
+    the join re-checks equality), so this row uses the production hash —
+    the md5 form stays pinned cross-engine by dedup_bloom_probe, the row
+    whose output IS the filter bits. Driver row since late r6."""
     from solana_etl_spark.operators.sketch import bloom_prefilter_join
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_custkey") <= 100)
     )
-    joined = bloom_prefilter_join(li, o, "l_orderkey", "o_orderkey")
+    joined = bloom_prefilter_join(
+        li, o, "l_orderkey", "o_orderkey", fast_hash=True
+    )
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
@@ -11278,7 +11305,7 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.col("n_chars").cast("long").alias("x"))
         .groupBy("lang", "x")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("_bkt", range_bucket(F.col("x"), splits))
+        .withColumn("_bkt", range_bucket("x", splits))
     )
     offs = exclusive_offsets(g, ["cnt"], group_cols=("lang",))
     wloc = (
@@ -11640,7 +11667,7 @@ def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         s.groupBy("f", "x")
         .agg(F.sum("w").alias("w"))
-        .withColumn("_bkt", range_bucket(F.col("x"), splits))
+        .withColumn("_bkt", range_bucket("x", splits))
     )
     offs = exclusive_offsets(g, ["w"], group_cols=("f",))
     wloc = (

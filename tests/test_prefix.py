@@ -146,6 +146,32 @@ def test_range_bucket_monotone_and_tie_stable(spark):
     assert all(by_v[v] <= by_v[v + 1] for v in range(19))
 
 
+def test_range_bucket_string_form_matches_column_form(spark):
+    """r9: the SQL-string form (one JVM parse instead of ~400 py4j round
+    trips for a 63-split chain) must bucket identically to the Column
+    form, including fractional splits (D-suffix double literals, not
+    DECIMAL) and the empty-splits degenerate."""
+    splits = [4.0, 9.5, 15.0, 1e-3]
+    df = spark.createDataFrame(
+        [(float(v) / 2,) for v in range(-2, 40)], "v double"
+    )
+    col_form = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", range_bucket(F.col("v"), sorted(splits)).alias("b")
+        ).collect()
+    }
+    str_form = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", range_bucket("v", sorted(splits)).alias("b")
+        ).collect()
+    }
+    assert col_form == str_form
+    empty = df.select(range_bucket("v", []).alias("b")).collect()
+    assert {r["b"] for r in empty} == {0}
+
+
 @settings(
     max_examples=10,
     deadline=None,
