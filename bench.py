@@ -530,15 +530,32 @@ def main() -> None:
                     persisted.unpersist()
                 return rows
 
-            _fresh()
-            _sol_rows(small_s)  # warm: JIT/codegen for the block schema
-            t0 = time.time()
-            rows_small = _sol_rows(small_s)
-            t_small = round(time.time() - t0, 3)
-            _fresh()
-            t0 = time.time()
-            rows_big = _sol_rows(big_s)
-            t_big = round(time.time() - t0, 3)
+            # r9 measurement fix (documented in OPTIMIZATION_r09.md), two
+            # parts. (1) Warm EACH size once untimed: the first 200-file
+            # whole-block parse in a JVM pays a one-time ~45 s JIT/heap
+            # warm-up (reproduced fresh-JVM big-first: 51.1 -> 8.7 ->
+            # 6.8 s) that the old small-only warm never triggered, so it
+            # landed inside t_big and swung the exponent 0.57..1.51 across
+            # otherwise-identical runs. (2) Time each size BEST-OF-2 — the
+            # same statistic as every headline query: a single timed run
+            # this late in the bench (~2600 accumulated stages) measured
+            # t_small anywhere in 2.1..14.9 s for identical ~0.5 s of
+            # plan work (one run even recorded t_big < t_small), i.e.
+            # session-state overhead, not the plan.
+            def _sol_best2(d: str) -> tuple[int, float]:
+                _fresh()
+                _sol_rows(d)  # warm: JIT/codegen at this task-count
+                best, rows = None, 0
+                for _ in range(2):
+                    _fresh()
+                    t0 = time.time()
+                    rows = _sol_rows(d)
+                    t = time.time() - t0
+                    best = t if best is None or t < best else best
+                return rows, round(best, 3)
+
+            rows_small, t_small = _sol_best2(small_s)
+            rows_big, t_big = _sol_best2(big_s)
             scaling_solana["solana_e2e_all_tasks"] = {
                 "n_blocks_small": 20,
                 "n_blocks_big": 200,
