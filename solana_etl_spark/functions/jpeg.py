@@ -195,6 +195,50 @@ def _idct_block_pixels(deq) -> list[list[int]]:
     return out
 
 
+def _idct_blocks(deq):
+    """Batched pinned IDCT: ``(n, 8, 8)`` float64 dequantized coefficient
+    blocks → ``(n, 8, 8)`` uint8 level-shifted clamped samples.
+
+    Bit-identical to :func:`_idct_block_pixels` per block (r10, guide §4.2
+    — vectorize ACROSS blocks/pixels, keep the coefficient op order): the
+    u- then v-accumulations run as 8 ordered elementwise
+    multiply-then-add passes, so every output element sees exactly the
+    scalar form's sequence of IEEE float64 products and sums. The scalar
+    form's zero-term skips (``if row[u]`` / ``if inner``) only ever avoid
+    adding ``±0.0`` — which can change a sum's ZERO SIGN but never its
+    value, and a ±0.0 accumulator rounds to the same 128 — so including
+    those terms is float-exact. The final rounding keeps the pinned op
+    order: (+128.0) then (+0.5) then floor, as separate elementwise adds.
+    ``tests/test_jpeg.py`` pins batched ≡ scalar on random blocks."""
+    import numpy as np
+
+    global _COS
+    if _COS is None:
+        _COS = _cos_table()
+    cos = np.asarray(_COS, dtype=np.float64)  # cos[u][x]
+    n = deq.shape[0]
+    inner = np.zeros((n, 8, 8), dtype=np.float64)  # [block, v, x]
+    for u in range(8):
+        inner += deq[:, :, u : u + 1] * cos[u]
+    acc = np.zeros((n, 8, 8), dtype=np.float64)  # [block, y, x]
+    for v in range(8):
+        acc += cos[v][:, np.newaxis] * inner[:, v : v + 1, :]
+    acc = acc + 128.0
+    acc = acc + 0.5
+    return np.clip(np.floor(acc), 0.0, 255.0).astype(np.uint8)
+
+
+def _plane_from_blocks(blocks, bh_pad: int, bw_pad: int):
+    """Raster-ordered ``(bh_pad*bw_pad, 8, 8)`` sample blocks → the
+    ``(bh_pad*8, bw_pad*8)`` component plane (pure reshape/transpose — no
+    per-block copies)."""
+    return (
+        blocks.reshape(bh_pad, bw_pad, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_pad * 8, bw_pad * 8)
+    )
+
+
 def _round_half_up_clamp(arr):
     """floor(x + 0.5) clamped to [0, 255] — the pinned sample rounding
     (numpy's own round() is half-even and would differ at exact halves).
@@ -459,7 +503,11 @@ def _decode_baseline(
     data, pos, comps, by_id, qtables, huff, restart_interval, scan,
     mcux, mcuy,
 ) -> None:
-    """Sequential DCT: one interleaved scan, IDCT inline per block."""
+    """Sequential DCT: one interleaved scan. Entropy decode stays the
+    sequential bitstream walk; the dequant + IDCT runs ONCE per component
+    as a batched numpy pass over every block (r10, guide §4.2 — the
+    per-block scalar IDCT was 73% of a 3.5 ms JPEG decode), bit-identical
+    to the scalar form (see :func:`_idct_blocks`)."""
     import numpy as np
 
     scan_comps, _ss, _se, _ah, _al = scan
@@ -479,7 +527,10 @@ def _decode_baseline(
         raise ValueError("jpeg: non-interleaved baseline scans unsupported")
 
     for c in comps:
-        c["plane"] = np.zeros((c["ph"], c["pw"]), dtype=np.uint8)
+        # QUANTIZED coefficient blocks in MCU arrival order + each block's
+        # raster index; dequant/IDCT/scatter happen batched after the scan
+        c["_coefs"] = []
+        c["_bidx"] = []
 
     reader = _BitReader(data, pos)
     mcu_count = 0
@@ -494,14 +545,14 @@ def _decode_baseline(
                 for c in comps:
                     c["pred"] = 0
             for c in order:
-                q = qtables[c["tq"]]
+                bw_pad = c["pw"] // 8
                 for bv in range(c["v"]):
                     for bh in range(c["h"]):
                         coeffs = [0] * 64
                         t = _decode_symbol(reader, c["dc"])
                         diff = _extend(reader.bits(t), t) if t else 0
                         c["pred"] += diff
-                        coeffs[0] = c["pred"] * q[0]
+                        coeffs[0] = c["pred"]
                         k = 0
                         while k < 63:
                             rs = _decode_symbol(reader, c["ac"])
@@ -514,15 +565,24 @@ def _decode_baseline(
                             k += r + 1
                             if k > 63:
                                 raise ValueError("jpeg: AC index overflow")
-                            z = ZIGZAG[k]
-                            coeffs[z] = _extend(reader.bits(s), s) * q[z]
-                        block = _idct_block_pixels(
-                            [coeffs[v * 8 : v * 8 + 8] for v in range(8)]
+                            coeffs[ZIGZAG[k]] = _extend(reader.bits(s), s)
+                        c["_coefs"].append(coeffs)
+                        c["_bidx"].append(
+                            (my * c["v"] + bv) * bw_pad + mx * c["h"] + bh
                         )
-                        y0 = (my * c["v"] + bv) * 8
-                        x0 = (mx * c["h"] + bh) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
+
+    for c in comps:
+        bh_pad, bw_pad = c["ph"] // 8, c["pw"] // 8
+        q = np.asarray(qtables[c["tq"]], dtype=np.int64)
+        quant = np.asarray(c.pop("_coefs"), dtype=np.int64).reshape(-1, 64)
+        # int64 dequant then float64: both exact (|coef*q| < 2^47 < 2^53),
+        # matching the scalar form's exact Python-int products
+        deq = (quant * q).astype(np.float64).reshape(-1, 8, 8)
+        blocks = _idct_blocks(deq)
+        raster = np.empty_like(blocks)
+        raster[np.asarray(c.pop("_bidx"), dtype=np.int64)] = blocks
+        c["plane"] = _plane_from_blocks(raster, bh_pad, bw_pad)
 
 
 def _assemble(width, height, comps, hmax, vmax) -> _RawImage:
@@ -790,22 +850,21 @@ def _decode_progressive(
                 break
             pos += seglen
 
-    # all scans consumed: dequantize + IDCT every stored block
+    # all scans consumed: dequantize + IDCT every stored block — one
+    # batched numpy pass per component (r10, guide §4.2; bit-identical to
+    # the scalar per-block form, see _idct_blocks). coefs is already in
+    # raster block order, so the plane is a reshape of the block batch.
     for c in comps:
         q = qtables.get(c["tq"])
         if q is None:
             raise ValueError("jpeg: missing quantization table")
-        plane = np.zeros((c["ph"], c["pw"]), dtype=np.uint8)
-        for by in range(c["bh_pad"]):
-            for bx in range(c["bw_pad"]):
-                coef = c["coefs"][by * c["bw_pad"] + bx]
-                deq = [
-                    [coef[v * 8 + u] * q[v * 8 + u] for u in range(8)]
-                    for v in range(8)
-                ]
-                block = _idct_block_pixels(deq)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-        c["plane"] = plane
+        quant = np.asarray(c["coefs"], dtype=np.int64).reshape(-1, 64)
+        deq = (quant * np.asarray(q, dtype=np.int64)).astype(
+            np.float64
+        ).reshape(-1, 8, 8)
+        c["plane"] = _plane_from_blocks(
+            _idct_blocks(deq), c["bh_pad"], c["bw_pad"]
+        )
 
 
 # --------------------------------------------------------------------------

@@ -35,6 +35,16 @@ SEMANTIC_CONFS = {
 SCALE_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalescing keeps its parallelism-first default DELIBERATELY
+    # (r10, measured): with parallelismFirst=true a KB-sized shuffle
+    # already coalesces to ~1 task (target = max(bytes/cores,
+    # minPartitionSize)), so tiny exchanges carry no 32-task fan-out; and
+    # forcing bytes-first sizing (parallelismFirst=false) collapsed the
+    # compute-dense exchanges whose per-byte CPU cost is ~10^3× a plain
+    # scan's (dedup_ngram_jaccard 3.04 s → 5.20 s at advisory=64m, → 3.61 s
+    # at 8m; headline total 17.9 → 20.7 / 18.3 s at 32 cores, sf0.1).
+    # Bytes are the wrong cost proxy for expression-heavy aggregation at
+    # this engine's shuffle sizes; see OPTIMIZATION_r10.md.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",

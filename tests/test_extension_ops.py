@@ -126,6 +126,36 @@ def test_compute_parallelism_guard_row_group_aware(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
+def test_compute_parallelism_guard_sizes_target_to_rows(spark, tmp_path):
+    """r10 (guide §2.2): the guard's target is min(cores, ceil(rows/64)) —
+    a tiny input must NOT fan into a cores-sized shuffle (a single-batch
+    input is not shuffled at all), while inputs with >= 64*cores rows keep
+    the exact cores-sized behavior of the r9 guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from solana_etl_spark.functions.parallelism import (
+        ensure_compute_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+
+    tiny = str(tmp_path / "tiny.parquet")
+    pq.write_table(pa.table({"media_id": list(range(40))}), tiny)
+    df_tiny = spark.read.parquet(tiny)
+    out = ensure_compute_parallelism(df_tiny)
+    # ceil(40/64) == 1: one populated task is the right shape; the guard
+    # must not add a shuffle for it
+    assert out is df_tiny
+
+    mid = str(tmp_path / "mid.parquet")
+    pq.write_table(pa.table({"media_id": list(range(3 * 64))}), mid)
+    df_mid = spark.read.parquet(mid)
+    out = ensure_compute_parallelism(df_mid)
+    got = out.rdd.getNumPartitions()
+    assert got == min(target, 3), got
+
+
 def test_banded_hamming_chunked_expansion_exact(spark):
     """The r9 triangle-blocked hot-bucket expansion must emit EXACTLY the
     brute-force pair set — same pairs, same hamming, each exactly once

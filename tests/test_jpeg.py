@@ -305,3 +305,29 @@ def test_decode_dims_routes_jpeg_to_vendored_decoder():
         len(b"abc") % 640 + 1,
         len(b"abc") % 480 + 1,
     )
+
+
+# ---- batched IDCT (r10) ----------------------------------------------------
+
+
+def test_batched_idct_bit_identical_to_scalar():
+    """_idct_blocks (the batched numpy IDCT every decode path now uses)
+    must reproduce _idct_block_pixels bit-for-bit, including blocks with
+    zero rows/terms (the scalar form's skip branches) and rounding-edge
+    magnitudes."""
+    rng = np.random.default_rng(1234)
+    blocks = []
+    for i in range(200):
+        blk = rng.integers(-2048, 2048, size=(8, 8)).astype(np.int64)
+        if i % 3 == 0:
+            blk[rng.integers(0, 8)] = 0  # whole zero row (skip branch)
+        if i % 5 == 0:
+            blk[:, rng.integers(0, 8)] = 0
+        if i % 7 == 0:
+            blk[:] = 0  # all-zero block -> flat 128
+        blocks.append(blk)
+    deq = np.stack(blocks).astype(np.float64)
+    batched = jpeg._idct_blocks(deq)
+    for i, blk in enumerate(blocks):
+        scalar = jpeg._idct_block_pixels([list(r) for r in blk])
+        assert batched[i].tolist() == scalar, f"block {i} diverged"
