@@ -194,3 +194,94 @@ def test_mixed_codec_kernels_agree_with_ground_truth(spark):
         r["media_id"]: r["afp"] for r in audio_fingerprints(media).collect()
     }
     assert fps[6] == fps[0]
+
+
+# ---- vectorized decode internals (r10) -------------------------------------
+
+
+def test_crc16_vectorized_matches_bitwise():
+    rng = np.random.default_rng(77)
+    for n in (0, 1, 2, 3, 7, 8, 9, 63, 64, 65, 1000, 4096, 4097):
+        data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        assert flac._crc16(data) == flac._crc16_bitwise(data), n
+
+
+def test_vectorized_residual_matches_scalar_reference():
+    """_decode_residual (doubling-based rice reader + vectorized escape
+    partitions) must reproduce the sequential bit-at-a-time walk exactly,
+    across partition orders, rice parameters, escape partitions and both
+    4-/5-bit parameter methods — including partition orders the encoder
+    never emits (it writes order 0 only)."""
+    rng = np.random.default_rng(5)
+
+    def scalar_reference(br, blocksize, order):
+        method = br.read(2)
+        param_bits, escape = (4, 15) if method == 0 else (5, 31)
+        part_order = br.read(4)
+        nparts = 1 << part_order
+        out = []
+        for part in range(nparts):
+            count = (blocksize >> part_order) - (order if part == 0 else 0)
+            k = br.read(param_bits)
+            if k == escape:
+                raw = br.read(5)
+                for _ in range(count):
+                    out.append(br.read_signed(raw) if raw else 0)
+            else:
+                for _ in range(count):
+                    q = br.read_unary()
+                    u = (q << k) | (br.read(k) if k else 0)
+                    out.append((u >> 1) ^ -(u & 1))
+        return out
+
+    for trial in range(30):
+        blocksize = int(rng.choice([16, 64, 192, 256]))
+        order = int(rng.integers(0, 4))
+        part_order = int(rng.choice([0, 0, 1, 2]))
+        if blocksize % (1 << part_order) or (blocksize >> part_order) < order:
+            continue
+        method = int(rng.integers(0, 2))
+        param_bits, escape = (4, 15) if method == 0 else (5, 31)
+        bw = flac._BitWriter()
+        bw.write(method, 2)
+        bw.write(part_order, 4)
+        for part in range(1 << part_order):
+            count = (blocksize >> part_order) - (order if part == 0 else 0)
+            if rng.random() < 0.25:  # escaped-raw partition
+                raw = int(rng.integers(0, 6))
+                bw.write(escape, param_bits)
+                bw.write(raw, 5)
+                for _ in range(count):
+                    bw.write(int(rng.integers(0, 1 << raw)) if raw else 0, raw)
+            else:
+                k = int(rng.integers(0, 6))
+                bw.write(k, param_bits)
+                for _ in range(count):
+                    u = int(rng.integers(0, 40))
+                    bw.write_unary(u >> k)
+                    if k:
+                        bw.write(u & ((1 << k) - 1), k)
+        bw.align()
+        data = bw.bytes() + b"\xff"  # trailing byte: reader must not eat it
+        got = flac._decode_residual(
+            flac._BitReader(data, 0), blocksize, order
+        )
+        want = scalar_reference(flac._BitReader(data, 0), blocksize, order)
+        assert got.tolist() == want, f"trial {trial}"
+
+
+def test_unary_cap_and_truncation_errors():
+    # > 2^20 zero bits then a terminator: unbounded unary
+    data = b"\x00" * ((1 << 17) + 8) + b"\x01"
+    with pytest.raises(ValueError, match="unbounded unary"):
+        flac._BitReader(data, 0).read_unary()
+    # all-zero data ends before a terminator: truncated
+    with pytest.raises(ValueError, match="truncated"):
+        flac._BitReader(b"\x00" * 8, 0).read_unary()
+    # the vectorized rice reader raises the same pair
+    with pytest.raises(ValueError, match="truncated"):
+        flac._read_rice_vec(flac._BitReader(b"\x00" * 8, 0), 2, 0)
+    with pytest.raises(ValueError, match="unbounded unary"):
+        flac._read_rice_vec(
+            flac._BitReader(b"\x00" * ((1 << 17) + 8) + b"\x01", 0), 1, 0
+        )
