@@ -92,13 +92,14 @@ def pack_sequences(
         shard_cols = ["shard"]
     if order_splits:
         from solana_etl_spark.operators.prefix import (
+            _qid,
             exclusive_offsets,
             nullsafe_offsets_join,
             range_bucket,
         )
 
         bucketed = sel.withColumn(
-            "_bkt", range_bucket(f"`{order_col}`", order_splits)
+            "_bkt", range_bucket(_qid(order_col), order_splits)
         )
         offs = exclusive_offsets(
             bucketed, ["n_tokens"], group_cols=tuple(part_cols)

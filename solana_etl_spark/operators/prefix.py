@@ -85,18 +85,41 @@ def quantile_splits(
     return sorted({float(q) for q in qs})
 
 
+def _qid(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string building, escaping
+    embedded backticks — ``f"`{name}`"`` would produce a malformed quoted
+    identifier for a column name containing a backtick (ADVICE r9)."""
+    return f"`{name.replace('`', '``')}`"
+
+
+def _double_literal(s: float) -> str:
+    """A float as Spark SQL DOUBLE literal text. ``repr`` + ``D`` suffix
+    pins finite values (a bare ``59.0`` parses as DECIMAL(3,1) and would
+    change comparison type promotion); non-finite values have no literal
+    form — ``repr`` emits ``inf``/``nan``, invalid SQL (ADVICE r9) — so
+    they go through the double() constructor like ``F.lit(float)`` did."""
+    import math
+
+    v = float(s)
+    if math.isinf(v):
+        return "double('-Infinity')" if v < 0 else "double('Infinity')"
+    if math.isnan(v):
+        return "double('NaN')"
+    return f"{v!r}D"
+
+
 def range_bucket_sql(col_expr: str, splits: list[float]) -> str:
     """:func:`range_bucket` as Spark SQL expression text. The Column-API
     chain of 63 ``F.when(...).otherwise(...)`` nodes cost ~400 py4j round
     trips per call (~0.4 s of driver time, ×3 in st_rfm — r9 cProfile);
-    one parsed string builds the identical CASE-chain tree. The ``D``
-    suffix pins each split literal to DOUBLE (a bare ``59.0`` would parse
-    as DECIMAL(3,1) and change the comparison's type promotion vs the
-    Column form's ``F.lit(float)``)."""
+    one parsed string builds the identical CASE-chain tree. Split
+    literals go through :func:`_double_literal` (DOUBLE-pinned; handles
+    the ±inf/NaN splits ``approxQuantile`` can return on data containing
+    them, which the Column form's ``F.lit(float)`` always accepted)."""
     if not splits:
         return "0"
     return " + ".join(
-        f"(CASE WHEN ({col_expr}) > {float(s)!r}D THEN 1 ELSE 0 END)"
+        f"(CASE WHEN ({col_expr}) > {_double_literal(s)} THEN 1 ELSE 0 END)"
         for s in splits
     )
 
@@ -134,30 +157,34 @@ def exclusive_offsets(
     broadcast side is ~KB), so the nested-loop expansion is bounded at
     n_buckets² per group — deliberately window-free. ``descending``
     accumulates from the TOP bucket down (for desc-ordered ranks)."""
+    # expression trees built as SQL strings (r10, guide §7.3): the Column-
+    # API loops cost a py4j round trip per node, ~3× per call in st_rfm's
+    # build — the parsed trees are identical
+    q = _qid
     agg = bucketed.groupBy(*group_cols, bucket_col).agg(
-        *[F.sum(m).alias(f"_t_{m}") for m in measures]
+        *[F.expr(f"sum({q(m)})").alias(f"_t_{m}") for m in measures]
     )
-    left = agg.select(
-        *[F.col(g).alias(f"_l_{g}") for g in group_cols],
-        F.col(bucket_col).alias("_l_bkt"),
-        *[F.col(f"_t_{m}").alias(f"_l_{m}") for m in measures],
+    left = agg.selectExpr(
+        *[f"{q(g)} AS {q('_l_' + g)}" for g in group_cols],
+        f"{q(bucket_col)} AS `_l_bkt`",
+        *[f"{q('_t_' + m)} AS {q('_l_' + m)}" for m in measures],
     )
-    if descending:
-        cond = F.col("_l_bkt") > F.col(bucket_col)
-    else:
-        cond = F.col("_l_bkt") < F.col(bucket_col)
-    for g in group_cols:
-        # eqNullSafe: a NULL group key (lang-ID failure, missing tenant)
-        # is a real group — plain == would drop its offsets silently
-        cond = F.col(f"_l_{g}").eqNullSafe(F.col(g)) & cond
+    # eqNullSafe (<=>): a NULL group key (lang-ID failure, missing tenant)
+    # is a real group — plain == would drop its offsets silently
+    cond = F.expr(
+        " AND ".join(
+            [f"{q('_l_' + g)} <=> {q(g)}" for g in group_cols]
+            + [f"`_l_bkt` {'>' if descending else '<'} {q(bucket_col)}"]
+        )
+    )
     out = (
         agg.join(F.broadcast(left), cond, "left")
         .groupBy(*group_cols, bucket_col)
         .agg(
             *[
-                F.coalesce(F.sum(f"_l_{m}"), F.lit(0))
-                .cast("long")
-                .alias(f"_off_{m}")
+                F.expr(
+                    f"CAST(coalesce(sum({q('_l_' + m)}), 0) AS BIGINT)"
+                ).alias(f"_off_{m}")
                 for m in measures
             ]
         )
@@ -166,10 +193,10 @@ def exclusive_offsets(
     # result back onto the same `bucketed` lineage, and grouping columns
     # keep their input exprIds — without this, the self-join resolves the
     # shared attribute to the wrong side (ATTRIBUTE_NOT_FOUND at runtime)
-    return out.select(
-        *[F.col(g).alias(g) for g in group_cols],
-        F.col(bucket_col).alias(bucket_col),
-        *[F.col(f"_off_{m}") for m in measures],
+    return out.selectExpr(
+        *[f"{q(g)} AS {q(g)}" for g in group_cols],
+        f"{q(bucket_col)} AS {q(bucket_col)}",
+        *[q("_off_" + m) for m in measures],
     )
 
 
@@ -223,9 +250,12 @@ def two_phase_row_number(
     by construction of ``range_bucket``)."""
     if splits is None:
         splits = quantile_splits(df, primary, n_buckets)
-    bucketed = df.withColumn(
-        "_bkt", range_bucket(f"`{primary}`", splits)
-    ).withColumn("_one", F.lit(1))
+    in_cols = df.columns
+    bucketed = df.selectExpr(
+        "*",
+        f"({range_bucket_sql(_qid(primary), splits)}) AS `_bkt`",
+        "1 AS `_one`",
+    )
     offs = exclusive_offsets(
         bucketed, ["_one"], group_cols=(), descending=descending
     )
@@ -233,8 +263,10 @@ def two_phase_row_number(
     out = (
         bucketed.withColumn("_lrn", F.row_number().over(w))
         .join(F.broadcast(offs), "_bkt")
-        .withColumn(out_col, F.col("_lrn") + F.col("_off__one"))
-        .drop("_bkt", "_one", "_lrn", "_off__one")
+        .selectExpr(
+            *[_qid(c) for c in in_cols],
+            f"(`_lrn` + `_off__one`) AS {_qid(out_col)}",
+        )
     )
     return out
 
@@ -261,3 +293,23 @@ def ntile_from_rank(rank: Column, n_rows: Column, tiles: int) -> Column:
     return F.when(
         rank <= first, _int_div(rank - 1, q + 1) + 1
     ).otherwise(r + _int_div(rank - 1 - first, q) + 1)
+
+
+def ntile_from_rank_sql(rank_expr: str, n_rows: int, tiles: int) -> str:
+    """:func:`ntile_from_rank` as SQL text for a KNOWN row count (r10,
+    guide §7.3 — the Column form costs ~60 py4j round trips per quartile
+    label; st_rfm builds three). q, r and the piece boundary fold to
+    Python-int literals; the rank arithmetic keeps the exact shape of
+    :func:`_int_div` (subtract the remainder, then double-divide an exact
+    multiple, cast long), so values are bit-identical to the Column form.
+    The q = 0 degenerate keeps every row in the first CASE piece, so the
+    ELSE's division by zero is never evaluated."""
+    q, r = divmod(int(n_rows), tiles)
+    first = r * (q + 1)
+    x = f"(({rank_expr}) - 1)"
+    y = f"(({rank_expr}) - 1 - {first})"
+    return (
+        f"CASE WHEN ({rank_expr}) <= {first} THEN"
+        f" CAST(({x} - pmod({x}, {q + 1})) / {q + 1} AS BIGINT) + 1"
+        f" ELSE {r} + CAST(({y} - pmod({y}, {q})) / {q} AS BIGINT) + 1 END"
+    )

@@ -10723,7 +10723,7 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds — no float time math."""
     from solana_etl_spark.operators.prefix import (
         N_RANGE_BUCKETS,
-        ntile_from_rank,
+        ntile_from_rank_sql,
         two_phase_row_number,
     )
 
@@ -10763,7 +10763,16 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             c: sorted({float(v) for v in qs})
             for c, qs in zip(_metrics, _q3)
         }
-    except Exception:
+    except Exception as _e:
+        # degrade loudly (repo convention: no silent caps — ADVICE r9):
+        # single-bucket ranks are correct but serialize three windows
+        # over the full user set, a real perf cliff worth a log line
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "st_rfm: fused approxQuantile failed (%s); degrading to "
+            "single-bucket rank windows (correct, unparallelized)", _e
+        )
         _splits = {c: [] for c in _metrics}
 
     def rank_table(metric: str, order_cols, desc: bool, out: str):
@@ -10804,14 +10813,17 @@ def st_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(f_rn, "user_id")
         .join(m_rn, "user_id")
     )
-    n = F.lit(n_users)
-    r_q = ntile_from_rank(F.col("_r_rn"), n, 4).cast("long")
-    f_q = ntile_from_rank(F.col("_f_rn"), n, 4).cast("long")
-    m_q = ntile_from_rank(F.col("_m_rn"), n, 4).cast("long")
-    return ranked.select(
+    # one parsed selectExpr instead of ~250 Column-API py4j round trips
+    # (r10, guide §7.3); ntile_from_rank_sql folds the known user count
+    # into the identical closed-form tree
+    r_q = f"CAST({ntile_from_rank_sql('`_r_rn`', n_users, 4)} AS BIGINT)"
+    f_q = f"CAST({ntile_from_rank_sql('`_f_rn`', n_users, 4)} AS BIGINT)"
+    m_q = f"CAST({ntile_from_rank_sql('`_m_rn`', n_users, 4)} AS BIGINT)"
+    return ranked.selectExpr(
         "user_id", "recency_us", "frequency", "monetary",
-        r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
-        (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_segment"),
+        f"{r_q} AS r_q", f"{f_q} AS f_q", f"{m_q} AS m_q",
+        f"CAST(({r_q}) * 100 + ({f_q}) * 10 + ({m_q}) AS BIGINT)"
+        " AS rfm_segment",
     )
 
 
