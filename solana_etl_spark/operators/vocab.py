@@ -91,6 +91,42 @@ def merge_pair_expr(
     )
 
 
+def _sql_str(s: str) -> str:
+    """``s`` as a Spark SQL single-quoted string literal (backslash and
+    quote escaped — symbols come straight from corpus words)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def merge_pair_sql(
+    symbols_expr: str, a: str, b: str, merged: str | None = None
+) -> str:
+    """:func:`merge_pair_expr` as SQL text (r10, guide §7.3): the Column
+    form costs ~0.13 s of py4j round trips per merge in the distributed
+    train loops (~1.5 s of a 12-merge round set), where the fold chain
+    can be composed as nested TEXT and parsed once. Identical fold —
+    ``named_struct`` instead of aliased ``struct`` is the same tree
+    (Catalyst canonicalizes struct creation; r9 saw the same
+    pretty-print drift on the simhash SQL strings)."""
+    if merged is None:
+        merged = a + b
+    la, lb, lm = _sql_str(a), _sql_str(b), _sql_str(merged)
+    return (
+        f"aggregate({symbols_expr},"
+        " named_struct('out', cast(array() as array<string>),"
+        " 'pending', cast(null as string)),"
+        " (acc, s) -> CASE"
+        " WHEN acc.pending IS NULL THEN"
+        " named_struct('out', acc.out, 'pending', s)"
+        f" WHEN acc.pending = {la} AND s = {lb} THEN"
+        f" named_struct('out', concat(acc.out, array({lm})),"
+        " 'pending', cast(null as string))"
+        " ELSE named_struct('out', concat(acc.out, array(acc.pending)),"
+        " 'pending', s) END,"
+        " acc -> CASE WHEN acc.pending IS NULL THEN acc.out"
+        " ELSE concat(acc.out, array(acc.pending)) END)"
+    )
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     n = F.size("symbols")
     pairs = F.arrays_zip(
@@ -174,25 +210,19 @@ def collect_adjacent_triples(
     value is the conservative floor for uncollected triples (0 unless
     the collect hit ``cap``, in which case any uncollected adjacent
     triple has count ≤ the smallest collected one)."""
-    spark = tri.sparkSession
-    cand_df = F.broadcast(
-        spark.createDataFrame(
-            [(r["a"], r["b"]) for r in cand], "a string, b string"
-        )
-    )
-    left = tri.join(
-        cand_df,
-        (tri["s1"] == cand_df["a"]) & (tri["s2"] == cand_df["b"]),
-        "left_semi",
-    )
-    right = tri.join(
-        cand_df,
-        (tri["s2"] == cand_df["a"]) & (tri["s3"] == cand_df["b"]),
-        "left_semi",
-    )
+    # literal key-set filter instead of two broadcast semi-joins over a
+    # per-round createDataFrame (r10: the createDataFrame + join build
+    # cost ~0.3 s of driver time per round). Same NUL-joined key trick as
+    # _candidate_adjacent_triple_counts: a false match needs a symbol
+    # containing NUL and only ADDS rows, which can only make the cap/floor
+    # (and therefore the batch policy) more conservative, never unsound —
+    # the caller's per-candidate maps still match tuples exactly. tri rows
+    # are grouped (unique), so the old union's distinct() is not needed.
+    keys = sorted({f"{r['a']}\x00{r['b']}" for r in cand})
+    left_key = F.concat_ws("\x00", "s1", "s2")
+    right_key = F.concat_ws("\x00", "s2", "s3")
     rows = (
-        left.unionByName(right)
-        .distinct()
+        tri.filter(left_key.isin(keys) | right_key.isin(keys))
         .orderBy(F.desc("cnt3"), "s1", "s2", "s3")
         .limit(cap)
         .collect()
@@ -403,11 +433,12 @@ def train_bpe_merges(
         # but the loop is O(rounds²) either way — truncation makes it
         # linear. Same learned merges: checkpointing changes lineage only.
         # Batched rounds chain the (mutually disjoint, hence commuting)
-        # merges as nested folds in ONE projection before the checkpoint.
-        col = F.col("symbols")
+        # merges as nested folds in ONE projection before the checkpoint —
+        # composed as SQL text, one parse per round (r10, guide §7.3)
+        expr = "symbols"
         for a, b in batch:
-            col = merge_pair_expr(col, a, b)
-        words = words.withColumn("symbols", col).localCheckpoint()
+            expr = merge_pair_sql(expr, a, b)
+        words = words.withColumn("symbols", F.expr(expr)).localCheckpoint()
     return merges
 
 

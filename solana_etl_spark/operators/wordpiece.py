@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solana_etl_spark.operators.vocab import merge_pair_expr, word_freq_table
+from solana_etl_spark.operators.vocab import merge_pair_sql, word_freq_table
 
 MAX_PIECE_LEN = 12  # longest vocabulary piece the encoder will match
 KEY_BASE = 64  # (start0, len) -> start0 * KEY_BASE + len, len < KEY_BASE
@@ -387,11 +387,14 @@ def train_wordpiece_vocab(
             # truncation the loop is seconds per round). Same fix as the
             # pointer-jumping CC loop (dedup.connected_components).
             # Batched rounds chain the (mutually disjoint, commuting)
-            # merge folds in ONE projection before the checkpoint.
-            col = F.col("symbols")
+            # merge folds in ONE projection before the checkpoint —
+            # composed as SQL text, one parse per round (r10, guide §7.3)
+            expr = "symbols"
             for a, b, merged in batch:
-                col = merge_pair_expr(col, a, b, merged=merged)
-            words = words.withColumn("symbols", col).localCheckpoint()
+                expr = merge_pair_sql(expr, a, b, merged=merged)
+            words = words.withColumn(
+                "symbols", F.expr(expr)
+            ).localCheckpoint()
         return alphabet + merges
     finally:
         base.unpersist()

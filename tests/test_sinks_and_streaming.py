@@ -102,12 +102,23 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    query.awaitTermination(120)
+    # the query services processing-time state timeouts, so it does not
+    # self-terminate under availableNow — poll for the expected emission
+    # (same 120 s worst-case the old blind awaitTermination(120) had, but
+    # ~seconds in practice) and stop the query explicitly
+    import time as _time
 
-    got = {
-        (r.user_id, r.n_events)
-        for r in spark.sql("SELECT * FROM sessions_out").collect()
-    }
+    got: set = set()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        got = {
+            (r.user_id, r.n_events)
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+        if (1, 2) in got:
+            break
+        _time.sleep(0.5)
+    query.stop()
     # only user 1's FIRST session closes within the batch (second stays open
     # in state awaiting timeout; user 2's single session also stays open)
     assert (1, 2) in got
